@@ -1,0 +1,139 @@
+"""Kafka-core queries: the reference's full metric surface (SURVEY.md §2.4/§2.9).
+
+Spark side runs over :func:`kafka_frame_from_events`; oracle SQL reproduces
+the identical derivation via the shared CTE, so both engines see the same
+log. Every aggregate is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kafka_topic_analyzer_spark.operators.alive_keys import (
+    alive_key_count,
+    alive_key_count_approx,
+    compacted_state,
+)
+from kafka_topic_analyzer_spark.operators.report import (
+    global_report,
+    partition_report,
+)
+from kafka_topic_analyzer_spark.registry import register
+from kafka_topic_analyzer_spark.sources.events_log import (
+    kafka_frame_from_events,
+    kafka_oracle,
+)
+
+
+def _kafka_report_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return partition_report(kafka_frame_from_events(spark, sf_dir))
+
+
+register(
+    "kafka_report_partition",
+    _kafka_report_partition,
+    kafka_oracle("""
+, agg AS (
+  SELECT "partition",
+    CAST(min("offset") AS BIGINT) AS start_offset,
+    CAST(max("offset") + 1 AS BIGINT) AS end_offset,
+    CAST(count(*) AS BIGINT) AS total,
+    CAST(count("value") AS BIGINT) AS alive,
+    CAST(count(*) - count("value") AS BIGINT) AS tombstones,
+    CAST(count(*) - count("key") AS BIGINT) AS key_null,
+    CAST(count("key") AS BIGINT) AS key_non_null,
+    CAST(coalesce(sum(length("key")), 0) AS BIGINT) AS key_bytes,
+    CAST(coalesce(sum(length("value")), 0) AS BIGINT) AS value_bytes
+  FROM kafka_messages
+  GROUP BY "partition"
+)
+SELECT
+  "partition", start_offset, end_offset, total, alive, tombstones,
+  CASE WHEN total > 0 AND tombstones > 0
+       THEN round(tombstones * 100.0 / total, 4) ELSE 0.0 END AS dirty_ratio,
+  key_null, key_non_null,
+  CAST(key_bytes + value_bytes AS BIGINT) AS p_bytes,
+  key_bytes, value_bytes,
+  CAST(CASE WHEN key_bytes > 0 AND alive > 0 THEN key_bytes // alive ELSE 0 END AS BIGINT) AS key_size_avg,
+  CAST(CASE WHEN value_bytes > 0 AND alive > 0 THEN value_bytes // alive ELSE 0 END AS BIGINT) AS value_size_avg,
+  CAST(CASE WHEN key_bytes + value_bytes > 0 AND alive > 0
+            THEN (key_bytes + value_bytes) // alive ELSE 0 END AS BIGINT) AS message_size_avg
+FROM agg
+ORDER BY "partition"
+"""),
+)
+
+
+def _kafka_report_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return global_report(kafka_frame_from_events(spark, sf_dir))
+
+
+register(
+    "kafka_report_global",
+    _kafka_report_global,
+    kafka_oracle("""
+SELECT
+  CAST(count(*) AS BIGINT) AS overall_count,
+  CAST(coalesce(sum(coalesce(length("key"), 0) + coalesce(length("value"), 0)), 0) AS BIGINT) AS overall_size,
+  CAST(coalesce(min(CASE WHEN "value" IS NOT NULL
+        THEN coalesce(length("key"), 0) + length("value") END), 0) AS BIGINT) AS smallest_message,
+  CAST(coalesce(max(CASE WHEN "value" IS NOT NULL
+        THEN coalesce(length("key"), 0) + length("value") END), 0) AS BIGINT) AS largest_message,
+  CAST(min(timestamp_ms // 1000) AS BIGINT) AS earliest_ts_sec,
+  CAST(max(timestamp_ms // 1000) AS BIGINT) AS latest_ts_sec
+FROM kafka_messages
+"""),
+)
+
+
+def _kafka_alive_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return alive_key_count(kafka_frame_from_events(spark, sf_dir))
+
+
+register(
+    "kafka_alive_keys",
+    _kafka_alive_keys,
+    kafka_oracle("""
+, latest AS (
+  SELECT "key", "value" IS NOT NULL AS alive,
+         row_number() OVER (PARTITION BY "key" ORDER BY "partition" DESC, "offset" DESC) AS rn
+  FROM kafka_messages WHERE "key" IS NOT NULL
+)
+SELECT CAST(count(*) AS BIGINT) AS alive_keys FROM latest WHERE rn = 1 AND alive
+"""),
+)
+
+
+def _kafka_compacted_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return compacted_state(kafka_frame_from_events(spark, sf_dir))
+
+
+register(
+    "kafka_compacted_state",
+    _kafka_compacted_state,
+    kafka_oracle("""
+, numbered AS (
+  SELECT "key",
+         "value" IS NOT NULL AS alive,
+         "partition" AS last_partition,
+         "offset" AS last_offset,
+         row_number() OVER (PARTITION BY "key" ORDER BY "partition" DESC, "offset" DESC) AS rn,
+         count(*) OVER (PARTITION BY "key") AS versions
+  FROM kafka_messages WHERE "key" IS NOT NULL
+)
+SELECT "key", alive,
+       CAST(last_partition AS INTEGER) AS last_partition,
+       CAST(last_offset AS BIGINT) AS last_offset,
+       CAST(versions AS BIGINT) AS versions
+FROM numbered WHERE rn = 1
+"""),
+)
+
+
+def _kafka_alive_keys_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return alive_key_count_approx(kafka_frame_from_events(spark, sf_dir))
+
+
+# HLL sketches differ across engines — rows-only check (driver records the
+# weaker gate; the exact variant above is the hash-matched one).
+register("kafka_alive_keys_approx", _kafka_alive_keys_approx, None)

@@ -1,0 +1,55 @@
+"""SparkSession construction tuned for this engine.
+
+Local-mode defaults target the test harness (local[N], one JVM); the same
+settings are sane on a real cluster (AQE on, UTC, Arrow on). Callers that
+already hold a session (e.g. the verify driver) use :func:`prepare_session`
+to apply the *runtime-settable* confs the engine depends on.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable SQL confs every entry point applies defensively. The
+# testdata `events.parquet` carries TIMESTAMP(NANOS) which Spark only reads
+# with the legacy nanos-as-long conf; sessionTZ=UTC keeps timestamp semantics
+# aligned with the DuckDB oracle.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def prepare_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an externally-provided session (idempotent)."""
+    for key, value in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # Static conf on this build — leave whatever the session has.
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "kafka_topic_analyzer_spark") -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
+    shuffle_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", shuffle_parts)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for key, value in RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return prepare_session(spark)
