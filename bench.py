@@ -1,0 +1,71 @@
+"""Benchmark runner — prints ONE JSON line the driver records as BENCH_r{N}.json.
+
+Runs every registered query at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS], timing each end-to-end (plan + execute + fetch of
+the small aggregate result). ``value`` is the total wall seconds across the
+suite; ``queries`` has per-query seconds. Also reports derived throughput of
+the flagship per-partition report (rows scanned / sec) for comparison with
+BASELINE.md's 590k msg/s single-core figure.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from kafka_topic_analyzer_spark.registry import all_queries
+    from kafka_topic_analyzer_spark.session import get_spark
+    from kafka_topic_analyzer_spark.sources.events_log import kafka_frame_from_events
+
+    spark = get_spark("bench")
+
+    # Warm the JVM/codegen path once so per-query times reflect steady state,
+    # not session bring-up.
+    kafka_frame_from_events(spark, sf_dir).limit(1).collect()
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name, spec in sorted(all_queries().items()):
+        t0 = time.perf_counter()
+        df = spec.spark(spark, sf_dir)
+        n_rows = len(df.limit(100_000).collect())
+        dt = time.perf_counter() - t0
+        per_query[name] = round(dt, 4)
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n_rows} rows)", file=sys.stderr)
+
+    # Flagship throughput: rows of the derived log scanned per second of the
+    # full-report query (the reference's one fixed query).
+    kdf = kafka_frame_from_events(spark, sf_dir)
+    n_msgs = kdf.count()
+    from kafka_topic_analyzer_spark.operators.report import full_report
+
+    t0 = time.perf_counter()
+    full_report(kdf).collect()
+    report_sec = time.perf_counter() - t0
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_seconds",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "report_msgs_per_sec": round(n_msgs / report_sec, 1),
+                "report_rows": n_msgs,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

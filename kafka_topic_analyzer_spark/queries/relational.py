@@ -2,34 +2,61 @@
 testdata tables (SURVEY.md §5 strategy — the reference has no tests, so the
 harness exercises the engine's general relational surface here).
 
-Doubles are rounded on BOTH sides (Spark and DuckDB) so the driver's exact
-value-hash is stable across summation orders.
+Float discipline (oracle-parity critical): double summation is
+order-dependent, so any SUM the driver hash-compares is computed in DECIMAL
+(exact, associative, identical across engines), rounded while still decimal,
+and only then cast to double for a scale-stable output column. AVGs divide
+the exact decimal sum as double — IEEE division of identical inputs is
+deterministic. Never emit a raw decimal column (engines disagree on
+scale/precision repr); never round a double sum.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from kafka_topic_analyzer_spark.registry import register
 from kafka_topic_analyzer_spark.sources.tables import load_table
 
 
+def dec(col: str | Column, precision: int = 18, scale: int = 4) -> Column:
+    """Exact-summation guard: cast a double measure to decimal early."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({precision},{scale})")
+
+
+def money_sum(expr: Column, ndigits: int = 2) -> Column:
+    """sum→round→double, all order-independent (see module docstring)."""
+    return F.round(F.sum(expr), ndigits).cast("double")
+
+
+def dec_avg(expr: Column, ndigits: int = 4) -> Column:
+    """Exact decimal sum / count, divided (and rounded) in double."""
+    return F.round(F.sum(expr).cast("double") / F.count(F.lit(1)), ndigits)
+
+
+# SQL-side equivalents (DuckDB): sum(CAST(x AS DECIMAL(18,4))) etc.
+DEC = "CAST({} AS DECIMAL(18,4))"
+
+
 def _q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: 2-col groupBy, 8 fused aggregates, one shuffle."""
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    qty, price, disc, tax = (dec("l_quantity"), dec("l_extendedprice"),
+                             dec("l_discount", 6, 4), dec("l_tax", 6, 4))
+    disc_price = price * (1 - disc)
+    charge = disc_price * (1 + tax)
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            money_sum(qty).alias("sum_qty"),
+            money_sum(price).alias("sum_base_price"),
+            money_sum(disc_price).alias("sum_disc_price"),
+            money_sum(charge).alias("sum_charge"),
+            dec_avg(qty).alias("avg_qty"),
+            dec_avg(price).alias("avg_price"),
+            dec_avg(disc).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -41,17 +68,349 @@ register(
     _q1_pricing_summary,
     """
 SELECT l_returnflag, l_linestatus,
-  round(sum(l_quantity), 2) AS sum_qty,
-  round(sum(l_extendedprice), 2) AS sum_base_price,
-  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-  round(avg(l_quantity), 4) AS avg_qty,
-  round(avg(l_extendedprice), 4) AS avg_price,
-  round(avg(l_discount), 4) AS avg_disc,
+  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS sum_disc_price,
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(6,4))) * (1 + CAST(l_tax AS DECIMAL(6,4)))), 2) AS DOUBLE) AS sum_charge,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_qty,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_price,
+  round(CAST(sum(CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) / count(*), 4) AS avg_disc,
   CAST(count(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
+""",
+)
+
+
+def _q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, agg, top-10 by rounded revenue.
+
+    The customer filter shrinks that side before the join; Catalyst/AQE
+    broadcast the filtered dim. Ordering is on the ROUNDED revenue with
+    full tiebreak so the LIMIT cutoff is deterministic across engines.
+    """
+    cutoff = F.lit("1998-06-01").cast("timestamp_ntz")
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(money_sum(dec("l_extendedprice") * (1 - dec("l_discount", 6, 4))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+register(
+    "q3_shipping_priority",
+    _q3_shipping_priority,
+    """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10
+""",
+)
+
+
+def _q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with two broadcast-able tiny dims."""
+    lo = F.lit("1996-01-01").cast("timestamp_ntz")
+    hi = F.lit("1998-01-01").cast("timestamp_ntz")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(money_sum(dec("l_extendedprice") * (1 - dec("l_discount", 6, 4))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+register(
+    "q5_regional_revenue",
+    _q5_regional_revenue,
+    """
+SELECT n_name, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+""",
+)
+
+
+def _top3_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via window row_number (SURVEY.md §2.7 analogue)."""
+    from pyspark.sql import Window as W
+
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.withColumn("rank_in_segment", F.row_number().over(w))
+        .where(F.col("rank_in_segment") <= 3)
+        .select(
+            "c_mktsegment",
+            "rank_in_segment",
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 2).alias("acctbal"),
+        )
+    )
+
+
+register(
+    "top3_customers_per_segment",
+    _top3_customers_per_segment,
+    """
+SELECT c_mktsegment, rank_in_segment, c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+FROM (
+  SELECT c_mktsegment, c_custkey, c_name, c_acctbal,
+         CAST(row_number() OVER (PARTITION BY c_mktsegment
+              ORDER BY c_acctbal DESC, c_custkey ASC) AS INTEGER) AS rank_in_segment
+  FROM customer
+)
+WHERE rank_in_segment <= 3
+""",
+)
+
+
+def _orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (status, priority): multi-level aggregation in one shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum(dec("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+register(
+    "orders_rollup",
+    _orders_rollup,
+    """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus, o_orderpriority
+""",
+)
+
+
+def _customers_without_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS): customers with no order since 2000-01-01."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_nationkey")
+    )
+
+
+register(
+    "customers_without_recent_orders",
+    _customers_without_recent_orders,
+    """
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+""",
+)
+
+
+def _priority_with_discounted_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (EXISTS): orders having at least one deep-discount line."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_discount") > 0.05)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+register(
+    "priority_with_discounted_lines",
+    _priority_with_discounted_lines,
+    """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+
+
+def _rich_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: customers above the global average balance."""
+    c = load_table(spark, sf_dir, "customer")
+    # scalar subquery — exact decimal sum / double division, like the oracle
+    tot, cnt = c.agg(F.sum(dec("c_acctbal")).cast("double"), F.count(F.lit(1))).collect()[0]
+    return (
+        c.where(F.col("c_acctbal") > F.lit(tot / cnt))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rich"),
+            dec_avg(dec("c_acctbal"), 2).alias("avg_rich_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+register(
+    "rich_customers_per_segment",
+    _rich_customers_per_segment,
+    """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rich,
+       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*), 2) AS avg_rich_bal
+FROM customer
+WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*) FROM customer)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+
+
+def _large_parts_in_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation: INTERSECT of projected key sets."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_size") > 25).select(
+        F.col("p_partkey").alias("partkey")
+    )
+    lp = load_table(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("partkey"))
+    return p.intersect(lp).agg(F.count(F.lit(1)).alias("n_parts"))
+
+
+register(
+    "large_parts_in_lineitem",
+    _large_parts_in_lineitem,
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_parts FROM (
+  SELECT p_partkey AS partkey FROM part WHERE p_size > 25
+  INTERSECT
+  SELECT l_partkey AS partkey FROM lineitem
+)
+""",
+)
+
+
+def _order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot via conditional aggregation (engine-portable SELECT list)."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def n_status(s: str):
+        return F.sum(F.when(F.col("o_orderstatus") == s, 1).otherwise(0)).cast("long")
+
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            n_status("O").alias("n_open"),
+            n_status("F").alias("n_fulfilled"),
+            n_status("P").alias("n_partial"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+register(
+    "order_status_pivot",
+    _order_status_pivot,
+    """
+SELECT o_orderpriority,
+  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_fulfilled,
+  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_partial
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+
+
+def _supplier_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window: per-supplier cumulative monthly revenue."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    monthly = (
+        li.groupBy(
+            "l_suppkey", F.date_trunc("month", "l_shipdate").alias("month")
+        ).agg(
+            # keep rev decimal so the window accumulation below stays exact
+            F.round(F.sum(dec("l_extendedprice") * (1 - dec("l_discount", 6, 4))), 2).alias("rev_dec")
+        )
+    )
+    w = W.partitionBy("l_suppkey").orderBy("month").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        monthly.withColumn("cum_rev", F.round(F.sum("rev_dec").over(w), 2).cast("double"))
+        .where(F.col("l_suppkey") <= 20)  # keep result small & stable
+        .select(
+            "l_suppkey",
+            F.date_format("month", "yyyy-MM").alias("month"),
+            F.col("rev_dec").cast("double").alias("rev"),
+            "cum_rev",
+        )
+    )
+
+
+register(
+    "supplier_running_revenue",
+    _supplier_running_revenue,
+    """
+WITH monthly AS (
+  SELECT l_suppkey, date_trunc('month', l_shipdate) AS month,
+         round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(6,4)))), 2) AS rev_dec
+  FROM lineitem
+  GROUP BY l_suppkey, date_trunc('month', l_shipdate)
+)
+SELECT l_suppkey, strftime(month, '%Y-%m') AS month,
+       CAST(rev_dec AS DOUBLE) AS rev,
+       CAST(round(sum(rev_dec) OVER (PARTITION BY l_suppkey ORDER BY month
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS cum_rev
+FROM monthly
+WHERE l_suppkey <= 20
 """,
 )
