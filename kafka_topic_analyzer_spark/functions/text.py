@@ -1,0 +1,137 @@
+"""Text-analysis column expressions for the ``documents`` table.
+
+All built-in (JVM codegen, no Python UDFs): tokenization, quality metrics,
+n-gram shingling, language-ID heuristic, fingerprints. Every expression has
+an exactly-equivalent DuckDB formulation (queries/text.py) so the oracle can
+hash-match. Designed for 100 TB: pure per-row projections — no shuffle at
+all until a downstream aggregate asks for one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Marker stopwords per language for the n-gram/stopword heuristic. Order
+# matters: ties resolve to the first language listed (deterministic).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "is"],
+    "es": ["la", "el", "de", "los", "que", "y"],
+    "fr": ["le", "les", "des", "et", "une", "dans"],
+    "de": ["der", "die", "das", "und", "ein", "nicht"],
+}
+
+EN_STOPWORDS = ["the", "a", "an", "of", "and", "to", "is", "in", "that", "it"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; empty text -> empty array (not [''])."""
+    trimmed = F.trim(text)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text).cast("long")
+
+
+def avg_token_len(text: Column) -> Column:
+    """Mean token length in chars; 0.0 for empty docs. Double division of
+    two exact ints — deterministic across engines."""
+    n = token_count(text)
+    total = F.length(F.regexp_replace(F.trim(text), r"\s+", ""))
+    return F.round(
+        F.when(n > 0, total.cast("double") / n).otherwise(F.lit(0.0)), 4
+    )
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords or EN_STOPWORDS
+    toks = tokens(F.lower(text))
+    hits = F.size(F.filter(toks, lambda t: t.isin(sw)))
+    n = F.size(toks)
+    return F.round(
+        F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0)), 4
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    """Share of chars outside [a-z0-9 whitespace] after lowercasing."""
+    n = F.length(text)
+    punct = F.length(F.regexp_replace(F.lower(text), r"[a-z0-9\s]", ""))
+    return F.round(
+        F.when(n > 0, punct.cast("double") / n).otherwise(F.lit(0.0)), 4
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic [0,1] quality: length credit + lexical mix credit.
+
+    Mirrors the shape of published LLM-corpus quality filters (length,
+    stopword density, symbol share) with a deterministic linear formula.
+    """
+    length_credit = F.least(F.lit(1.0), token_count(text).cast("double") / 100.0)
+    stop = stopword_ratio(text)
+    punct = punct_ratio(text)
+    return F.round(
+        0.5 * length_credit + 0.3 * (1.0 - stop) + 0.2 * (1.0 - punct), 6
+    )
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Marker-stopword hit count per candidate language."""
+    toks = tokens(F.lower(text))
+    return {
+        lang: F.size(F.filter(toks, lambda t: t.isin(markers))).cast("long")
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def predicted_lang(text: Column) -> Column:
+    """Argmax language with deterministic first-listed tiebreak; 'unknown'
+    when no marker hits at all."""
+    scores = lang_scores(text)
+    best = F.greatest(*scores.values())
+    expr = F.lit("unknown")
+    # build reversed so the FIRST language in LANG_MARKERS wins ties
+    for lang in reversed(list(scores)):
+        expr = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def md5_fingerprint(text: Column) -> Column:
+    """Exact-dedup fingerprint: md5 of lowercase/whitespace-normalized text."""
+    return F.md5(F.encode(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "), "UTF-8"))
+
+
+ROLLING_HASH_MOD = 2147483647  # 2^31-1, keeps acc*31+c < 2^36 (no overflow)
+
+
+def rolling_hash(text: Column) -> Column:
+    """Order-sensitive polynomial fingerprint over UTF-8 code points.
+
+    acc = (acc*31 + ascii(char)) mod (2^31-1), left fold — the document
+    fingerprinting primitive (distinct from md5: cheap to compute
+    incrementally and locality-free). Same fold is expressible in DuckDB
+    via list_reduce for oracle parity.
+    """
+    chars = F.split(text, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % ROLLING_HASH_MOD,
+    )
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Array of k-word shingles (space-joined), for Jaccard/MinHash dedup."""
+    toks = tokens(F.lower(text))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    )

@@ -5,3 +5,6 @@ Grouped by SURVEY.md §2 area so the judge can map coverage line by line.
 
 import kafka_topic_analyzer_spark.queries.kafka_core  # noqa: F401
 import kafka_topic_analyzer_spark.queries.relational  # noqa: F401
+import kafka_topic_analyzer_spark.queries.text  # noqa: F401
+import kafka_topic_analyzer_spark.queries.dedup  # noqa: F401
+import kafka_topic_analyzer_spark.queries.similarity  # noqa: F401

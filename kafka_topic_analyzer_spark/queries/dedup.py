@@ -1,0 +1,156 @@
+"""Dedup queries over ``documents`` (LLM-pipeline operators, SURVEY.md §7 M5).
+
+The exact n-gram Jaccard pairs and MinHash signatures are oracle-matched
+(pure deterministic arithmetic on both engines); the LSH clustering is the
+Spark scale path with a rows-only driver check + unit-test recall vs the
+exact pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from kafka_topic_analyzer_spark.operators import dedup as D
+from kafka_topic_analyzer_spark.registry import register
+from kafka_topic_analyzer_spark.sources.tables import load_table
+
+# DuckDB mirrors of functions/text.py shingling (k=3, lowercase, \s+ tokens)
+_TOKS = r"""CASE WHEN length(trim(lower(text))) = 0 THEN []
+            ELSE string_split_regex(trim(lower(text)), '\s+') END"""
+# shingle_i = concat_ws(' ', toks[i+1 .. i+3]) for i in 0..n-3 (1-based slices)
+_SHINGLES = f"""CASE WHEN len({_TOKS}) < 3 THEN []
+    ELSE [array_to_string(({_TOKS})[i + 1 : i + 3], ' ')
+          FOR i IN range(0, len({_TOKS}) - 2)] END"""
+
+_ROLL = f"""list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+    (acc, c) -> (acc * 31 + c) % {D.MINHASH_P})"""
+
+
+def _exact_dup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level exact-dedup stats (clusters listed separately in tests)."""
+    d = load_table(spark, sf_dir, "documents")
+    from kafka_topic_analyzer_spark.functions.text import md5_fingerprint
+
+    fp = d.select(md5_fingerprint(F.col("text")).alias("fp"))
+    return fp.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_redundant"),
+    )
+
+
+register(
+    "exact_dup_summary",
+    _exact_dup_summary,
+    r"""
+WITH fp AS (
+  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
+       CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_redundant
+FROM fp
+""",
+)
+
+
+def _near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.near_dup_pairs_jaccard(
+        load_table(spark, sf_dir, "documents"), k=3, threshold=0.7, max_df=50
+    )
+
+
+register(
+    "near_dup_pairs_jaccard",
+    _near_dup_pairs,
+    f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS shingle FROM documents
+),
+kept AS (
+  SELECT doc_id, shingle FROM sh
+  WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 50)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, count(*) AS shared
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_i, doc_j,
+       round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_i
+JOIN sizes sb ON sb.doc_id = doc_j
+WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.7
+""",
+)
+
+
+def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+def _minhash_sig_sql() -> str:
+    cols = []
+    for i in range(D.N_PERMUTATIONS):
+        a, b = D.minhash_coeffs(i + 1)
+        cols.append(
+            f"list_min(list_transform(hs, x -> ({a} * x + {b}) % {D.MINHASH_P})) AS sig_{i}"
+        )
+    sig_list = ",\n  ".join(cols)
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES} AS shingles FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+         list_transform(shingles, s -> {_ROLL}) AS hs
+  FROM sh
+)
+SELECT doc_id,
+  {sig_list}
+FROM hashed
+"""
+
+
+register("minhash_signatures", _minhash_signatures, _minhash_sig_sql())
+
+
+def _minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale path: LSH banding prunes candidates, exact jaccard verifies.
+    return D.minhash_near_dups(load_table(spark, sf_dir, "documents"), k=3, threshold=0.7)
+
+
+# rows-only: banding recall is probabilistic by design; unit tests compare
+# against near_dup_pairs_jaccard on the planted duplicates.
+register("minhash_near_dups", _minhash_near_dups, None)
+
+
+def _simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+def _simhash_sql() -> str:
+    toks = r"""CASE WHEN length(trim(lower(text))) = 0 THEN []
+            ELSE string_split_regex(trim(lower(text)), '\s+') END"""
+    bit_terms = []
+    for j in range(32):
+        s = (
+            f"list_sum(list_transform(th, x -> ((x // {2**j}) % 2) * 2 - 1))"
+        )
+        bit_terms.append(f"CASE WHEN coalesce({s}, 0) >= 0 THEN {2**j} ELSE 0 END")
+    total = " + ".join(bit_terms)
+    return f"""
+WITH hashed AS (
+  SELECT doc_id,
+         list_transform({toks}, s -> {_ROLL}) AS th
+  FROM documents
+)
+SELECT doc_id, CAST({total} AS BIGINT) AS simhash32 FROM hashed
+"""
+
+
+register("simhash_fingerprints", _simhash_fingerprints, _simhash_sql())
