@@ -60,15 +60,36 @@ def knn_bruteforce(
     )
 
 
-def lsh_buckets(df: DataFrame, dim: int = 64, bits: int = 12) -> DataFrame:
-    """Attach a sign-bit LSH bucket id to each vector (one projection pass)."""
+def lsh_buckets(
+    df: DataFrame, dim: int = 64, bits: int = 8, tables: int = 1
+) -> DataFrame:
+    """Explode each vector into one (table_id, bucket) row per hash table.
+
+    Multi-table sign-bit LSH: each table uses an independent deterministic
+    plane set; candidates are the union over tables, which is what makes
+    recall workable on weakly-clustered (random-ish) embeddings. One
+    projection pass computes all tables' buckets (tables × bits dot
+    products, still a single scan).
+    """
     v = as_double(F.col("embedding"))
-    bucket = F.lit(0).cast("long")
-    for bit in range(bits):
-        plane = F.array(*[F.lit(_plane_component(bit, d)) for d in range(dim)])
-        proj = dot(v, plane)
-        bucket = bucket + F.when(proj >= 0, F.lit(2**bit)).otherwise(F.lit(0))
-    return df.withColumn("bucket", bucket)
+    table_structs = []
+    for t in range(tables):
+        bucket = F.lit(0).cast("long")
+        for bit in range(bits):
+            plane = F.array(
+                *[F.lit(_plane_component(t * bits + bit, d)) for d in range(dim)]
+            )
+            proj = dot(v, plane)
+            bucket = bucket + F.when(proj >= 0, F.lit(2**bit)).otherwise(F.lit(0))
+        table_structs.append(
+            F.struct(F.lit(t).alias("table_id"), bucket.alias("bucket"))
+        )
+    return (
+        df.withColumn("tb", F.explode(F.array(*table_structs)))
+        .withColumn("table_id", F.col("tb.table_id"))
+        .withColumn("bucket", F.col("tb.bucket"))
+        .drop("tb")
+    )
 
 
 def knn_lsh(
@@ -76,25 +97,30 @@ def knn_lsh(
     queries: DataFrame,
     k: int = 5,
     dim: int = 64,
-    bits: int = 8,
+    bits: int = 4,
+    tables: int = 8,
     round_digits: int = 6,
 ) -> DataFrame:
-    """ANN top-k: equi-join on LSH bucket, exact cosine re-rank inside.
+    """ANN top-k: equi-join on (table, bucket), exact cosine re-rank inside.
 
-    The bucket equi-join replaces the cross join — at N corpus vectors and
-    2^bits buckets the candidate set shrinks ~2^bits-fold. Lower `bits`
-    raises recall (bigger buckets); unit tests measure recall against
+    The bucket equi-join replaces the cross join; union over `tables`
+    independent hash tables trades candidate volume for recall (bits up →
+    fewer candidates, recall down). Unit tests measure recall against
     :func:`knn_bruteforce`.
     """
-    qb = lsh_buckets(queries, dim, bits).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "bucket"
+    qb = lsh_buckets(queries, dim, bits, tables).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),
+        "table_id", "bucket",
     )
-    cb = lsh_buckets(corpus, dim, bits).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"), "bucket"
+    cb = lsh_buckets(corpus, dim, bits, tables).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"),
+        "table_id", "bucket",
     )
     scored = (
-        cb.join(qb, "bucket")
+        cb.join(qb, ["table_id", "bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "q_emb", "c_emb")
+        .dropDuplicates(["query_id", "neighbor_id"])  # union across tables
         .select(
             "query_id",
             "neighbor_id",

@@ -8,3 +8,6 @@ import kafka_topic_analyzer_spark.queries.relational  # noqa: F401
 import kafka_topic_analyzer_spark.queries.text  # noqa: F401
 import kafka_topic_analyzer_spark.queries.dedup  # noqa: F401
 import kafka_topic_analyzer_spark.queries.similarity  # noqa: F401
+import kafka_topic_analyzer_spark.queries.events  # noqa: F401
+import kafka_topic_analyzer_spark.queries.streaming_queries  # noqa: F401
+import kafka_topic_analyzer_spark.queries.multimodal_queries  # noqa: F401

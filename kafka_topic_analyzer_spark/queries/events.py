@@ -1,0 +1,150 @@
+"""Event-analytics queries: windows, sessionization, JSON extraction.
+
+DuckDB mirrors use ``floor(epoch(ts))`` == Spark's ``floor(ns/1e9)`` (DuckDB
+truncates parquet nanos to micros; both land on whole epoch seconds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from kafka_topic_analyzer_spark.operators import windows as WOP
+from kafka_topic_analyzer_spark.queries.relational import dec
+from kafka_topic_analyzer_spark.registry import register
+from kafka_topic_analyzer_spark.sources.tables import load_table
+
+_TS = "CAST(floor(epoch(ts)) AS BIGINT)"
+
+
+def _hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = WOP.tumbling(load_table(spark, sf_dir, "events"), 3600)
+    return (
+        e.groupBy("window_start", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum(dec("value")), 2).cast("double").alias("total_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+register(
+    "hourly_event_counts",
+    _hourly_event_counts,
+    f"""
+SELECT {_TS} - {_TS} % 3600 AS window_start, event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+
+
+def _sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = WOP.sliding(load_table(spark, sf_dir, "events"), 3600, 1800)
+    return (
+        e.groupBy("window_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(dec("value")), 2).cast("double").alias("total_value"),
+        )
+        .orderBy("window_start")
+    )
+
+
+register(
+    "sliding_window_counts",
+    _sliding_window_counts,
+    f"""
+WITH exploded AS (
+  SELECT unnest([
+           {_TS} - {_TS} % 1800,
+           {_TS} - {_TS} % 1800 - 1800
+         ]) AS window_start,
+         value
+  FROM events
+)
+SELECT CAST(window_start AS BIGINT) AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+FROM exploded
+GROUP BY 1
+ORDER BY 1
+""",
+)
+
+
+def _user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return WOP.session_stats(load_table(spark, sf_dir, "events"), 1800)
+
+
+register(
+    "user_session_stats",
+    _user_session_stats,
+    f"""
+WITH numbered AS (
+  SELECT user_id, ts, {_TS} AS tsec,
+         CASE WHEN {_TS} - lag({_TS}) OVER (PARTITION BY user_id ORDER BY ts) > 1800
+                   OR lag({_TS}) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessioned AS (
+  SELECT user_id, tsec,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM numbered
+),
+per_session AS (
+  SELECT user_id, session_id, count(*) AS n_events,
+         max(tsec) - min(tsec) AS duration_sec
+  FROM sessioned GROUP BY user_id, session_id
+)
+SELECT user_id,
+  CAST(count(*) AS BIGINT) AS n_sessions,
+  CAST(sum(n_events) AS BIGINT) AS n_events,
+  CAST(sum(duration_sec) AS BIGINT) AS total_duration_sec,
+  CAST(max(n_events) AS BIGINT) AS max_session_events
+FROM per_session
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+
+
+def _props_key_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction (from_json-style): distribution of props.k."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        e.select(k.alias("k"))
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+register(
+    "props_key_distribution",
+    _props_key_distribution,
+    """
+WITH extracted AS (
+  SELECT CAST(props->>'$.k' AS INTEGER) AS k FROM events
+)
+SELECT CAST(k % 10 AS INTEGER) AS k_bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(k) AS INTEGER) AS min_k,
+       CAST(max(k) AS INTEGER) AS max_k
+FROM extracted
+GROUP BY 1
+ORDER BY 1
+""",
+)

@@ -65,7 +65,7 @@ SELECT query_id, rank, neighbor_id, score FROM ranked WHERE rank <= {TOP_K}
 def _knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERIES)
-    return S.knn_lsh(emb, queries, k=TOP_K, dim=64, bits=8)
+    return S.knn_lsh(emb, queries, k=TOP_K, dim=64, bits=4, tables=8)
 
 
 # rows-only: ANN recall is probabilistic by design; unit tests measure it

@@ -43,7 +43,11 @@ EMPTY_VALUE_MOD = 53  # event_id % 53 == 5  -> empty-but-alive value
 
 def kafka_frame_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark side of the derivation (must mirror KAFKA_MESSAGES_ORACLE_CTE)."""
-    e = load_table(spark, sf_dir, "events")
+    return kafka_frame_from_events_df(load_table(spark, sf_dir, "events"))
+
+
+def kafka_frame_from_events_df(e: DataFrame) -> DataFrame:
+    """Derivation over an already-loaded events frame (batch OR streaming)."""
     eid = F.col("event_id")
     # events.ts is epoch-nanoseconds (long) under the nanosAsLong conf.
     ts_ms = F.floor(F.col("ts") / F.lit(1_000_000)).cast("long")

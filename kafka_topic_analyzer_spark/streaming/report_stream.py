@@ -1,0 +1,83 @@
+"""Streaming topic-analysis report.
+
+The reference is a bounded streaming job: snapshot end offsets, consume to
+them, print once (``src/kafka.rs:60-72,119-131``). Structured Streaming
+expresses that as ``Trigger.AvailableNow`` + complete-mode aggregation: the
+same ``partition_metric_aggs`` run incrementally (partial aggregation state
+per micro-batch) and the memory sink holds the final table.
+
+Against real Kafka this is ``readStream.format("kafka")`` (sources/kafka.py);
+here the file source stands in, which exercises identical planner/state
+machinery. Streaming disallows rollup/orderBy-before-agg etc., so the report
+is the per-partition groupBy — the global row comes from the batch path.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from kafka_topic_analyzer_spark.functions.metrics import partition_metric_aggs
+from kafka_topic_analyzer_spark.functions.metrics import derived_partition_metrics
+from kafka_topic_analyzer_spark.schema import PARTITION
+from kafka_topic_analyzer_spark.session import prepare_session
+from kafka_topic_analyzer_spark.sources.events_log import kafka_frame_from_events_df
+
+# Physical schema of events.parquet under the nanosAsLong conf.
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # epoch nanos
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded file-source stream over events.parquet (the source must be a
+    directory; pathGlobFilter narrows it to the one table)."""
+    prepare_session(spark)
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(sf_dir)
+    )
+
+
+def streaming_partition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the per-partition report as a bounded streaming query; return the
+    final result as a (batch) DataFrame identical to the batch report."""
+    prepare_session(spark)
+    stream = events_stream(spark, sf_dir)
+    kdf = kafka_frame_from_events_df(stream)
+    agg = kdf.groupBy(PARTITION).agg(*partition_metric_aggs())
+
+    name = f"report_{uuid.uuid4().hex[:12]}"
+    query = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_report_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination()
+    finally:
+        if query.isActive:
+            query.stop()
+
+    from kafka_topic_analyzer_spark.operators.report import PARTITION_REPORT_COLUMNS
+
+    return (
+        derived_partition_metrics(spark.table(name))
+        .select(*PARTITION_REPORT_COLUMNS)
+        .orderBy(PARTITION)
+    )

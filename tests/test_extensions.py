@@ -1,0 +1,132 @@
+"""Extension-operator behavior tests: LSH recall vs exact, dedup on planted
+duplicates, simhash locality, streaming-vs-batch equality."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near-dup of 1
+        (3, "completely different content about spark shuffle partitions and joins"),
+        (4, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+        (5, "spark structured streaming state store checkpoints and watermarks"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dup_clusters(spark, docs_with_dups):
+    from kafka_topic_analyzer_spark.operators.dedup import exact_dup_clusters
+
+    clusters = exact_dup_clusters(docs_with_dups).collect()
+    assert len(clusters) == 1
+    assert clusters[0]["cluster_size"] == 2
+    assert clusters[0]["canonical_doc_id"] == 1
+
+
+def test_jaccard_finds_planted_near_dups(spark, docs_with_dups):
+    from kafka_topic_analyzer_spark.operators.dedup import near_dup_pairs_jaccard
+
+    pairs = {
+        (r["doc_i"], r["doc_j"])
+        for r in near_dup_pairs_jaccard(docs_with_dups, threshold=0.7).collect()
+    }
+    assert (1, 2) in pairs and (1, 4) in pairs and (2, 4) in pairs
+    assert all(i in (1, 2, 4) and j in (1, 2, 4) for i, j in pairs)
+
+
+def test_minhash_lsh_recall_on_testdata(spark):
+    """LSH candidates must recover every exact near-dup pair at sf0.001."""
+    from kafka_topic_analyzer_spark.operators.dedup import (
+        minhash_near_dups,
+        near_dup_pairs_jaccard,
+    )
+    from kafka_topic_analyzer_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    exact = {
+        (r["doc_i"], r["doc_j"])
+        for r in near_dup_pairs_jaccard(docs, threshold=0.7).collect()
+    }
+    lsh = {(r["doc_i"], r["doc_j"]) for r in minhash_near_dups(docs, threshold=0.7).collect()}
+    assert exact, "fixture should contain planted near-dups"
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall} on {len(exact)} planted pairs"
+    assert lsh <= exact, "verified LSH pairs must be a subset of exact pairs"
+
+
+def test_simhash_locality(spark, docs_with_dups):
+    """Exact dups share a simhash; near-dups differ in few bits."""
+    from kafka_topic_analyzer_spark.operators.dedup import simhash_fingerprints
+
+    fp = {r["doc_id"]: r["simhash32"] for r in simhash_fingerprints(docs_with_dups).collect()}
+    assert fp[1] == fp[4]
+    assert bin(fp[1] ^ fp[2]).count("1") <= 8
+    assert bin(fp[1] ^ fp[3]).count("1") >= 6
+
+
+def test_knn_lsh_recall(spark):
+    """ANN top-5 must overlap exact top-5 meaningfully at 8 bits."""
+    from kafka_topic_analyzer_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_lsh,
+    )
+    from kafka_topic_analyzer_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_bruteforce(emb, queries, k=5).collect()
+    }
+    ann = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_lsh(emb, queries, k=5, bits=4, tables=8).collect()
+    }
+    recall = len(exact & ann) / len(exact)
+    # random embeddings are LSH-adversarial (neighbors barely nearer than
+    # noise); multi-table union still has to find half of the true top-5
+    assert recall >= 0.5, f"ANN recall {recall}"
+
+
+def test_streaming_report_equals_batch(spark):
+    from kafka_topic_analyzer_spark.operators.report import partition_report
+    from kafka_topic_analyzer_spark.sources.events_log import kafka_frame_from_events
+    from kafka_topic_analyzer_spark.streaming.report_stream import (
+        streaming_partition_report,
+    )
+
+    batch = partition_report(kafka_frame_from_events(spark, SF_SMOKE)).collect()
+    stream = streaming_partition_report(spark, SF_SMOKE).collect()
+    assert [r.asDict() for r in batch] == [r.asDict() for r in stream]
+
+
+def test_streaming_compacted_equals_batch(spark):
+    from kafka_topic_analyzer_spark.operators.alive_keys import compacted_state
+    from kafka_topic_analyzer_spark.sources.events_log import (
+        kafka_frame_from_events,
+        kafka_frame_from_events_df,
+    )
+    from kafka_topic_analyzer_spark.streaming.alive_keys_stream import (
+        streaming_compacted_state,
+    )
+    from kafka_topic_analyzer_spark.streaming.report_stream import events_stream
+
+    batch = {
+        r["key"]: (r["alive"], r["last_partition"], r["last_offset"], r["versions"])
+        for r in compacted_state(kafka_frame_from_events(spark, SF_SMOKE)).collect()
+    }
+    stream = {
+        r["key"]: (r["alive"], r["last_partition"], r["last_offset"], r["versions"])
+        for r in streaming_compacted_state(
+            kafka_frame_from_events_df(events_stream(spark, SF_SMOKE)), spark
+        ).collect()
+    }
+    assert batch == stream
