@@ -107,17 +107,26 @@ def minhash_signatures(docs: DataFrame, k: int = 3, n_perm: int = N_PERMUTATIONS
     Shingle hash = rolling polynomial hash (functions/text.py), permutation
     = fixed linear map mod 2^31-1. A_i*x < 2^62 so no int64 overflow.
     Docs with fewer than k tokens have no shingles -> NULL signature.
+
+    Shape: explode shingles, hash each ONCE, then one partial-aggregable
+    groupBy(doc_id) computing all n_perm mins. The naive form (n_perm
+    array-transform expressions over the doc) re-evaluates the char-fold
+    shingle hash n_perm times — Catalyst does not CSE across higher-order
+    functions — which is n_perm full passes over every byte of the corpus.
+    ``explode_outer`` keeps shingle-less docs as a NULL-hash row so they
+    survive with a NULL signature.
     """
-    hashes = F.transform(word_shingles(F.col("text"), k), lambda s: rolling_hash(s))
-    cols = [F.col("doc_id")]
+    hashed = docs.select(
+        "doc_id",
+        F.explode_outer(word_shingles(F.col("text"), k)).alias("shingle"),
+    ).select("doc_id", rolling_hash(F.col("shingle")).alias("x"))
+    aggs = []
     for i in range(n_perm):
         a, b = minhash_coeffs(i + 1)
-        cols.append(
-            F.array_min(
-                F.transform(hashes, lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_P)
-            ).alias(f"sig_{i}")
+        aggs.append(
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % MINHASH_P).alias(f"sig_{i}")
         )
-    return docs.select(*cols)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -162,36 +171,158 @@ def minhash_near_dups(
 ) -> DataFrame:
     """Scale-path near-dup pairs: LSH candidates verified by exact Jaccard.
 
-    Only candidate pairs (a vanishing fraction at scale) pay the exact
-    verification; the planted near-dups in the fixtures separate cleanly
-    (jaccard ~0.9 vs background <0.1) so banding recall is effectively 1.
+    ONLY candidate pairs (a vanishing fraction of all pairs at scale) pay
+    exact verification: the candidate list joins each side's distinct
+    shingle set and computes jaccard with ``array_intersect`` — two
+    doc_id-keyed shuffles proportional to |candidates|, never the O(n^2)
+    all-pairs inverted-index join. The planted near-dups in the fixtures
+    separate cleanly (jaccard ~0.9 vs background <0.1) so banding recall
+    is effectively 1.
     """
     cands = lsh_candidate_pairs(minhash_signatures(docs, k))
-    exact = near_dup_pairs_jaccard(docs, k, threshold=0.0, max_df=10**9).alias("e")
+    sh = docs.select(
+        "doc_id", F.array_distinct(word_shingles(F.col("text"), k)).alias("sh")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_i"), F.col("sh_j")))
+    union = F.size(F.col("sh_i")) + F.size(F.col("sh_j")) - inter
+    jac = F.round(inter.cast("double") / union, 6)
     return (
-        cands.alias("c")
-        .join(
-            exact,
-            (F.col("c.doc_i") == F.col("e.doc_i")) & (F.col("c.doc_j") == F.col("e.doc_j")),
+        cands.join(
+            sh.select(F.col("doc_id").alias("doc_i"), F.col("sh").alias("sh_i")),
+            "doc_i",
         )
-        .select("c.doc_i", "c.doc_j", "e.jaccard")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_j"), F.col("sh").alias("sh_j")),
+            "doc_j",
+        )
+        .select("doc_i", "doc_j", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
 
 
 def simhash_fingerprints(docs: DataFrame, bits: int = 32) -> DataFrame:
-    """32-bit SimHash over token rolling-hashes (sign-of-sum per bit)."""
-    th = F.transform(tokens(F.lower(F.col("text"))), lambda t: rolling_hash(t))
+    """32-bit SimHash over token rolling-hashes (sign-of-sum per bit).
 
-    def bit_sum(j: int):
-        def fold(acc, x):
-            return acc + (F.floor(x / F.lit(2**j)) % 2) * 2 - 1
-
-        return F.aggregate(th, F.lit(0).cast("long"), fold)
-
-    bit_sums = [bit_sum(j) for j in range(bits)]
+    Same explode→hash-once→groupBy shape as :func:`minhash_signatures`
+    (the per-bit array folds would otherwise re-hash every token `bits`
+    times). Token-less docs keep the all-bits-set fingerprint (every bit
+    sum is 0, and 0 >= 0): ``explode_outer`` keeps them as a NULL-hash
+    row, sum ignores the NULL, ``coalesce`` restores the 0.
+    """
+    hashed = docs.select(
+        "doc_id", F.explode_outer(tokens(F.lower(F.col("text")))).alias("t")
+    ).select("doc_id", rolling_hash(F.col("t")).alias("x"))
+    aggs = [
+        F.coalesce(
+            F.sum((F.floor(F.col("x") / F.lit(2**j)) % 2) * 2 - 1), F.lit(0)
+        ).alias(f"s_{j}")
+        for j in range(bits)
+    ]
+    g = hashed.groupBy("doc_id").agg(*aggs)
     simhash = None
-    for j, s in enumerate(bit_sums):
-        bit = F.when(s >= 0, F.lit(2**j)).otherwise(F.lit(0)).cast("long")
+    for j in range(bits):
+        bit = F.when(F.col(f"s_{j}") >= 0, F.lit(2**j)).otherwise(F.lit(0)).cast("long")
         simhash = bit if simhash is None else simhash + bit
-    return docs.select("doc_id", simhash.alias("simhash32"))
+    return g.select("doc_id", simhash.alias("simhash32"))
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame, threshold: float = 0.9, round_digits: int = 6
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (i < j, cosine >= threshold).
+
+    Norms are computed ONCE per vector before the pair join (norm is the
+    expensive fold; the naive per-pair cosine recomputes both norms for
+    every pair). The i<j self-join is the exact baseline — quadratic by
+    definition; :func:`embedding_near_dups_lsh` is the scale path.
+    """
+    from kafka_topic_analyzer_spark.functions.vectors import as_double, dot, norm
+
+    with_norm = emb.select(
+        "vec_id", as_double(F.col("embedding")).alias("e"), norm(F.col("embedding")).alias("nrm")
+    )
+    a = with_norm.select(
+        F.col("vec_id").alias("vec_i"), F.col("e").alias("e_i"), F.col("nrm").alias("n_i")
+    )
+    b = with_norm.select(
+        F.col("vec_id").alias("vec_j"), F.col("e").alias("e_j"), F.col("nrm").alias("n_j")
+    )
+    score = F.round(
+        F.when(
+            (F.col("n_i") > 0) & (F.col("n_j") > 0),
+            dot(F.col("e_i"), F.col("e_j")) / (F.col("n_i") * F.col("n_j")),
+        ),
+        round_digits,
+    )
+    return (
+        a.join(b, F.col("vec_i") < F.col("vec_j"))
+        .select("vec_i", "vec_j", score.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_near_dups_lsh(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    dim: int = 64,
+    bits: int = 4,
+    tables: int = 8,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Scale-path embedding near-dups: LSH-bucket candidates, exact verify.
+
+    Same contract as :func:`embedding_near_dup_pairs` but the pair space
+    is pruned to vectors sharing an LSH bucket in at least one hash table
+    — the cosine fold runs only on candidates. High-cosine pairs collide
+    with prob (1 - theta/pi)^bits per table; at threshold 0.9
+    (theta <= 26°) and 4 bits that is ~0.52 per table, ~0.997 over 8.
+    """
+    from kafka_topic_analyzer_spark.operators.similarity import lsh_buckets
+    from kafka_topic_analyzer_spark.functions.vectors import as_double, dot, norm
+
+    # Candidates as BARE id pairs: the bucket self-join and the distinct
+    # shuffle only id/bucket ints — never the 64-dim vectors. Vectors (and
+    # once-computed norms) re-attach afterwards via two id-keyed joins, so
+    # each surviving pair pays exactly one dot-product fold.
+    bucketed = lsh_buckets(emb, dim, bits, tables).select(
+        "vec_id", "table_id", "bucket"
+    )
+    cands = (
+        bucketed.alias("a")
+        .join(bucketed.alias("b"), ["table_id", "bucket"])
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_i"), F.col("b.vec_id").alias("vec_j")
+        )
+        .distinct()
+    )
+    with_norm = emb.select(
+        "vec_id",
+        as_double(F.col("embedding")).alias("e"),
+        norm(F.col("embedding")).alias("nrm"),
+    )
+    score = F.round(
+        F.when(
+            (F.col("n_i") > 0) & (F.col("n_j") > 0),
+            dot(F.col("e_i"), F.col("e_j")) / (F.col("n_i") * F.col("n_j")),
+        ),
+        round_digits,
+    )
+    return (
+        cands.join(
+            with_norm.select(
+                F.col("vec_id").alias("vec_i"), F.col("e").alias("e_i"),
+                F.col("nrm").alias("n_i"),
+            ),
+            "vec_i",
+        )
+        .join(
+            with_norm.select(
+                F.col("vec_id").alias("vec_j"), F.col("e").alias("e_j"),
+                F.col("nrm").alias("n_j"),
+            ),
+            "vec_j",
+        )
+        .select("vec_i", "vec_j", score.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

@@ -98,6 +98,61 @@ def decode_image_features(
     return media.where(F.col("kind") == "image").mapInPandas(batches, out_schema)
 
 
+def decode_audio_features(
+    media: DataFrame,
+    chunk_ms: int = 1_000,
+    sample_rate: int = 16_000,
+    deterministic_fake: bool = False,
+) -> DataFrame:
+    """audio rows → per-chunk loudness features via mapInPandas.
+
+    Real deployment would decode PCM with soundfile/ffmpeg inside the
+    same Arrow batch loop; here the waveform is a seeded stand-in. Per
+    blob: synthesize duration_ms worth of samples, split into chunk_ms
+    windows, emit one row per chunk with RMS + zero-crossing count —
+    the UDTF-shaped (one-to-many) audio analogue of frame sampling.
+    """
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "no audio codec in this environment — pass deterministic_fake=True "
+            "for the seeded stand-in decoder"
+        )
+
+    out_schema = (
+        "media_id long, chunk_idx int, n_samples int, rms double, "
+        "zero_crossings int"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunk_len = sample_rate * chunk_ms // 1000
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                blob = bytes(r["data"])
+                seed = zlib.crc32(blob) & 0xFFFFFFFF
+                rng = np.random.default_rng(seed)
+                n = sample_rate * int(r["duration_ms"]) // 1000
+                wave = rng.standard_normal(n).astype(np.float32)
+                for ci in range(0, max((n + chunk_len - 1) // chunk_len, 1)):
+                    chunk = wave[ci * chunk_len : (ci + 1) * chunk_len]
+                    if chunk.size == 0:
+                        continue
+                    rows.append(
+                        {
+                            "media_id": r["media_id"],
+                            "chunk_idx": ci,
+                            "n_samples": int(chunk.size),
+                            "rms": float(np.sqrt(np.mean(chunk**2))),
+                            "zero_crossings": int(
+                                np.count_nonzero(np.diff(np.signbit(chunk)))
+                            ),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.where(F.col("kind") == "audio").mapInPandas(batches, out_schema)
+
+
 def sample_video_frames(
     media: DataFrame, every_ms: int = 10_000, deterministic_fake: bool = False
 ) -> DataFrame:

@@ -12,6 +12,9 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 from kafka_topic_analyzer_spark.functions.vectors import as_double, cosine, dot
@@ -66,29 +69,41 @@ def lsh_buckets(
     """Explode each vector into one (table_id, bucket) row per hash table.
 
     Multi-table sign-bit LSH: each table uses an independent deterministic
-    plane set; candidates are the union over tables, which is what makes
-    recall workable on weakly-clustered (random-ish) embeddings. One
-    projection pass computes all tables' buckets (tables × bits dot
-    products, still a single scan).
+    plane set (same :func:`_plane_component` values regardless of code
+    path); candidates are the union over tables, which is what makes
+    recall workable on weakly-clustered (random-ish) embeddings.
+
+    The tables*bits projections are ONE Arrow-batched numpy matmul per
+    partition (vectorized Pandas UDF). The declarative alternative —
+    tables*bits ``zip_with``+``aggregate`` folds per row — is interpreted
+    expression evaluation (higher-order functions don't enter whole-stage
+    codegen) and measured ~10x slower; dense linear algebra is the
+    documented case for dropping to a Pandas UDF.
     """
-    v = as_double(F.col("embedding"))
-    table_structs = []
-    for t in range(tables):
-        bucket = F.lit(0).cast("long")
-        for bit in range(bits):
-            plane = F.array(
-                *[F.lit(_plane_component(t * bits + bit, d)) for d in range(dim)]
-            )
-            proj = dot(v, plane)
-            bucket = bucket + F.when(proj >= 0, F.lit(2**bit)).otherwise(F.lit(0))
-        table_structs.append(
-            F.struct(F.lit(t).alias("table_id"), bucket.alias("bucket"))
-        )
-    return (
-        df.withColumn("tb", F.explode(F.array(*table_structs)))
-        .withColumn("table_id", F.col("tb.table_id"))
-        .withColumn("bucket", F.col("tb.bucket"))
-        .drop("tb")
+    from pyspark.sql.functions import pandas_udf
+
+    # planes[d, t*bits+b] — identical values to the expression form
+    planes = np.array(
+        [
+            [_plane_component(t * bits + b, d) for t in range(tables) for b in range(bits)]
+            for d in range(dim)
+        ]
+    )
+    weights = np.array([2**b for b in range(bits)], dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def _buckets(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype=object)
+        m = np.array(col.tolist(), dtype=np.float64)  # N x dim
+        signs = (m @ planes >= 0).astype(np.int64)  # N x (tables*bits)
+        b = signs.reshape(len(m), tables, bits) @ weights  # N x tables
+        return pd.Series(list(b))
+
+    return df.select(
+        "*", _buckets(as_double(F.col("embedding"))).alias("_tb")
+    ).select(
+        *df.columns, F.posexplode("_tb").alias("table_id", "bucket")
     )
 
 
@@ -108,19 +123,39 @@ def knn_lsh(
     fewer candidates, recall down). Unit tests measure recall against
     :func:`knn_bruteforce`.
     """
+    # Candidate pairs carry ONLY ids through the bucket join + distinct;
+    # embeddings re-attach afterwards (queries broadcast — tiny by
+    # contract), so the shuffle volume is ints, not 64-dim vectors, and
+    # each unique pair pays exactly one cosine fold.
     qb = lsh_buckets(queries, dim, bits, tables).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),
-        "table_id", "bucket",
+        F.col("vec_id").alias("query_id"), "table_id", "bucket"
     )
     cb = lsh_buckets(corpus, dim, bits, tables).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"),
-        "table_id", "bucket",
+        F.col("vec_id").alias("neighbor_id"), "table_id", "bucket"
+    )
+    cands = (
+        cb.join(F.broadcast(qb), ["table_id", "bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()  # union across tables
     )
     scored = (
-        cb.join(qb, ["table_id", "bucket"])
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "q_emb", "c_emb")
-        .dropDuplicates(["query_id", "neighbor_id"])  # union across tables
+        cands.join(
+            F.broadcast(
+                queries.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("q_emb"),
+                )
+            ),
+            "query_id",
+        )
+        .join(
+            corpus.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("c_emb"),
+            ),
+            "neighbor_id",
+        )
         .select(
             "query_id",
             "neighbor_id",

@@ -129,6 +129,54 @@ def _minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("minhash_near_dups", _minhash_near_dups, None)
 
 
+EMB_NEAR_DUP_THRESHOLD = 0.4  # fixture embeddings are weakly clustered
+# (max off-diagonal cosine ~0.51 at sf0.01); production near-dup dedup
+# runs at >=0.9 where LSH recall is ~0.997 (operators/dedup.py).
+
+
+def _embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=EMB_NEAR_DUP_THRESHOLD
+    )
+
+
+def _emb_near_dup_sql() -> str:
+    from kafka_topic_analyzer_spark.queries.similarity import _dot_sql
+
+    return f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         sqrt({_dot_sql("embedding", "embedding")}) AS nrm
+  FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS vec_i, b.vec_id AS vec_j,
+         round(CASE WHEN a.nrm > 0 AND b.nrm > 0
+                    THEN {_dot_sql("a.e", "b.e")} / (a.nrm * b.nrm) END, 6) AS cosine
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+)
+SELECT vec_i, vec_j, cosine FROM scored WHERE cosine >= {EMB_NEAR_DUP_THRESHOLD}
+"""
+
+
+register("embedding_near_dup_pairs", _embedding_near_dup_pairs, _emb_near_dup_sql())
+
+
+def _embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale path: LSH-bucket candidate pruning, exact cosine verify.
+    return D.embedding_near_dups_lsh(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=EMB_NEAR_DUP_THRESHOLD,
+        tables=16,  # low threshold (wide angle) needs more tables for recall
+    )
+
+
+# rows-only: bucket recall is probabilistic by design; unit tests measure
+# recall against embedding_near_dup_pairs.
+register("embedding_near_dups_lsh", _embedding_near_dups_lsh, None)
+
+
 def _simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_fingerprints(load_table(spark, sf_dir, "documents"))
 

@@ -29,6 +29,25 @@ def _image_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("image_feature_stats", _image_feature_stats, None)
 
 
+def _audio_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_topic_analyzer_spark.operators.multimodal import (
+        decode_audio_features,
+        documents_as_media,
+    )
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    chunks = decode_audio_features(media, chunk_ms=1_000, deterministic_fake=True)
+    return chunks.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_samples").alias("total_samples"),
+        F.round(F.max("rms"), 4).alias("peak_rms"),
+        F.sum("zero_crossings").alias("total_zero_crossings"),
+    ).orderBy("media_id")
+
+
+register("audio_chunk_stats", _audio_chunk_stats, None)
+
+
 def _video_frame_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_topic_analyzer_spark.operators.multimodal import (
         documents_as_media,

@@ -96,6 +96,51 @@ def test_knn_lsh_recall(spark):
     assert recall >= 0.5, f"ANN recall {recall}"
 
 
+def test_embedding_near_dup_exact(spark):
+    """Planted parallel vectors must surface; orthogonal must not."""
+    from kafka_topic_analyzer_spark.operators.dedup import embedding_near_dup_pairs
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.99, 0.01, 0.0, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),     # orthogonal
+        (4, [-1.0, 0.0, 0.0, 0.0]),    # opposite
+        (5, [0.0, 0.0, 0.0, 0.0]),     # zero vector -> NULL cosine, dropped
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["vec_i"], r["vec_j"]): r["cosine"]
+        for r in embedding_near_dup_pairs(emb, threshold=0.9).collect()
+    }
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] > 0.99
+
+
+def test_embedding_lsh_recall_vs_exact(spark):
+    """LSH-pruned near-dups must recover most exact pairs at sf0.001."""
+    from kafka_topic_analyzer_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        embedding_near_dups_lsh,
+    )
+    from kafka_topic_analyzer_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    exact = {
+        (r["vec_i"], r["vec_j"])
+        for r in embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    lsh = {
+        (r["vec_i"], r["vec_j"])
+        for r in embedding_near_dups_lsh(emb, threshold=0.4, tables=16).collect()
+    }
+    assert exact, "fixture should contain pairs at the fixture threshold"
+    assert lsh <= exact, "verified LSH pairs must be a subset of exact pairs"
+    recall = len(exact & lsh) / len(exact)
+    # 0.4 cosine is a ~66 degree angle — LSH-hostile; 16 tables x 4 bits
+    # still has to find most pairs
+    assert recall >= 0.6, f"embedding LSH recall {recall} on {len(exact)} pairs"
+
+
 def test_streaming_report_equals_batch(spark):
     from kafka_topic_analyzer_spark.operators.report import partition_report
     from kafka_topic_analyzer_spark.sources.events_log import kafka_frame_from_events

@@ -49,6 +49,21 @@ def test_image_features_deterministic(spark, media):
     assert [r.asDict() for r in rows] == [r.asDict() for r in again]
 
 
+def test_audio_chunk_features(media):
+    from kafka_topic_analyzer_spark.operators.multimodal import decode_audio_features
+
+    chunks = decode_audio_features(media, chunk_ms=1_000, deterministic_fake=True)
+    sample = chunks.limit(50).collect()
+    assert sample
+    for r in sample:
+        assert 1 <= r["n_samples"] <= 16_000  # one chunk at 16 kHz
+        assert r["rms"] > 0  # gaussian stand-in is never silent
+        assert 0 <= r["zero_crossings"] < r["n_samples"]
+    # chunk grid covers duration: media with duration d ms -> ceil(d/1000) chunks
+    one = chunks.groupBy("media_id").count().limit(5).collect()
+    assert all(r["count"] >= 1 for r in one)
+
+
 def test_video_frame_sampling(media):
     from kafka_topic_analyzer_spark.operators.multimodal import sample_video_frames
 
