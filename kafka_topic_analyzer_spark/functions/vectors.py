@@ -1,12 +1,22 @@
 """Vector expressions over ``array<float>`` embedding columns.
 
-All math is done in DOUBLE with strictly sequential left folds
-(``F.aggregate``), which is bit-identical to DuckDB's ``list_reduce`` —
-that's what makes cosine scores oracle-hashable. Element-wise ops stay
-JVM-side (higher-order functions); no Python in the hot path.
+All math is done in DOUBLE with strictly sequential left folds, which is
+bit-identical to DuckDB's ``list_reduce`` — that's what makes cosine
+scores oracle-hashable. Two equivalent implementations of the same fold:
+
+* :func:`dot` — declarative ``F.aggregate`` (JVM, interpreted). Fine for
+  O(rows) uses (per-vector norms).
+* :func:`pair_dot_udf` — Arrow-batched numpy, *sequential over dims,
+  vectorized over rows*: ``acc = (acc + a[:,d] * b[:,d])`` in float64 is
+  the identical IEEE-754 operation sequence per row as the fold, so the
+  results are bit-equal — but ~20x faster on O(pairs) workloads where
+  interpreted higher-order functions dominate.
 """
 
 from __future__ import annotations
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, functions as F
 
@@ -33,3 +43,24 @@ def cosine(a: Column, b: Column) -> Column:
     d = dot(a, b)
     na, nb = norm(a), norm(b)
     return F.when((na > 0) & (nb > 0), d / (na * nb))
+
+
+def pair_dot_udf(a: Column, b: Column) -> Column:
+    """Fold-identical dot product as a vectorized Pandas UDF (see module
+    docstring). Rounding/guards stay JVM-side at call sites so the only
+    Python-computed value is the raw double, which matches the fold bit
+    for bit."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _pair_dot(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        if len(sa) == 0:
+            return pd.Series([], dtype=np.float64)
+        ma = np.array(sa.tolist(), dtype=np.float64)
+        mb = np.array(sb.tolist(), dtype=np.float64)
+        acc = np.zeros(len(ma), dtype=np.float64)
+        for d in range(ma.shape[1]):
+            acc = acc + ma[:, d] * mb[:, d]  # sequential over dims == left fold
+        return pd.Series(acc)
+
+    return _pair_dot(as_double(a), as_double(b))

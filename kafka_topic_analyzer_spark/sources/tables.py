@@ -19,10 +19,28 @@ from kafka_topic_analyzer_spark.session import prepare_session
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table by name."""
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, parallel: bool = True
+) -> DataFrame:
+    """Load one testdata table by name.
+
+    ``parallel=True`` repartitions a scan that yields fewer input splits
+    than the cluster's parallelism. The fixtures are single-row-group
+    parquet files, which Spark cannot split — without this, EVERY
+    downstream per-row computation (tokenization, hashing, decode UDFs)
+    runs in one task regardless of core count. On a production layout
+    (many files / row groups per table) the scan already parallelizes and
+    the repartition is skipped. Safe for oracle parity because every
+    oracle-matched aggregation here is order-independent (exact decimal /
+    integer sums — see queries/relational.py float discipline).
+    """
     prepare_session(spark)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if parallel:
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
+    return df
 
 
 def load_tables(
