@@ -12,9 +12,11 @@ Kafka) and ASCII StringType (derived fixtures) behave identically.
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import Column, DataFrame, functions as F
 
-from kafka_topic_analyzer_spark.schema import KEY, OFFSET, TIMESTAMP_MS, VALUE
+from kafka_topic_analyzer_spark.schema import KEY, OFFSET, PARTITION, TIMESTAMP_MS, VALUE
 
 
 def key_len() -> Column:
@@ -35,6 +37,41 @@ def message_size() -> Column:
 def ts_seconds() -> Column:
     """Second-truncated epoch seconds; ms 0 == missing (ref src/metric.rs:209-210)."""
     return F.floor(F.col(TIMESTAMP_MS) / F.lit(1000)).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Metric-handler registry — the analogue of the reference's MetricHandler
+# trait + add_metric_handler (ref src/kafka.rs:18-20, 56-58): a "handler"
+# contributes aggregate Columns; every registered handler's columns are
+# fused into ONE groupBy().agg() pass, exactly like the reference fans one
+# message out to every handler in a single scan (ref src/kafka.rs:107-109)
+# — but distributed and codegen'd, with no per-row callback surface.
+# ---------------------------------------------------------------------------
+
+MetricHandler = Callable[[], list[Column]]
+
+_METRIC_HANDLERS: dict[str, MetricHandler] = {}
+
+
+def add_metric_handler(name: str, handler: MetricHandler) -> None:
+    """Register a named list-of-aggregates contributor."""
+    _METRIC_HANDLERS[name] = handler
+
+
+def remove_metric_handler(name: str) -> None:
+    _METRIC_HANDLERS.pop(name, None)
+
+
+def metric_handlers() -> dict[str, MetricHandler]:
+    return dict(_METRIC_HANDLERS)
+
+
+def handler_report(kdf: DataFrame, names: list[str] | None = None) -> DataFrame:
+    """Per-partition report over every (or the named) registered handlers —
+    all handlers' aggregates evaluated in one shuffle."""
+    selected = names if names is not None else list(_METRIC_HANDLERS)
+    cols = [c for n in selected for c in _METRIC_HANDLERS[n]()]
+    return kdf.groupBy(PARTITION).agg(*cols)
 
 
 def partition_metric_aggs() -> list[Column]:
@@ -117,3 +154,10 @@ def derived_partition_metrics(df: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+# The reference's two built-in handlers (ref src/main.rs:108-116):
+# MessageMetrics == the partition metric aggregates; the compaction handler
+# is the alive-keys operator (operators/alive_keys.py) — it needs a
+# different grouping (key, not partition) so it stays a separate job.
+add_metric_handler("message_metrics", partition_metric_aggs)

@@ -35,6 +35,19 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text)).cast("long")
 
 
+# GPT-2-ish pre-tokenizer shape: letter runs, single digits, punctuation
+# runs — a deterministic stand-in for BPE vocab size estimation that both
+# regex engines (Java / RE2) interpret identically.
+BPE_TOKEN_REGEX = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Sub-word-ish token count via the BPE-style pre-tokenizer regex."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_REGEX), F.lit(0))).cast(
+        "long"
+    )
+
+
 def char_count(text: Column) -> Column:
     return F.length(text).cast("long")
 

@@ -32,6 +32,7 @@ def _doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         TX.token_count(t).alias("n_tokens"),
+        TX.bpe_token_count(t).alias("n_bpe_tokens"),
         TX.char_count(t).alias("n_chars_measured"),
         TX.avg_token_len(t).alias("avg_token_len"),
         TX.stopword_ratio(t).alias("stopword_ratio"),
@@ -46,6 +47,7 @@ register(
     f"""
 SELECT doc_id,
   CAST({_NTOK} AS BIGINT) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpe_tokens,
   CAST(length(text) AS BIGINT) AS n_chars_measured,
   round(CASE WHEN {_NTOK} > 0
         THEN CAST({_NOSPACE} AS DOUBLE) / {_NTOK} ELSE 0.0 END, 4) AS avg_token_len,
