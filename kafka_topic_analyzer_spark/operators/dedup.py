@@ -350,11 +350,6 @@ def embedding_near_dups_lsh(
     (theta <= 26°) and 4 bits that is ~0.52 per table, ~0.997 over 8.
     """
     from kafka_topic_analyzer_spark.operators.similarity import lsh_buckets
-    from kafka_topic_analyzer_spark.functions.vectors import (
-        as_double,
-        norm,
-        pair_dot_udf,
-    )
 
     # Candidates as BARE id pairs: the bucket self-join and the distinct
     # shuffle only id/bucket ints — never the 64-dim vectors. Vectors (and
@@ -372,33 +367,67 @@ def embedding_near_dups_lsh(
         )
         .distinct()
     )
-    with_norm = emb.select(
-        "vec_id",
-        as_double(F.col("embedding")).alias("e"),
-        norm(F.col("embedding")).alias("nrm"),
-    )
-    score = F.round(
-        F.when(
-            (F.col("n_i") > 0) & (F.col("n_j") > 0),
-            pair_dot_udf(F.col("e_i"), F.col("e_j")) / (F.col("n_i") * F.col("n_j")),
-        ),
-        round_digits,
-    )
+    return score_id_pairs_blocked(cands, emb, threshold, round_digits)
+
+
+def score_id_pairs_blocked(
+    pairs: DataFrame, emb: DataFrame, threshold: float, round_digits: int = 6
+) -> DataFrame:
+    """Exact-cosine verify of (vec_i, vec_j) id pairs against a broadcast
+    corpus matrix — same fold-identical sequential-dim accumulation as
+    :func:`embedding_near_dup_pairs`, so scores are bit-equal to the SQL
+    fold. Only bare id pairs flow through the plan; the vectors ride the
+    broadcast. Bound: corpus must fit in executor memory (the LSH caller's
+    contract already assumes a collectable corpus-side table)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    nsq = np.zeros(len(mat))
+    for d in range(mat.shape[1]):
+        nsq = nsq + mat[:, d] * mat[:, d]
+    norms = np.sqrt(nsq)
+    index = {int(v): i for i, v in enumerate(ids)}
+    bc = spark.sparkContext.broadcast((index, mat, norms))
+    pre_cut = threshold - 10.0 ** (-round_digits)
+
+    out_schema = "vec_i long, vec_j long, raw_cosine double"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx, c_mat, c_norms = bc.value
+        for pdf in it:
+            if pdf.empty:
+                continue
+            ii = pdf["vec_i"].map(idx).to_numpy(dtype=np.int64)
+            jj = pdf["vec_j"].map(idx).to_numpy(dtype=np.int64)
+            a, b = c_mat[ii], c_mat[jj]
+            acc = np.zeros(len(a))
+            for d in range(a.shape[1]):  # sequential over dims == fold
+                acc = acc + a[:, d] * b[:, d]
+            ni, nj = c_norms[ii], c_norms[jj]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                score = acc / (ni * nj)
+            keep = (ni > 0) & (nj > 0) & (score >= pre_cut)
+            yield pd.DataFrame(
+                {
+                    "vec_i": pdf["vec_i"].to_numpy(dtype=np.int64)[keep],
+                    "vec_j": pdf["vec_j"].to_numpy(dtype=np.int64)[keep],
+                    "raw_cosine": score[keep],
+                }
+            )
+
     return (
-        cands.join(
-            with_norm.select(
-                F.col("vec_id").alias("vec_i"), F.col("e").alias("e_i"),
-                F.col("nrm").alias("n_i"),
-            ),
+        pairs.select("vec_i", "vec_j")
+        .mapInPandas(batches, out_schema)
+        .select(
             "vec_i",
-        )
-        .join(
-            with_norm.select(
-                F.col("vec_id").alias("vec_j"), F.col("e").alias("e_j"),
-                F.col("nrm").alias("n_j"),
-            ),
             "vec_j",
+            F.round(F.col("raw_cosine"), round_digits).alias("cosine"),
         )
-        .select("vec_i", "vec_j", score.alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
