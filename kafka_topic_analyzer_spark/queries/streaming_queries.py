@@ -32,6 +32,32 @@ def _streaming_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_compacted_state(kafka_frame_from_events_df(events_stream(spark, sf_dir)), spark)
 
 
+def _streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_topic_analyzer_spark.streaming.windowed_stream import (
+        streaming_windowed_counts,
+    )
+
+    return streaming_windowed_counts(spark, sf_dir)
+
+
+# Append-mode watermark gate: on bounded input the emitted set is exactly
+# the windows closed at the final watermark (max event time - delay) —
+# a deterministic SQL-expressible cut (see streaming/windowed_stream.py).
+_WINDOWED_ORACLE = """
+WITH t AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS tsec, event_type FROM events
+),
+g AS (
+  SELECT tsec - tsec % 3600 AS window_start, event_type,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM t GROUP BY 1, 2
+)
+SELECT window_start, event_type, n_events FROM g
+WHERE window_start + 3600 <= (SELECT max(tsec) - 3600 FROM t)
+ORDER BY window_start, event_type
+"""
+
+
 def _register() -> None:
     # reuse the batch oracles verbatim — streaming must agree with them
     from kafka_topic_analyzer_spark.queries import kafka_core  # noqa: F401
@@ -46,6 +72,11 @@ def _register() -> None:
         "kafka_compacted_state_streaming",
         _streaming_compacted,
         _REGISTRY["kafka_compacted_state"].oracle,
+    )
+    register(
+        "windowed_counts_streaming",
+        _streaming_windowed,
+        _WINDOWED_ORACLE,
     )
 
 

@@ -1,0 +1,67 @@
+"""Watermarked event-time windowing over the events stream (SURVEY.md §2.10).
+
+The reference has no late-data concept (every message is "on time",
+ref ``src/metric.rs:65-72``); this is the north-star streaming extension:
+a tumbling event-time window aggregation with ``withWatermark`` in APPEND
+mode — the mode where the watermark actually gates emission. On bounded
+(AvailableNow) input the result is deterministic: after the final no-data
+micro-batch the watermark settles at ``max(event_time) - delay``, and
+exactly the windows with ``window.end <= watermark`` have been emitted.
+That cut is plain SQL over the same data, so even this query is
+oracle-checkable — the trailing (still-open) windows are withheld by
+design, matching what a live pipeline would have emitted so far.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from kafka_topic_analyzer_spark.session import prepare_session
+from kafka_topic_analyzer_spark.streaming.report_stream import events_stream
+
+
+def streaming_windowed_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    window_sec: int = 3600,
+    delay_sec: int = 3600,
+) -> DataFrame:
+    """Hourly per-event-type counts, append mode, watermark-gated."""
+    prepare_session(spark)
+    ev = events_stream(spark, sf_dir).select(
+        F.timestamp_seconds(
+            F.floor(F.col("ts") / F.lit(1_000_000_000)).cast("long")
+        ).alias("ev_ts"),
+        "event_type",
+    )
+    agg = (
+        ev.withWatermark("ev_ts", f"{delay_sec} seconds")
+        .groupBy(F.window("ev_ts", f"{window_sec} seconds"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    name = f"windowed_{uuid.uuid4().hex[:12]}"
+    query = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_window_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination()
+    finally:
+        if query.isActive:
+            query.stop()
+    return (
+        spark.table(name)
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+        .orderBy("window_start", "event_type")
+    )

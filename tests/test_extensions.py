@@ -175,3 +175,34 @@ def test_streaming_compacted_equals_batch(spark):
         ).collect()
     }
     assert batch == stream
+
+
+def test_streaming_windowed_watermark_cut(spark):
+    """Append-mode watermarked windows == batch counts minus open windows."""
+    from pyspark.sql import functions as F
+
+    from kafka_topic_analyzer_spark.sources.tables import load_table
+    from kafka_topic_analyzer_spark.streaming.windowed_stream import (
+        streaming_windowed_counts,
+    )
+
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in streaming_windowed_counts(spark, SF_SMOKE).collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        F.floor(F.col("ts") / F.lit(1_000_000_000)).cast("long").alias("tsec"),
+        "event_type",
+    )
+    max_ts = ev.agg(F.max("tsec")).first()[0]
+    expected = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in ev.groupBy(
+            (F.col("tsec") - F.col("tsec") % 3600).alias("ws"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("ws") + 3600 <= max_ts - 3600)
+        .collect()
+    }
+    assert got == expected
+    assert expected, "watermark cut should keep most windows"
