@@ -73,6 +73,17 @@ def _knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("knn_lsh_cosine", _knn_lsh, None)
 
 
+def _knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return S.knn_ivf(emb, queries, k=TOP_K, nlist=16, nprobe=4)
+
+
+# rows-only: the IVF cut (k-means cells) isn't SQL-expressible; recall is
+# unit-tested against knn_bruteforce_cosine like the LSH path.
+register("knn_ivf_cosine", _knn_ivf, None)
+
+
 def _embedding_self_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise-cosine corpus stats on a bounded slice (near-dup screening).
 

@@ -206,3 +206,32 @@ def test_streaming_windowed_watermark_cut(spark):
     }
     assert got == expected
     assert expected, "watermark cut should keep most windows"
+
+
+def test_knn_ivf_recall(spark):
+    """IVF top-5 must overlap exact top-5; determinism across runs."""
+    from kafka_topic_analyzer_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_ivf,
+    )
+    from kafka_topic_analyzer_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_bruteforce(emb, queries, k=5).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_ivf(emb, queries, k=5, nlist=16, nprobe=4).collect()
+    }
+    recall = len(exact & ivf) / len(exact)
+    # random embeddings cluster weakly; 4/16 cells probed must still find
+    # a meaningful share of the true top-5
+    assert recall >= 0.5, f"IVF recall {recall}"
+    again = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_ivf(emb, queries, k=5, nlist=16, nprobe=4).collect()
+    }
+    assert ivf == again, "IVF must be deterministic (fixed seeds, stable ties)"
