@@ -26,9 +26,15 @@ def main() -> None:
 
     spark = get_spark("bench")
 
-    # Warm the JVM/codegen path once so per-query times reflect steady state,
-    # not session bring-up.
+    # Warm the JVM/codegen path AND the Arrow/Python-worker pool once so
+    # per-query times reflect steady state, not session bring-up (the
+    # first pandas-UDF query otherwise pays worker fork + Arrow init).
     kafka_frame_from_events(spark, sf_dir).limit(1).collect()
+    from kafka_topic_analyzer_spark.functions.text import rolling_hash_udf
+    from pyspark.sql import functions as F
+
+    spark.range(2).select(rolling_hash_udf(F.lit("warmup"))).collect()
+    spark.range(2).mapInPandas(lambda it: it, "id long").collect()
 
     per_query: dict[str, float] = {}
     total = 0.0
