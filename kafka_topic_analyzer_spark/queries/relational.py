@@ -414,3 +414,47 @@ FROM monthly
 WHERE l_suppkey <= 20
 """,
 )
+
+
+def _customer_retention_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (SURVEY.md §2.7): INTERSECT / EXCEPT / UNION ALL.
+
+    Customers with 1996 orders vs 1997 orders: repeat (intersect),
+    lapsed (except, 96→97), acquired (except, 97→96), unioned into one
+    labeled count table.
+    """
+    o = load_table(spark, sf_dir, "orders")
+
+    def buyers(year: int) -> DataFrame:
+        return o.where(F.year("o_orderdate") == year).select("o_custkey").distinct()
+
+    b96, b97 = buyers(1996), buyers(1997)
+    repeat = b96.intersect(b97).agg(
+        F.lit("repeat").alias("cohort"), F.count(F.lit(1)).alias("n_customers")
+    )
+    lapsed = b96.exceptAll(b97).agg(
+        F.lit("lapsed").alias("cohort"), F.count(F.lit(1)).alias("n_customers")
+    )
+    acquired = b97.exceptAll(b96).agg(
+        F.lit("acquired").alias("cohort"), F.count(F.lit(1)).alias("n_customers")
+    )
+    return repeat.unionByName(lapsed).unionByName(acquired).orderBy("cohort")
+
+
+register(
+    "customer_retention_sets",
+    _customer_retention_sets,
+    """
+WITH b96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+b97 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+SELECT 'repeat' AS cohort, CAST(count(*) AS BIGINT) AS n_customers
+  FROM (SELECT * FROM b96 INTERSECT SELECT * FROM b97)
+UNION ALL
+SELECT 'lapsed', CAST(count(*) AS BIGINT)
+  FROM (SELECT * FROM b96 EXCEPT SELECT * FROM b97)
+UNION ALL
+SELECT 'acquired', CAST(count(*) AS BIGINT)
+  FROM (SELECT * FROM b97 EXCEPT SELECT * FROM b96)
+ORDER BY cohort
+""",
+)
