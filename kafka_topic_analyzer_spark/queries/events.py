@@ -148,3 +148,51 @@ GROUP BY 1
 ORDER BY 1
 """,
 )
+
+
+def _purchase_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase attributed to the user's most recent
+    click at-or-before it (operators/asof.py). Right side deduped to one
+    click per (user, second) so both engines' as-of pick is unambiguous."""
+    from kafka_topic_analyzer_spark.operators.asof import asof_join_backward
+
+    e = load_table(spark, sf_dir, "events")
+    tsec = F.floor(F.col("ts") / F.lit(1_000_000_000)).cast("long")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", tsec.alias("tsec")
+    )
+    clicks = (
+        e.where(F.col("event_type") == "click")
+        .select("user_id", tsec.alias("tsec"), "event_id")
+        .groupBy("user_id", "tsec")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    joined = asof_join_backward(
+        purchases, clicks, key="user_id", ts="tsec",
+        right_payload=["click_id"], tiebreak="purchase_id",
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        F.col("tsec").alias("purchase_tsec"),
+        F.col("_asof.click_id").alias("click_id"),
+    ).orderBy("purchase_id")
+
+
+register(
+    "purchase_attribution_asof",
+    _purchase_attribution_asof,
+    f"""
+WITH p2 AS (
+  SELECT event_id AS purchase_id, user_id, {_TS} AS tsec
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, {_TS} AS tsec, max(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+)
+SELECT p2.purchase_id, p2.user_id, p2.tsec AS purchase_tsec, c.click_id
+FROM p2 ASOF LEFT JOIN c
+  ON p2.user_id = c.user_id AND c.tsec <= p2.tsec
+ORDER BY purchase_id
+""",
+)

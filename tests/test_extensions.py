@@ -235,3 +235,29 @@ def test_knn_ivf_recall(spark):
         for r in knn_ivf(emb, queries, k=5, nlist=16, nprobe=4).collect()
     }
     assert ivf == again, "IVF must be deterministic (fixed seeds, stable ties)"
+
+
+def test_asof_join_semantics(spark):
+    """Inclusive <=, latest-wins, NULL when no prior right row."""
+    from kafka_topic_analyzer_spark.operators.asof import asof_join_backward
+
+    left = spark.createDataFrame(
+        [(1, "u", 100), (2, "u", 50), (3, "u", 10), (4, "v", 100)],
+        "lid long, key string, ts long",
+    )
+    right = spark.createDataFrame(
+        [("u", 50, 900), ("u", 99, 901), ("w", 1, 902)],
+        "key string, ts long, rid long",
+    )
+    got = {
+        r["lid"]: r["_asof"]["rid"] if r["_asof"] else None
+        for r in asof_join_backward(
+            left, right, key="key", ts="ts", right_payload=["rid"], tiebreak="lid"
+        ).collect()
+    }
+    assert got == {
+        1: 901,   # latest right at ts<=100
+        2: 900,   # ts==50 inclusive
+        3: None,  # no right row at ts<=10
+        4: None,  # key v has no right rows at all
+    }
