@@ -196,3 +196,36 @@ FROM p2 ASOF LEFT JOIN c
 ORDER BY purchase_id
 """,
 )
+
+
+def _value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type (order statistics are
+    order-independent, so the parallel sort-based aggregate is safe for
+    oracle parity — unlike running float sums)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("median_value"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90_value"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    "value_percentiles",
+    _value_percentiles,
+    """
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  round(quantile_cont(value, 0.5), 6) AS median_value,
+  round(quantile_cont(value, 0.9), 6) AS p90_value,
+  round(quantile_cont(value, 0.99), 6) AS p99_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
