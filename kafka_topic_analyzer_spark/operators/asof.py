@@ -55,3 +55,45 @@ def asof_join_backward(
         .where(F.col("_side") == 1)
         .drop("_side", "_payload")
     )
+
+
+def range_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bin_size: int,
+) -> DataFrame:
+    """Point-in-interval join without the O(|points| x |intervals|) blowup.
+
+    A naive theta-join on ``start <= p < end`` gives Spark nothing to
+    hash on (BroadcastNestedLoop at best). Binning restores an equi-key:
+    each interval explodes to the bins it overlaps, each point maps to
+    exactly ONE bin, the join runs on the bin id, and the exact range
+    predicate filters inside the (tiny) bin-local candidate set. Each
+    (point, interval) match is produced exactly once — by the point's
+    own bin — so no dedup pass is needed. ``bin_size`` close to the
+    typical interval length keeps the explode factor ~2.
+    """
+    binned_points = points.withColumn(
+        "_bin", F.floor(F.col(point_col) / bin_size).cast("long")
+    )
+    binned_intervals = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / bin_size).cast("long"),
+                # end exclusive: a point at exactly `end` never matches
+                F.floor((F.col(end_col) - 1) / bin_size).cast("long"),
+            )
+        ),
+    )
+    return (
+        binned_points.join(binned_intervals, "_bin")
+        .where(
+            (F.col(point_col) >= F.col(start_col))
+            & (F.col(point_col) < F.col(end_col))
+        )
+        .drop("_bin")
+    )

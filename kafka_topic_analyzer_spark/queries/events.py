@@ -229,3 +229,53 @@ GROUP BY event_type
 ORDER BY event_type
 """,
 )
+
+
+def _peak_window_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators/asof.py range_join_binned): events falling in
+    derived 20-minute 'peak windows' ([h+300, h+1500) for every active
+    hour h), counted per window."""
+    from kafka_topic_analyzer_spark.operators.asof import range_join_binned
+
+    e = load_table(spark, sf_dir, "events")
+    tsec = F.floor(F.col("ts") / F.lit(1_000_000_000)).cast("long")
+    points = e.select(tsec.alias("tsec"), "user_id")
+    intervals = (
+        points.select((F.col("tsec") - F.col("tsec") % 3600).alias("h"))
+        .distinct()
+        .select(
+            (F.col("h") + 300).alias("w_start"), (F.col("h") + 1500).alias("w_end")
+        )
+    )
+    joined = range_join_binned(
+        points, intervals, point_col="tsec", start_col="w_start",
+        end_col="w_end", bin_size=600,
+    )
+    return (
+        joined.groupBy("w_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("w_start")
+    )
+
+
+register(
+    "peak_window_event_counts",
+    _peak_window_event_counts,
+    f"""
+WITH pts AS (SELECT {_TS} AS tsec, user_id FROM events),
+iv AS (
+  SELECT DISTINCT tsec - tsec % 3600 + 300 AS w_start,
+                  tsec - tsec % 3600 + 1500 AS w_end
+  FROM pts
+)
+SELECT w_start,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM pts JOIN iv ON pts.tsec >= iv.w_start AND pts.tsec < iv.w_end
+GROUP BY w_start
+ORDER BY w_start
+""",
+)

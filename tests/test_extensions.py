@@ -261,3 +261,31 @@ def test_asof_join_semantics(spark):
         3: None,  # no right row at ts<=10
         4: None,  # key v has no right rows at all
     }
+
+
+def test_range_join_binned_semantics(spark):
+    """Inclusive start, exclusive end, multi-bin intervals, exactly-once."""
+    from kafka_topic_analyzer_spark.operators.asof import range_join_binned
+
+    points = spark.createDataFrame(
+        [(1, 100), (2, 150), (3, 199), (4, 200), (5, 99), (6, 1000)],
+        "pid long, ts long",
+    )
+    intervals = spark.createDataFrame(
+        [(100, 200, "a"), (0, 1500, "b")], "s long, e long, name string"
+    )
+    got = sorted(
+        (r["pid"], r["name"])
+        for r in range_join_binned(
+            points, intervals, point_col="ts", start_col="s", end_col="e",
+            bin_size=50,  # interval 'a' spans 2 bins, 'b' spans 30
+        ).collect()
+    )
+    assert got == [
+        (1, "a"), (1, "b"),           # 100 in both ('a' start inclusive)
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "b"),
+        (4, "b"),                     # 200 excluded from 'a' (end exclusive)
+        (5, "b"),
+        (6, "b"),
+    ]
