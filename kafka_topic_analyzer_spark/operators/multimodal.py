@@ -181,3 +181,48 @@ def sample_video_frames(
             yield pd.DataFrame(rows)
 
     return media.where(F.col("kind") == "video").mapInPandas(batches, out_schema)
+
+
+def resize_images(
+    media: DataFrame,
+    target_w: int = 64,
+    target_h: int = 64,
+    deterministic_fake: bool = False,
+) -> DataFrame:
+    """image rows → resized pixel buffers via mapInPandas.
+
+    Nearest-neighbor index math is real (the same grid a PIL/cv2 resize
+    would sample); only the source pixels come from the seeded stand-in
+    decoder. Output carries the resized buffer as binary plus a checksum
+    so downstream stages (feature extraction, dedup) can chain on it.
+    """
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "no image codec in this environment — pass deterministic_fake=True"
+        )
+
+    out_schema = (
+        "media_id long, width int, height int, resized binary, resized_crc32 long"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                px = _fake_pixels(bytes(r["data"]), int(r["width"]), int(r["height"]))
+                ys = (np.arange(target_h) * px.shape[0] // target_h).clip(0, px.shape[0] - 1)
+                xs = (np.arange(target_w) * px.shape[1] // target_w).clip(0, px.shape[1] - 1)
+                resized = px[np.ix_(ys, xs)]
+                buf = resized.tobytes()
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "width": target_w,
+                        "height": target_h,
+                        "resized": buf,
+                        "resized_crc32": zlib.crc32(buf) & 0xFFFFFFFF,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.where(F.col("kind") == "image").mapInPandas(batches, out_schema)

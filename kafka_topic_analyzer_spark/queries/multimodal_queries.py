@@ -63,3 +63,20 @@ def _video_frame_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("video_frame_inventory", _video_frame_inventory, None)
+
+
+def _image_resize_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_topic_analyzer_spark.operators.multimodal import (
+        documents_as_media,
+        resize_images,
+    )
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    resized = resize_images(media, 64, 64, deterministic_fake=True)
+    return resized.select(
+        "media_id", "width", "height",
+        F.length("resized").alias("n_bytes"), "resized_crc32",
+    ).orderBy("media_id")
+
+
+register("image_resize_inventory", _image_resize_inventory, None)

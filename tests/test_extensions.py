@@ -289,3 +289,24 @@ def test_range_join_binned_semantics(spark):
         (5, "b"),
         (6, "b"),
     ]
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting must be a pure physical rewrite — identical rows out."""
+    from kafka_topic_analyzer_spark.operators.skew import salted_equi_join
+
+    # 90% of fact rows hit one hot key
+    big = spark.createDataFrame(
+        [(i, "hot" if i % 10 else f"k{i}", i * 1.5) for i in range(1000)],
+        "row_id long, key string, v double",
+    )
+    small = spark.createDataFrame(
+        [("hot", 1), ("k10", 2), ("k20", 3), ("missing", 4)],
+        "key string, dim long",
+    )
+    plain = {(r["row_id"], r["dim"]) for r in big.join(small, "key").collect()}
+    salted = {
+        (r["row_id"], r["dim"])
+        for r in salted_equi_join(big, small, "key", salt=8).collect()
+    }
+    assert salted == plain and len(plain) > 0

@@ -72,3 +72,16 @@ def test_video_frame_sampling(media):
     assert sample
     assert all(r["frame_ts_ms"] % 10_000 == 0 for r in sample)
     assert all(len(r["frame_sha1"]) == 40 for r in sample)
+
+
+def test_image_resize(media):
+    from kafka_topic_analyzer_spark.operators.multimodal import resize_images
+
+    out = resize_images(media, 32, 16, deterministic_fake=True).limit(10).collect()
+    assert out
+    for r in out:
+        assert (r["width"], r["height"]) == (32, 16)
+        assert len(bytes(r["resized"])) == 32 * 16  # uint8 grid
+    # deterministic across runs
+    again = resize_images(media, 32, 16, deterministic_fake=True).limit(10).collect()
+    assert [r["resized_crc32"] for r in out] == [r["resized_crc32"] for r in again]
