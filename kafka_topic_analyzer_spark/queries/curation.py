@@ -1,0 +1,256 @@
+"""Corpus-curation queries: the batch operators a training-data pipeline
+runs between "raw corpus" and "tokenized shards".
+
+The reference engine has no analogue (it never inspects payloads,
+`src/metric.rs:218-245`); these extend the engine the way SURVEY.md §7/M5
+prescribes. Everything here is pure built-in expressions — per-row
+projections and one aggregation shuffle at most — so the 100 TB story is
+the scan itself:
+
+- sampling filters evaluate next to the scan (no shuffle, no UDF);
+- the histogram reduces to ~20 groups via map-side partial aggregation;
+- window-based operators (packing, percentile gate) partition by a
+  bounded-cardinality key (source / lang). At 100 TB a single source
+  could still overload one task; the documented scale-out is a composite
+  partition key (source, shard) — packing is shard-local by design, and
+  the percentile gate swaps percent_rank for an approx-quantile
+  threshold join (see operators/skew.py for the general skew toolkit).
+
+Determinism/oracle discipline: "random" sampling is md5-bucket based —
+both engines produce identical lowercase hex for identical bytes, so the
+sampled set is bit-for-bit reproducible (a property a production pipeline
+wants anyway: re-runs select the same rows). Float outputs go through
+exact integer/decimal arithmetic and round(...) before comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from kafka_topic_analyzer_spark.functions import text as TX
+from kafka_topic_analyzer_spark.registry import register
+from kafka_topic_analyzer_spark.sources.tables import load_table
+
+# md5-derived uniform bucket: first 4 hex chars compared lexically against a
+# threshold = floor(rate * 0x10000) in hex. Identical strings on both
+# engines -> identical selection, no RNG state anywhere.
+_MD5_PREFIX_SQL = "substr(md5(text), 1, 4)"
+
+
+def _md5_prefix(text: F.Column) -> F.Column:
+    return F.substring(F.md5(F.encode(text, "UTF-8")), 1, 4)
+
+
+def _stratified_sample_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling audit: per-language target rates
+    (en kept at 25%, everything else at 50% — the usual "downsample the
+    over-represented stratum" move), realized counts and rates.
+
+    Scale: the sample predicate is a scan-side filter (md5 + substring,
+    whole-stage codegen); the audit aggregation is 4 groups. At 100 TB
+    the selected subset would be written out partitioned — the predicate
+    itself never shuffles.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    # thresholds: 25% = 0x4000, 50% = 0x8000 (exclusive upper bound)
+    thresh = F.when(F.col("lang") == "en", F.lit("4000")).otherwise(F.lit("8000"))
+    sampled = (_md5_prefix(F.col("text")) < thresh).cast("int")
+    n = F.count(F.lit(1))
+    n_samp = F.sum(sampled)
+    return (
+        d.groupBy("lang")
+        .agg(
+            n.alias("n_docs"),
+            n_samp.cast("long").alias("n_sampled"),
+            F.round(n_samp.cast("double") / n, 4).alias("realized_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+register(
+    "stratified_sample_summary",
+    _stratified_sample_summary,
+    f"""
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN {_MD5_PREFIX_SQL} < (CASE WHEN lang = 'en' THEN '4000' ELSE '8000' END)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+  round(CAST(sum(CASE WHEN {_MD5_PREFIX_SQL} < (CASE WHEN lang = 'en' THEN '4000' ELSE '8000' END)
+                      THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS realized_rate
+FROM documents
+GROUP BY lang
+ORDER BY lang
+""",
+)
+
+
+def _per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sample: 3 docs per source, chosen by
+    md5 order — the reproducible stand-in for per-stratum reservoir
+    sampling (eval sets, human-review draws).
+
+    Scale: one shuffle on source; row_number needs no global sort. With a
+    skewed group the md5-order rank can instead be computed as a top-k
+    per partition then re-ranked (bounded memory) — Spark's window
+    already spills, so the plain form holds far past sf0.1.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(_md5_prefix(F.col("text")), F.col("doc_id"))
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("draw_rank"))
+        .where(F.col("draw_rank") <= 3)
+        .orderBy("source", "draw_rank")
+    )
+
+
+register(
+    "per_group_sample",
+    _per_group_sample,
+    f"""
+SELECT doc_id, source, CAST(draw_rank AS INT) AS draw_rank FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY {_MD5_PREFIX_SQL}, doc_id) AS draw_rank
+  FROM documents
+) WHERE draw_rank <= 3
+ORDER BY source, draw_rank
+""",
+)
+
+
+def _event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram of events.value: 20 bins of width 25 over
+    [0, 500), top bin clamped. Per-bin count + exact-decimal sum.
+
+    Scale: partial aggregation reduces every scan task to <=20 rows
+    before the (tiny) shuffle — the canonical map-side-combine win.
+    """
+    e = load_table(spark, sf_dir, "events")
+    bin_id = F.least(F.floor(F.col("value") / 25.0), F.lit(19)).cast("int")
+    return (
+        e.groupBy(bin_id.alias("bin_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.min("value"), 4).alias("min_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("sum_value"),
+        )
+        .orderBy("bin_id")
+    )
+
+
+register(
+    "event_value_histogram",
+    _event_value_histogram,
+    """
+SELECT CAST(least(floor(value / 25.0), 19) AS INT) AS bin_id,
+  CAST(count(*) AS BIGINT) AS n_events,
+  round(min(value), 4) AS min_value,
+  round(max(value), 4) AS max_value,
+  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+FROM events
+GROUP BY bin_id
+ORDER BY bin_id
+""",
+)
+
+
+def _quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the top quality quartile per language — the distribution-aware
+    version of a fixed-threshold quality filter (robust to per-language
+    score shifts). Emits the surviving docs with their percentile.
+
+    Scale: percent_rank partitions by lang (bounded cardinality). The
+    100 TB variant computes approx thresholds (approx_percentile per
+    lang, a tiny aggregate), broadcasts them, and filters scan-side —
+    same semantics minus exact tie handling; this exact form is the
+    oracle-checked definition.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    q = TX.quality_score(F.col("text"))
+    w = Window.partitionBy("lang").orderBy(F.col("quality_score"))
+    return (
+        d.select("doc_id", "lang", q.alias("quality_score"))
+        .withColumn("pctile", F.round(F.percent_rank().over(w), 6))
+        .where(F.col("pctile") >= 0.75)
+        .orderBy("lang", "doc_id")
+    )
+
+
+_QSCORE = """round(0.5 * least(1.0, CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        ELSE len(string_split_regex(trim(text), '\\s+')) END AS DOUBLE) / 100.0)
+  + 0.3 * (1.0 - round(CASE WHEN length(trim(text)) > 0
+        THEN CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                  t -> lower(t) IN ('{stops}'))) AS DOUBLE)
+             / len(string_split_regex(trim(text), '\\s+')) ELSE 0.0 END, 4))
+  + 0.2 * (1.0 - round(CASE WHEN length(text) > 0
+        THEN CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
+             / length(text) ELSE 0.0 END, 4)), 6)""".format(
+    stops="','".join(TX.EN_STOPWORDS)
+)
+
+register(
+    "quality_percentile_gate",
+    _quality_percentile_gate,
+    f"""
+WITH scored AS (SELECT doc_id, lang, {_QSCORE} AS quality_score FROM documents)
+SELECT doc_id, lang, quality_score, pctile FROM (
+  SELECT doc_id, lang, quality_score,
+         round(percent_rank() OVER (PARTITION BY lang ORDER BY quality_score), 6) AS pctile
+  FROM scored
+) WHERE pctile >= 0.75
+ORDER BY lang, doc_id
+""",
+)
+
+
+def _sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing plan: concatenate each source's docs in
+    doc_id order and assign every doc the 2048-token window its first
+    token lands in — the deterministic offset-packing a tokenizer shard
+    writer executes.
+
+    Scale: one window per source; integer-only arithmetic. Production
+    form packs per (source, shard) so no single task owns a whole
+    source; assignment math is unchanged.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = TX.token_count(F.col("text"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tok_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        d.select("doc_id", "source", n_tok.alias("n_tokens"))
+        .withColumn("token_start", tok_before)
+        .withColumn("seq_id", (F.col("token_start") / 2048).cast("long"))
+        .withColumn("seq_offset", F.col("token_start") % 2048)
+        .orderBy("source", "doc_id")
+    )
+
+
+_NTOK_SQL = """CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+  ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)"""
+
+register(
+    "sequence_packing",
+    _sequence_packing,
+    f"""
+WITH sized AS (SELECT doc_id, source, {_NTOK_SQL} AS n_tokens FROM documents)
+SELECT doc_id, source, n_tokens, token_start,
+  CAST(floor(token_start / 2048) AS BIGINT) AS seq_id,
+  token_start % 2048 AS seq_offset
+FROM (
+  -- DuckDB widens windowed sum(BIGINT) to HUGEINT; pin it back to BIGINT
+  SELECT doc_id, source, n_tokens,
+    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_start
+  FROM sized
+)
+ORDER BY source, doc_id
+""",
+)
