@@ -57,6 +57,64 @@ def exact_dup_clusters(docs: DataFrame) -> DataFrame:
     )
 
 
+def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Connected components over an undirected edge list — the step that
+    turns pairwise near-dup evidence into dedup clusters (keep one doc
+    per component).
+
+    ``edges`` must have two long columns ``src``/``dst``. Returns
+    ``(doc_id, cluster_id)`` for every vertex that appears in an edge,
+    where ``cluster_id`` is the minimum doc_id reachable from the vertex
+    — the unique fixpoint of min-label propagation, independent of
+    iteration order, so the result is deterministic and oracle-checkable
+    (DuckDB expresses the same fixpoint as a recursive CTE).
+
+    Iteration strategy: each round joins current labels onto the
+    symmetric edge list and takes the min over the neighborhood
+    (including self). Rounds needed = graph diameter; near-dup graphs are
+    overwhelmingly tiny cliques (diameter 1-2), so convergence is fast.
+    Scale notes for the 100 TB run: every round is one shuffle keyed on
+    vertex id; ``localCheckpoint`` truncates the growing lineage so round
+    N doesn't replay rounds 1..N-1; the convergence test is a cheap
+    count over changed labels only. For adversarially long chains,
+    switch to the large-star/small-star variant (O(log n) rounds) — same
+    output by uniqueness of the fixpoint.
+    """
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        # one join carries both the new label and the convergence flag
+        stepped = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.col("cluster_id").alias("old_cluster_id"),
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            stepped.where(F.col("cluster_id") != F.col("old_cluster_id")).limit(1).count()
+        )
+        labels = stepped.select("doc_id", "cluster_id")
+        if changed == 0:
+            break
+    return labels
+
+
 def shingle_index(docs: DataFrame, k: int = 3, max_df: int = 50) -> DataFrame:
     """(doc_id, shingle) inverted index with frequent-shingle cap.
 

@@ -89,6 +89,67 @@ WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.7
 )
 
 
+def _dup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> dedup clusters via connected components: every
+    clustered doc labeled with the min reachable doc_id + its cluster
+    size (the "keep canonical, drop the rest" input). Iterative
+    min-label propagation on Spark; the oracle states the same fixpoint
+    as a DuckDB recursive CTE."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.near_dup_pairs_jaccard(docs, k=3, threshold=0.7, max_df=50)
+    edges = pairs.select(F.col("doc_i").alias("src"), F.col("doc_j").alias("dst"))
+    labels = D.connected_components(edges)
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+    ).orderBy("doc_id")
+
+
+register(
+    "dup_cluster_assignment",
+    _dup_cluster_assignment,
+    f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS shingle FROM documents
+),
+kept AS (
+  SELECT doc_id, shingle FROM sh
+  WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 50)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+p AS (
+  SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, count(*) AS shared
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+nd AS (
+  SELECT doc_i, doc_j FROM p
+  JOIN sizes sa ON sa.doc_id = doc_i
+  JOIN sizes sb ON sb.doc_id = doc_j
+  WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.7
+),
+edges AS (
+  SELECT doc_i AS src, doc_j AS dst FROM nd
+  UNION SELECT doc_j, doc_i FROM nd
+),
+reach AS (
+  SELECT src AS doc_id, src AS r FROM edges
+  UNION
+  SELECT e.src AS doc_id, reach.r FROM edges e JOIN reach ON reach.doc_id = e.dst
+),
+labels AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)
+SELECT doc_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM labels
+ORDER BY doc_id
+""",
+)
+
+
 def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_signatures(load_table(spark, sf_dir, "documents"))
 
