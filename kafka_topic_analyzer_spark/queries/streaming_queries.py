@@ -58,6 +58,27 @@ ORDER BY window_start, event_type
 """
 
 
+def _streaming_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_topic_analyzer_spark.streaming.join_stream import (
+        streaming_purchase_click_join,
+    )
+
+    return streaming_purchase_click_join(spark, sf_dir)
+
+
+# Stream-stream interval join on bounded input == batch interval join
+# (all rows on-time; see streaming/join_stream.py).
+_SS_JOIN_ORACLE = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+       CAST(floor(epoch(p.ts)) - floor(epoch(c.ts)) AS BIGINT) AS gap_sec
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND floor(epoch(c.ts)) BETWEEN floor(epoch(p.ts)) - 3600 AND floor(epoch(p.ts))
+ORDER BY purchase_id, click_id
+"""
+
+
 def _register() -> None:
     # reuse the batch oracles verbatim — streaming must agree with them
     from kafka_topic_analyzer_spark.queries import kafka_core  # noqa: F401
@@ -77,6 +98,11 @@ def _register() -> None:
         "windowed_counts_streaming",
         _streaming_windowed,
         _WINDOWED_ORACLE,
+    )
+    register(
+        "purchase_click_join_streaming",
+        _streaming_purchase_click,
+        _SS_JOIN_ORACLE,
     )
 
 
