@@ -1,0 +1,39 @@
+"""Shard-writer layout guarantees: hive partitioning, file-count control,
+rollover at max_records_per_file, value round-trip."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from tests.conftest import SF_SMOKE
+
+
+def test_write_parquet_shards_layout(spark, tmp_path):
+    from kafka_topic_analyzer_spark.sources.sinks import write_parquet_shards
+    from kafka_topic_analyzer_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = str(tmp_path / "shards")
+    write_parquet_shards(
+        docs,
+        out,
+        partition_by=["lang"],
+        max_records_per_file=10,
+        sort_within_partitions=["doc_id"],
+    )
+
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    dirs = {os.path.basename(p) for p in glob.glob(f"{out}/lang=*")}
+    assert dirs == {f"lang={lang}" for lang in langs}
+
+    # rollover: no file exceeds the record cap
+    back = spark.read.parquet(out)
+    for f in glob.glob(f"{out}/lang=*/*.parquet"):
+        n = spark.read.parquet(f).count()
+        assert 0 < n <= 10, f
+
+    # round-trip: same rows, partition column restored
+    orig = {tuple(r) for r in docs.select("doc_id", "lang").collect()}
+    got = {tuple(r) for r in back.select("doc_id", "lang").collect()}
+    assert got == orig
