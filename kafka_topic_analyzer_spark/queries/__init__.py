@@ -12,3 +12,4 @@ import kafka_topic_analyzer_spark.queries.events  # noqa: F401
 import kafka_topic_analyzer_spark.queries.streaming_queries  # noqa: F401
 import kafka_topic_analyzer_spark.queries.multimodal_queries  # noqa: F401
 import kafka_topic_analyzer_spark.queries.curation  # noqa: F401
+import kafka_topic_analyzer_spark.queries.terms  # noqa: F401

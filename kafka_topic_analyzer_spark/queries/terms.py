@@ -1,0 +1,109 @@
+"""Term-statistics queries over ``documents``: vocabulary building and
+rare-term surfacing for corpus exploration.
+
+Ranking discipline: classic tf-idf multiplies by ``ln(N/df)``, whose last
+ulp is libm-dependent — ranks built on it can diverge across engines at
+rounding boundaries. The score here is the order-equivalent-in-spirit
+integer ``tf * (SCALE // df)`` (floor-divided inverse document frequency):
+pure int64 arithmetic, bit-identical everywhere, so both the ranking and
+the reported score hash-match the oracle exactly.
+
+Scale: tokenize → explode is the one heavy map stage (no shuffle); term
+stats are two partial-aggregated groupBys keyed on term (high cardinality
+— the shuffle AQE coalesces); the final top-k window partitions by source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from kafka_topic_analyzer_spark.functions.text import tokens
+from kafka_topic_analyzer_spark.registry import register
+from kafka_topic_analyzer_spark.sources.tables import load_table
+
+IDF_SCALE = 1_000_000_000_000  # 10^12: floor(SCALE/df) keeps ~12 digits of idf
+
+
+def _top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "source", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    # corpus-wide document frequency per term
+    df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("doc_freq"))
+    # per-source term frequency
+    tf = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    # `div` is exact int64 division — a double `/` rounds at 1e12 scale
+    # (ulp ~2.4e-4) and can land on the wrong integer after truncation
+    scored = tf.join(df_, "term").withColumn(
+        "rarity_score",
+        F.col("n_occurrences") * F.expr(f"{IDF_SCALE} div doc_freq"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("rarity_score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("source", "rank", "term", "n_occurrences", "doc_freq", "rarity_score")
+        .orderBy("source", "rank")
+    )
+
+
+_TOKS = r"""CASE WHEN length(trim(lower(text))) = 0 THEN []
+            ELSE string_split_regex(trim(lower(text)), '\s+') END"""
+
+register(
+    "top_terms_per_source",
+    _top_terms_per_source,
+    f"""
+WITH tok AS (
+  SELECT doc_id, source, unnest({_TOKS}) AS term FROM documents
+),
+df_ AS (SELECT term, count(DISTINCT doc_id) AS doc_freq FROM tok GROUP BY term),
+tf AS (SELECT source, term, count(*) AS n_occurrences FROM tok GROUP BY source, term),
+scored AS (
+  SELECT source, tf.term,
+         CAST(n_occurrences AS BIGINT) AS n_occurrences,
+         CAST(doc_freq AS BIGINT) AS doc_freq,
+         CAST(n_occurrences AS BIGINT) * CAST({IDF_SCALE} // doc_freq AS BIGINT) AS rarity_score
+  FROM tf JOIN df_ ON tf.term = df_.term
+)
+SELECT source, CAST(rank AS INT) AS rank, term, n_occurrences, doc_freq, rarity_score
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY rarity_score DESC, term ASC) AS rank
+  FROM scored
+)
+WHERE rank <= 5
+ORDER BY source, rank
+""",
+)
+
+
+def _event_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-event-type quantiles via Spark's built-in sketch
+    (`approx_percentile`, Greenwald-Khanna) — the scale path beside the
+    exact `value_percentiles` query. Sketches merge associatively, so
+    this is one partial-aggregated pass at any data size; the exact twin
+    needs a full sort-based aggregate.
+
+    rows-only: sketch output is algorithm-specific by design; the unit
+    test bounds its rank error against the exact percentiles.
+    """
+    e = load_table(spark, sf_dir, "events")
+    acc = 10_000  # 1/accuracy relative rank error
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", [0.5, 0.9, 0.99], acc).alias("q"),
+        )
+        .select(
+            "event_type",
+            F.round(F.col("q")[0], 4).alias("p50"),
+            F.round(F.col("q")[1], 4).alias("p90"),
+            F.round(F.col("q")[2], 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register("event_value_quantiles_approx", _event_value_quantiles_approx, None)

@@ -42,6 +42,44 @@ def test_jaccard_finds_planted_near_dups(spark, docs_with_dups):
     assert all(i in (1, 2, 4) and j in (1, 2, 4) for i, j in pairs)
 
 
+def test_approx_quantiles_rank_error_bound(spark):
+    """The sketch's p50/p90/p99 must fall within a small rank-error band of
+    the exact distribution (Greenwald-Khanna guarantees rank error <=
+    1/accuracy; assert with slack)."""
+    from kafka_topic_analyzer_spark.registry import all_queries
+
+    approx = {
+        r["event_type"]: r
+        for r in all_queries()["event_value_quantiles_approx"].spark(spark, SF_SMOKE).collect()
+    }
+    values = {}
+    for r in (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("event_type", "value")
+        .collect()
+    ):
+        values.setdefault(r["event_type"], []).append(r["value"])
+    for et, a in approx.items():
+        vs = sorted(values[et])
+        n = len(vs)
+        for q, target in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            # rank error: where the sketch's answer actually sits in the
+            # sorted data vs the requested quantile (GK bounds rank, not value)
+            rank = sum(1 for v in vs if v <= a[q]) / n
+            assert abs(rank - target) <= 0.01 + 2.0 / n, (et, q, rank, target)
+
+
+def test_connected_components_chain_and_islands(spark):
+    from kafka_topic_analyzer_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4 (diameter 3, forces >1 propagation round) + island 10-11
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
 def test_minhash_lsh_recall_on_testdata(spark):
     """LSH candidates must recover every exact near-dup pair at sf0.001."""
     from kafka_topic_analyzer_spark.operators.dedup import (

@@ -39,6 +39,34 @@ def test_report_is_single_pass(spark):
     assert plan.count("Exchange") <= 2
 
 
+def test_sampling_filter_is_scan_side(spark):
+    """The stratified-sample audit must partial-aggregate next to the scan:
+    one exchange for the 4 language groups, no shuffle of raw rows."""
+    import __spark_entry__ as E
+
+    plan = _executed(E.queries()["stratified_sample_summary"](spark, SF_SMOKE))
+    assert plan.count("HashAggregate") == 2, "sampling audit lost partial agg"
+    # exchanges: documented scan-spread repartition (tables.py) + the
+    # 4-group hash agg + the final orderBy — and nothing else
+    assert plan.count("Exchange") <= 3
+    assert "partial_count" in plan and plan.index("partial_count") > plan.index(
+        "hashpartitioning"
+    ), "partial aggregation must run before the shuffle"
+
+
+def test_event_filter_pushdown_in_stream_join_batch_twin(spark):
+    """Interval-join inputs must push the event_type filter into the scan —
+    at 100 TB the join should never see non-click/purchase rows."""
+    from pyspark.sql import functions as F
+    from kafka_topic_analyzer_spark.sources.tables import load_table
+
+    e = load_table(spark, SF_SMOKE, "events", parallel=False).where(
+        F.col("event_type") == "purchase"
+    )
+    plan = _executed(e)
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)" in plan
+
+
 def test_column_pruning_reaches_scan(spark):
     from pyspark.sql import functions as F
     from kafka_topic_analyzer_spark.sources.tables import load_table
