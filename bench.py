@@ -66,6 +66,27 @@ def main() -> None:
     full_report(kdf).collect()
     report_sec = time.perf_counter() - t0
 
+    # Steady-state throughput: at sf0.1 the report finishes in well under a
+    # second, so wall time is mostly fixed job-scheduling latency, not
+    # aggregation speed — the number the baseline's 590k msg/s describes.
+    # Replicate the log to ~10M rows (explode a per-row sequence; offsets
+    # re-keyed to stay unique per partition) and measure the same report
+    # there; generation is part of the measured pipeline (conservative).
+    repl = max(1, 10_000_000 // max(n_msgs, 1))
+    big = (
+        kdf.select(
+            "*", F.explode(F.expr(f"sequence(0, {repl - 1})")).alias("rep")
+        )
+        .withColumn("offset", F.col("offset") * repl + F.col("rep"))
+        .drop("rep")
+    )
+    t0 = time.perf_counter()
+    full_report(big).collect()
+    scaled_sec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    full_report(big).collect()
+    scaled_sec = min(scaled_sec, time.perf_counter() - t0)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -77,6 +98,8 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "report_msgs_per_sec": round(n_msgs / report_sec, 1),
                 "report_rows": n_msgs,
+                "steady_state_msgs_per_sec": round(n_msgs * repl / scaled_sec, 1),
+                "steady_state_rows": n_msgs * repl,
             }
         )
     )
