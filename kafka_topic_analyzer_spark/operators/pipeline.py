@@ -1,0 +1,103 @@
+"""End-to-end training-shard pipeline: the composition a corpus team runs
+nightly — dedup, quality-gate, downsample, pack, write shards.
+
+Single declarative plan from scan to sink (Catalyst sees the whole
+pipeline, so column pruning reaches the parquet scan and the only
+shuffles are the dedup window and the final shard routing):
+
+1. exact dedup   — keep the lowest doc_id per normalized-md5 fingerprint
+2. quality gate  — fixed-threshold scan-side filter (distribution-aware
+                   variant: queries/curation.py quality_percentile_gate)
+3. downsample    — deterministic md5-bucket rate (re-run stable)
+4. pack          — per-(lang) context-window assignment (curation.py)
+5. write         — hive-partitioned parquet shards (sources/sinks.py)
+
+`shard_manifest` is the pipeline's audit artifact (per-language doc/token
+counts of the SELECTED set) and is SQL-expressible, so the whole
+selection logic is oracle-checked end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from kafka_topic_analyzer_spark.functions.text import (
+    md5_fingerprint,
+    quality_score,
+    token_count,
+)
+
+QUALITY_MIN = 0.5
+SAMPLE_HEX_BOUND = "8000"  # keep md5-bucket < 0x8000/0x10000 = 50%
+WINDOW_TOKENS = 2048
+
+
+def select_training_docs(docs: DataFrame) -> DataFrame:
+    """Steps 1-3: dedup -> quality gate -> deterministic downsample.
+
+    Returns the selected docs with fingerprint, token count and quality
+    attached (columns: doc_id, lang, source, text, fp, n_tokens, quality).
+    """
+    w = Window.partitionBy("fp")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            "text",
+            md5_fingerprint(F.col("text")).alias("fp"),
+            token_count(F.col("text")).alias("n_tokens"),
+            quality_score(F.col("text")).alias("quality"),
+        )
+        .withColumn("_keep", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("_keep"))
+        .drop("_keep")
+        .where(F.col("quality") >= QUALITY_MIN)
+        .where(F.substring(F.md5(F.encode(F.col("text"), "UTF-8")), 1, 4) < SAMPLE_HEX_BOUND)
+    )
+
+
+def pack_sequences(selected: DataFrame) -> DataFrame:
+    """Step 4: contiguous token-offset packing per language."""
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tok_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return selected.withColumn("token_start", tok_before).withColumn(
+        "seq_id", (F.col("token_start") / WINDOW_TOKENS).cast("long")
+    )
+
+
+def build_training_shards(spark: SparkSession, sf_dir: str, out_path: str) -> int:
+    """Run the full pipeline and write hive-partitioned shards by lang.
+
+    Returns the number of documents written.
+    """
+    from kafka_topic_analyzer_spark.sources.sinks import write_parquet_shards
+    from kafka_topic_analyzer_spark.sources.tables import load_table
+
+    packed = pack_sequences(select_training_docs(load_table(spark, sf_dir, "documents")))
+    write_parquet_shards(
+        packed,
+        out_path,
+        partition_by=["lang"],
+        max_records_per_file=100_000,
+        sort_within_partitions=["seq_id", "doc_id"],
+    )
+    return spark.read.parquet(out_path).count()
+
+
+def shard_manifest(docs: DataFrame) -> DataFrame:
+    """Per-language audit of the selected set (oracle-checked)."""
+    sel = select_training_docs(docs)
+    return (
+        sel.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.countDistinct("fp").alias("n_unique_fp"),
+        )
+        .orderBy("lang")
+    )

@@ -13,3 +13,4 @@ import kafka_topic_analyzer_spark.queries.streaming_queries  # noqa: F401
 import kafka_topic_analyzer_spark.queries.multimodal_queries  # noqa: F401
 import kafka_topic_analyzer_spark.queries.curation  # noqa: F401
 import kafka_topic_analyzer_spark.queries.terms  # noqa: F401
+import kafka_topic_analyzer_spark.queries.contamination  # noqa: F401

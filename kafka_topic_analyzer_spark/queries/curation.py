@@ -254,3 +254,43 @@ FROM (
 ORDER BY source, doc_id
 """,
 )
+
+
+def _training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit of the full shard-pipeline selection (exact dedup -> quality
+    gate -> deterministic downsample; operators/pipeline.py): per-language
+    doc/token counts. The same selection feeds build_training_shards'
+    parquet writer, so hash-matching this manifest oracle-checks the whole
+    pipeline's selection logic end to end."""
+    from kafka_topic_analyzer_spark.operators.pipeline import shard_manifest
+
+    return shard_manifest(load_table(spark, sf_dir, "documents"))
+
+
+register(
+    "training_shard_manifest",
+    _training_shard_manifest,
+    rf"""
+WITH scored AS (
+  SELECT doc_id, lang,
+    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+    {_NTOK_SQL} AS n_tokens,
+    {_QSCORE} AS quality,
+    {_MD5_PREFIX_SQL} AS bucket
+  FROM documents
+),
+dedup AS (
+  SELECT * FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep FROM scored
+  ) WHERE doc_id = keep
+)
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+  CAST(count(DISTINCT fp) AS BIGINT) AS n_unique_fp
+FROM dedup
+WHERE quality >= 0.5 AND bucket < '8000'
+GROUP BY lang
+ORDER BY lang
+""",
+)

@@ -44,7 +44,7 @@ def _doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "doc_token_stats",
     _doc_token_stats,
-    f"""
+    rf"""
 SELECT doc_id,
   CAST({_NTOK} AS BIGINT) AS n_tokens,
   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpe_tokens,

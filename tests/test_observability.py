@@ -30,6 +30,12 @@ def test_streaming_progress_listener(spark):
     listener = attach_progress_listener(spark)
     try:
         streaming_partition_report(spark, SF_SMOKE).count()
+        # listener events are delivered on a separate bus thread; poll briefly
+        import time
+
+        deadline = time.monotonic() + 15
+        while not listener.progress and time.monotonic() < deadline:
+            time.sleep(0.2)
         assert listener.progress, "listener saw no micro-batch progress"
         assert all(p["num_input_rows"] >= 0 for p in listener.progress)
         assert sum(p["num_input_rows"] for p in listener.progress) > 0

@@ -37,3 +37,29 @@ def test_write_parquet_shards_layout(spark, tmp_path):
     orig = {tuple(r) for r in docs.select("doc_id", "lang").collect()}
     got = {tuple(r) for r in back.select("doc_id", "lang").collect()}
     assert got == orig
+
+
+def test_training_shard_pipeline_end_to_end(spark, tmp_path):
+    """Full pipeline: written shards agree with the oracle-checked manifest
+    (doc counts per language) and contain no duplicate fingerprints."""
+    from kafka_topic_analyzer_spark.operators.pipeline import (
+        build_training_shards,
+        shard_manifest,
+    )
+    from kafka_topic_analyzer_spark.sources.tables import load_table
+
+    out = str(tmp_path / "training_shards")
+    n_written = build_training_shards(spark, SF_SMOKE, out)
+
+    manifest = {
+        r["lang"]: r for r in shard_manifest(load_table(spark, SF_SMOKE, "documents")).collect()
+    }
+    assert n_written == sum(r["n_docs"] for r in manifest.values()) > 0
+
+    back = spark.read.parquet(out)
+    per_lang = {r["lang"]: r["n"] for r in back.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    assert per_lang == {lang: r["n_docs"] for lang, r in manifest.items()}
+    # dedup actually happened: fingerprints unique in the output
+    assert back.select("fp").distinct().count() == n_written
+    # packing columns present and non-negative
+    assert back.where("seq_id < 0 OR token_start < 0").count() == 0
