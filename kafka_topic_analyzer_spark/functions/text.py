@@ -119,6 +119,22 @@ def predicted_lang(text: Column) -> Column:
     return expr
 
 
+# Cleaning pass, in application order. Tag stripping runs first so text
+# NOT wrapped in tags survives even when angle brackets appear unpaired.
+HTML_TAG_REGEX = r"<[^<>]*>"
+CONTROL_CHAR_REGEX = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+
+
+def clean_text(text: Column) -> Column:
+    """Corpus-prep normalization: strip HTML-ish tags and control chars,
+    collapse whitespace, trim. Pure codegen projection — the standard
+    first pass of a web-scrape ingest, applied before fingerprinting or
+    quality scoring."""
+    no_tags = F.regexp_replace(text, HTML_TAG_REGEX, " ")
+    no_ctrl = F.regexp_replace(no_tags, CONTROL_CHAR_REGEX, " ")
+    return F.trim(F.regexp_replace(no_ctrl, r"\s+", " "))
+
+
 def md5_fingerprint(text: Column) -> Column:
     """Exact-dedup fingerprint: md5 of lowercase/whitespace-normalized text."""
     return F.md5(F.encode(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "), "UTF-8"))

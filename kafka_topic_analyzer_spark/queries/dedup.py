@@ -242,7 +242,7 @@ def _simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_fingerprints(load_table(spark, sf_dir, "documents"))
 
 
-def _simhash_sql() -> str:
+def _simhash_fp_cte() -> str:
     toks = r"""CASE WHEN length(trim(lower(text))) = 0 THEN []
             ELSE string_split_regex(trim(lower(text)), '\s+') END"""
     bit_terms = []
@@ -257,9 +257,65 @@ WITH hashed AS (
   SELECT doc_id,
          list_transform({toks}, s -> {_ROLL}) AS th
   FROM documents
-)
-SELECT doc_id, CAST({total} AS BIGINT) AS simhash32 FROM hashed
+),
+fp AS (SELECT doc_id, CAST({total} AS BIGINT) AS simhash32 FROM hashed)
 """
 
 
-register("simhash_fingerprints", _simhash_fingerprints, _simhash_sql())
+register(
+    "simhash_fingerprints",
+    _simhash_fingerprints,
+    _simhash_fp_cte() + "SELECT doc_id, simhash32 FROM fp",
+)
+
+
+SIMHASH_MAX_HAMMING = 3
+SIMHASH_WIDE_BITS = 48
+
+
+def _simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_near_dup_pairs(
+        load_table(spark, sf_dir, "documents"),
+        max_hamming=SIMHASH_MAX_HAMMING,
+        bits=SIMHASH_WIDE_BITS,
+    )
+
+
+def _simhash_wide_fp_cte(bits: int = SIMHASH_WIDE_BITS) -> str:
+    # 48-bit fingerprint: 31 bits of the rolling hash + (bits-31) of its
+    # fixed linear permutation — mirrors operators/dedup.py
+    # simhash_fingerprints_wide, including the minhash_coeffs(1) constants.
+    toks = r"""CASE WHEN length(trim(lower(text))) = 0 THEN []
+            ELSE string_split_regex(trim(lower(text)), '\s+') END"""
+    a, b = D.minhash_coeffs(1)
+    bit_terms = []
+    for j in range(bits):
+        src, k = ("th1", j) if j < 31 else ("th2", j - 31)
+        s = f"list_sum(list_transform({src}, x -> ((x // {2**k}) % 2) * 2 - 1))"
+        bit_terms.append(f"CASE WHEN coalesce({s}, 0) >= 0 THEN {2**j} ELSE 0 END")
+    total = " + ".join(bit_terms)
+    return f"""
+WITH hashed AS (
+  SELECT doc_id,
+         list_transform({toks}, s -> {_ROLL}) AS th1,
+         list_transform(list_transform({toks}, s -> {_ROLL}),
+                        x -> (x * {a} + {b}) % {D.MINHASH_P}) AS th2
+  FROM documents
+),
+fp AS (SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM hashed)
+"""
+
+
+# The banded join is EXACT for max_hamming < bands (pigeonhole), so the
+# oracle is the plain O(n^2) scan — same rows, bit for bit.
+register(
+    "simhash_near_dups",
+    _simhash_near_dups,
+    _simhash_wide_fp_cte()
+    + f"""
+SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+""",
+)

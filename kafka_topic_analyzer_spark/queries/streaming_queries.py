@@ -79,6 +79,23 @@ ORDER BY purchase_id, click_id
 """
 
 
+def _streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_topic_analyzer_spark.streaming.dedup_stream import (
+        streaming_distinct_fingerprints,
+    )
+
+    return streaming_distinct_fingerprints(spark, sf_dir)
+
+
+# Streaming dropDuplicates on bounded input emits exactly the distinct
+# fingerprint set (which copy won the state race is invisible in fp-only
+# output — see streaming/dedup_stream.py).
+_STREAM_DEDUP_ORACLE = r"""
+SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+FROM documents ORDER BY fp
+"""
+
+
 def _register() -> None:
     # reuse the batch oracles verbatim — streaming must agree with them
     from kafka_topic_analyzer_spark.queries import kafka_core  # noqa: F401
@@ -103,6 +120,11 @@ def _register() -> None:
         "purchase_click_join_streaming",
         _streaming_purchase_click,
         _SS_JOIN_ORACLE,
+    )
+    register(
+        "exact_dedup_streaming",
+        _streaming_dedup,
+        _STREAM_DEDUP_ORACLE,
     )
 
 

@@ -162,6 +162,41 @@ def _doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _text_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    cleaned = TX.clean_text(t)
+    return d.select(
+        "doc_id",
+        cleaned.alias("cleaned"),
+        F.regexp_count(t, F.lit(TX.HTML_TAG_REGEX)).cast("long").alias("n_tags_removed"),
+        (F.length(t) - F.length(cleaned)).cast("long").alias("chars_removed"),
+    ).orderBy("doc_id")
+
+
+# The \x0b/\x7f control strip runs BEFORE the \s+ collapse, so the one
+# whitespace-class divergence between Java regex and RE2 (vertical tab)
+# can't reach the collapse — cleaned text is engine-identical.
+register(
+    "text_cleaning",
+    _text_cleaning,
+    r"""
+WITH c AS (
+  SELECT doc_id, text,
+    trim(regexp_replace(regexp_replace(regexp_replace(
+      text, '<[^<>]*>', ' ', 'g'),
+      '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', ' ', 'g'),
+      '\s+', ' ', 'g')) AS cleaned
+  FROM documents
+)
+SELECT doc_id, cleaned,
+  CAST(len(regexp_extract_all(text, '<[^<>]*>')) AS BIGINT) AS n_tags_removed,
+  CAST(length(text) - length(cleaned) AS BIGINT) AS chars_removed
+FROM c ORDER BY doc_id
+""",
+)
+
+
 register(
     "doc_fingerprints",
     _doc_fingerprints,

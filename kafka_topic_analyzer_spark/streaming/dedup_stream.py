@@ -1,0 +1,81 @@
+"""Streaming exact deduplication — the corpus-ingest shape of
+operators/dedup.exact_dup_clusters.
+
+A training-data pipeline ingests documents continuously; exact dedup
+there is ``dropDuplicates`` on the content fingerprint, which Structured
+Streaming runs with per-key state (first arrival wins, later arrivals
+dropped). On bounded input (AvailableNow) the emitted fingerprint SET is
+deterministic — exactly the distinct fingerprints — even though which
+doc_id carried each fingerprint first is a race. The query therefore
+emits only the fingerprint column (any other column — even lang — can
+differ between copies, and which copy wins the state race is not
+deterministic; sf0.1 has 7 fingerprints spanning two langs).
+
+State note for unbounded topics: keyed state grows with the number of
+distinct fingerprints; the production variant bounds it with
+``dropDuplicatesWithinWatermark`` once records carry event time. Bounded
+runs here don't need a watermark.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from kafka_topic_analyzer_spark.functions.text import md5_fingerprint
+from kafka_topic_analyzer_spark.session import prepare_session
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded file-source stream over documents.parquet."""
+    prepare_session(spark)
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(sf_dir)
+    )
+
+
+def streaming_distinct_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: one row per distinct content fingerprint.
+
+    ``dropDuplicates(["fp"])`` keeps streaming state per fingerprint; the
+    append-mode memory sink collects the survivors. Returns fp sorted —
+    identical to the batch/SQL ``SELECT DISTINCT``.
+    """
+    prepare_session(spark)
+    docs = documents_stream(spark, sf_dir)
+    deduped = docs.select(md5_fingerprint(F.col("text")).alias("fp")).dropDuplicates(
+        ["fp"]
+    )
+
+    name = f"dedup_{uuid.uuid4().hex[:12]}"
+    query = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_dedup_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination()
+    finally:
+        if query.isActive:
+            query.stop()
+
+    return spark.table(name).orderBy("fp")

@@ -110,6 +110,79 @@ def test_simhash_locality(spark, docs_with_dups):
     assert bin(fp[1] ^ fp[3]).count("1") >= 6
 
 
+def test_simhash_banded_pairs_equal_bruteforce(spark):
+    """The banded candidate join is EXACT for max_hamming < bands: same
+    pairs as the O(n^2) cross-join scan on real fixture data."""
+    from kafka_topic_analyzer_spark.operators.dedup import (
+        simhash_fingerprints_wide,
+        simhash_near_dup_pairs,
+    )
+    from kafka_topic_analyzer_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    banded = {
+        (r["doc_i"], r["doc_j"], r["hamming"])
+        for r in simhash_near_dup_pairs(docs, max_hamming=3).collect()
+    }
+    fp = simhash_fingerprints_wide(docs)
+    a = fp.select(F.col("doc_id").alias("doc_i"), F.col("simhash").alias("fi"))
+    b = fp.select(F.col("doc_id").alias("doc_j"), F.col("simhash").alias("fj"))
+    brute = {
+        (r["doc_i"], r["doc_j"], r["h"])
+        for r in a.join(b, F.col("doc_i") < F.col("doc_j"))
+        .select("doc_i", "doc_j", F.bit_count(F.col("fi").bitwiseXOR(F.col("fj"))).cast("long").alias("h"))
+        .where(F.col("h") <= 3)
+        .collect()
+    }
+    assert banded == brute and brute
+
+    with pytest.raises(ValueError):
+        simhash_near_dup_pairs(docs, max_hamming=4, bands=4)
+
+
+def test_streaming_dedup_drops_duplicates(spark, tmp_path):
+    """dropDuplicates state actually drops rows: a duplicate-laden input
+    streams down to exactly the distinct fingerprint set."""
+    from kafka_topic_analyzer_spark.sources.tables import load_table
+    from kafka_topic_analyzer_spark.streaming.dedup_stream import (
+        streaming_distinct_fingerprints,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    doubled = docs.unionAll(docs.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    # single documents.parquet FILE, the same layout as the sf dirs
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "dup_docs")
+    (tmp_path / "dup_docs").mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(doubled.toPandas()), src + "/documents.parquet"
+    )
+    got = [r["fp"] for r in streaming_distinct_fingerprints(spark, src).collect()]
+    assert len(got) == docs.count()  # every fp occurred twice, kept once
+    assert got == sorted(set(got))
+
+
+def test_clean_text_semantics(spark):
+    from kafka_topic_analyzer_spark.functions.text import clean_text
+
+    rows = [
+        (1, "<p>Hello <b>world</b></p>"),
+        (2, "no tags  here\t\n just   space"),
+        (3, "unpaired < bracket stays"),
+        (4, "ctrl\x01chars\x1fgone"),
+        (5, "  <div class='x'>padded</div>  "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["c"] for r in df.select("doc_id", clean_text(F.col("text")).alias("c")).collect()}
+    assert got[1] == "Hello world"
+    assert got[2] == "no tags here just space"
+    assert got[3] == "unpaired < bracket stays"
+    assert got[4] == "ctrl chars gone"
+    assert got[5] == "padded"
+
+
 def test_knn_lsh_recall(spark):
     """ANN top-5 must overlap exact top-5 meaningfully at 8 bits."""
     from kafka_topic_analyzer_spark.operators.similarity import (
