@@ -135,6 +135,25 @@ def clean_text(text: Column) -> Column:
     return F.trim(F.regexp_replace(no_ctrl, r"\s+", " "))
 
 
+# PII patterns chosen for Java-regex / RE2 agreement: character classes,
+# bounded repetition and ASCII \b only (no lookaround, no backreferences).
+EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_REGEX = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_REGEX = r"\+?\d[\d ().-]{7,}\d"
+
+
+def redact_pii(text: Column) -> Column:
+    """Redact emails, IPv4 addresses and phone-like digit runs with typed
+    placeholder tokens. Order matters and is part of the contract:
+    emails first (they embed digits and dots), then IPs (a dotted-digit
+    phone lookalike), then phones — each stage scans the previous
+    stage's output, so the placeholder tokens (no digits) can't
+    re-trigger a later pattern."""
+    s = F.regexp_replace(text, EMAIL_REGEX, "<EMAIL>")
+    s = F.regexp_replace(s, IPV4_REGEX, "<IP>")
+    return F.regexp_replace(s, PHONE_REGEX, "<PHONE>")
+
+
 def md5_fingerprint(text: Column) -> Column:
     """Exact-dedup fingerprint: md5 of lowercase/whitespace-normalized text."""
     return F.md5(F.encode(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "), "UTF-8"))

@@ -64,3 +64,21 @@ def pair_dot_udf(a: Column, b: Column) -> Column:
         return pd.Series(acc)
 
     return _pair_dot(as_double(a), as_double(b))
+
+
+def quantize_int8(vec: Column) -> tuple[Column, Column]:
+    """Symmetric per-vector int8 quantization: (scale, quantized array).
+
+    ``scale = max(|x|)``, ``q_i = floor(x_i / scale * 127 + 0.5)`` — the
+    floor(+0.5) rounding is deliberate: both engines implement it with
+    the same IEEE-754 ops, whereas round() half-way tie rules differ by
+    engine. Zero vectors quantize to all zeros with scale 0. Pure
+    codegen projection — the standard 4x embedding-storage shrink before
+    ANN serving, applied scan-side at any corpus size."""
+    xd = as_double(vec)
+    scale = F.array_max(F.transform(xd, lambda x: F.abs(x)))
+    q = F.when(
+        scale > 0,
+        F.transform(xd, lambda x: F.floor(x / scale * 127 + F.lit(0.5)).cast("int")),
+    ).otherwise(F.transform(xd, lambda x: F.lit(0)))
+    return scale, q

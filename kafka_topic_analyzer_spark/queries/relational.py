@@ -458,3 +458,38 @@ SELECT 'acquired', CAST(count(*) AS BIGINT)
 ORDER BY cohort
 """,
 )
+
+
+def _orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (status, priority): all four grouping sets — the per-dimension
+    subtotals ROLLUP can't express — still one shuffle (grouping sets
+    expand map-side). Fixture columns are never NULL, so output NULLs
+    unambiguously mark subtotal rows and grouping_id() is also emitted
+    for the NULL-data general case."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum(dec("o_totalprice")).alias("total_price"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+# Spark grouping_id() and DuckDB GROUPING() both put the FIRST listed
+# column in the most significant bit — verified part of this oracle.
+register(
+    "orders_cube",
+    _orders_cube,
+    """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_price,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus, o_orderpriority
+""",
+)

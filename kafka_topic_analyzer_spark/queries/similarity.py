@@ -127,3 +127,39 @@ SELECT CAST(count(*) AS BIGINT) AS n_pairs,
 FROM pairs
 """,
 )
+
+
+def _embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantize every embedding (functions/vectors.py quantize_int8).
+    The int8 array is emitted as a CSV string so the value-hash compare is
+    representation-stable across engines."""
+    from kafka_topic_analyzer_spark.functions.vectors import quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scale, q = quantize_int8(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        F.concat_ws(",", F.transform(q, lambda x: x.cast("string"))).alias("qvec"),
+    ).orderBy("vec_id")
+
+
+register(
+    "embedding_quantization",
+    _embedding_quantization,
+    """
+WITH x AS (
+  SELECT vec_id,
+    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd,
+    list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS s
+  FROM embeddings
+)
+SELECT vec_id,
+  round(s, 6) AS scale,
+  array_to_string(
+    CASE WHEN s > 0
+         THEN list_transform(xd, v -> CAST(floor(v / s * 127 + 0.5) AS INT))
+         ELSE list_transform(xd, v -> 0) END, ',') AS qvec
+FROM x ORDER BY vec_id
+""",
+)

@@ -197,6 +197,127 @@ FROM c ORDER BY doc_id
 )
 
 
+def _pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    # staged counts mirror the staged redaction (see functions/text.py
+    # redact_pii): emails counted on raw text, IPs on the email-redacted
+    # text, phones on the IP-redacted text.
+    s1 = F.regexp_replace(t, TX.EMAIL_REGEX, "<EMAIL>")
+    s2 = F.regexp_replace(s1, TX.IPV4_REGEX, "<IP>")
+    return d.select(
+        "doc_id",
+        TX.redact_pii(t).alias("redacted"),
+        F.regexp_count(t, F.lit(TX.EMAIL_REGEX)).cast("long").alias("n_emails"),
+        F.regexp_count(s1, F.lit(TX.IPV4_REGEX)).cast("long").alias("n_ips"),
+        F.regexp_count(s2, F.lit(TX.PHONE_REGEX)).cast("long").alias("n_phones"),
+    ).orderBy("doc_id")
+
+
+# Fixture docs contain no PII, so the oracle also proves NO FALSE
+# POSITIVES on 500 real texts; the positive-match semantics are pinned by
+# tests/test_extensions.py on synthetic PII.
+register(
+    "pii_redaction",
+    _pii_redaction,
+    rf"""
+WITH s AS (
+  SELECT doc_id, text,
+    regexp_replace(text, '{TX.EMAIL_REGEX}', '<EMAIL>', 'g') AS s1
+  FROM documents
+), s2 AS (
+  SELECT *, regexp_replace(s1, '{TX.IPV4_REGEX}', '<IP>', 'g') AS s2 FROM s
+)
+SELECT doc_id,
+  regexp_replace(s2, '{TX.PHONE_REGEX}', '<PHONE>', 'g') AS redacted,
+  CAST(len(regexp_extract_all(text, '{TX.EMAIL_REGEX}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(s1, '{TX.IPV4_REGEX}')) AS BIGINT) AS n_ips,
+  CAST(len(regexp_extract_all(s2, '{TX.PHONE_REGEX}')) AS BIGINT) AS n_phones
+FROM s2 ORDER BY doc_id
+""",
+)
+
+
+def _doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: top-bigram concentration and
+    type-token ratio. Bigram counts shuffle on (doc_id, bigram) then
+    reduce per doc — both map-side combinable; TTR stays scan-side."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        TX.tokens(F.lower(F.col("text"))).alias("t"),
+    ).withColumn(
+        "bgs",
+        # explicit <2 guard: sequence(1, 0) would DESCEND ([1, 0]), not
+        # produce an empty array
+        F.expr(
+            "CASE WHEN size(t) < 2 THEN array() "
+            "ELSE transform(sequence(1, size(t) - 1), "
+            "i -> concat(element_at(t, CAST(i AS INT)), ' ', element_at(t, CAST(i + 1 AS INT)))) END"
+        ),
+    )
+    per_bigram = (
+        base.select("doc_id", F.explode_outer("bgs").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("bg").alias("cnt"))
+    )
+    per_doc = per_bigram.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_bigrams"), F.max("cnt").alias("top_bigram_count")
+    )
+    ttr = F.when(
+        F.size("t") > 0,
+        F.round(F.size(F.array_distinct("t")).cast("double") / F.size("t"), 6),
+    ).otherwise(F.lit(0.0))
+    ratio = F.when(
+        F.col("n_bigrams") > 0,
+        F.round(F.col("top_bigram_count").cast("double") / F.col("n_bigrams"), 6),
+    ).otherwise(F.lit(0.0))
+    return (
+        base.select("doc_id", ttr.alias("type_token_ratio"))
+        .join(per_doc, "doc_id")
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "top_bigram_count",
+            ratio.alias("top_bigram_ratio"),
+            "type_token_ratio",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_LTOKS = r"""CASE WHEN length(trim(lower(text))) = 0 THEN []
+            ELSE string_split_regex(trim(lower(text)), '\s+') END"""
+
+register(
+    "doc_repetition_stats",
+    _doc_repetition_stats,
+    f"""
+WITH t AS (SELECT doc_id, {_LTOKS} AS toks FROM documents),
+b AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) < 2 THEN []
+         ELSE [concat(toks[i], ' ', toks[i + 1]) FOR i IN range(1, len(toks))] END AS bgs,
+    toks
+  FROM t
+),
+e AS (SELECT doc_id, unnest(bgs) AS bg FROM b),
+c AS (SELECT doc_id, bg, count(*) AS cnt FROM e GROUP BY 1, 2),
+agg AS (SELECT doc_id, sum(cnt) AS n_bigrams, max(cnt) AS top FROM c GROUP BY 1)
+SELECT b.doc_id,
+  CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+  CAST(coalesce(top, 0) AS BIGINT) AS top_bigram_count,
+  CASE WHEN coalesce(n_bigrams, 0) > 0
+       THEN round(CAST(top AS DOUBLE) / n_bigrams, 6) ELSE 0.0 END AS top_bigram_ratio,
+  CASE WHEN len(toks) > 0
+       THEN round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+       ELSE 0.0 END AS type_token_ratio
+FROM b LEFT JOIN agg ON b.doc_id = agg.doc_id
+ORDER BY b.doc_id
+""",
+)
+
+
 register(
     "doc_fingerprints",
     _doc_fingerprints,

@@ -183,6 +183,44 @@ def test_clean_text_semantics(spark):
     assert got[5] == "padded"
 
 
+def test_redact_pii_positive_matches(spark):
+    from kafka_topic_analyzer_spark.functions.text import redact_pii
+
+    rows = [
+        (1, "contact bob.smith+x@mail-host.co.uk for details"),
+        (2, "server at 10.0.255.3 timed out"),
+        (3, "call +1 (555) 867-5309 now"),
+        (4, "version 1.2.3 is not an ip, nor is 1.2.3.4.5 fully one"),
+        (5, "plain text with no pii at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["red"] for r in df.select("doc_id", redact_pii(F.col("text")).alias("red")).collect()}
+    assert got[1] == "contact <EMAIL> for details"
+    assert got[2] == "server at <IP> timed out"
+    assert got[3] == "call <PHONE> now"
+    assert "1.2.3 is not an ip" in got[4]
+    assert got[5] == rows[4][1]
+
+
+def test_quantize_int8_roundtrip(spark):
+    from kafka_topic_analyzer_spark.functions.vectors import quantize_int8
+    from kafka_topic_analyzer_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    scale, q = quantize_int8(F.col("embedding"))
+    rows = emb.select("vec_id", "embedding", scale.alias("s"), q.alias("q")).collect()
+    assert rows
+    for r in rows:
+        assert len(r["q"]) == len(r["embedding"])
+        assert all(-127 <= v <= 127 for v in r["q"])
+        if r["s"] == 0:
+            assert all(v == 0 for v in r["q"])
+            continue
+        step = r["s"] / 127
+        for orig, qi in zip(r["embedding"], r["q"]):
+            assert abs(qi * step - orig) <= step / 2 + 1e-9
+
+
 def test_knn_lsh_recall(spark):
     """ANN top-5 must overlap exact top-5 meaningfully at 8 bits."""
     from kafka_topic_analyzer_spark.operators.similarity import (
