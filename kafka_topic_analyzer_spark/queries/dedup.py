@@ -62,10 +62,7 @@ def _near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "near_dup_pairs_jaccard",
-    _near_dup_pairs,
-    f"""
+_JACCARD_SQL = f"""
 WITH sh AS (
   SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS shingle FROM documents
 ),
@@ -85,8 +82,9 @@ FROM pairs
 JOIN sizes sa ON sa.doc_id = doc_i
 JOIN sizes sb ON sb.doc_id = doc_j
 WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.7
-""",
-)
+"""
+
+register("near_dup_pairs_jaccard", _near_dup_pairs, _JACCARD_SQL)
 
 
 def _dup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -319,3 +317,54 @@ FROM fp a JOIN fp b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 """,
 )
+
+
+def _consensus_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal dedup: text near-dup pairs (exact n-gram Jaccard)
+    annotated with the pair's embedding cosine and a both-signals flag.
+    Pair volume is tiny relative to the corpus, so the two embedding
+    joins shuffle only |pairs| rows keyed by id — the corpus-sized
+    embedding table streams through its scan once per side."""
+    from kafka_topic_analyzer_spark.functions.vectors import cosine
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = D.near_dup_pairs_jaccard(docs, k=3, threshold=0.7, max_df=50)
+    ei = emb.select(F.col("vec_id").alias("doc_i"), F.col("embedding").alias("e_i"))
+    ej = emb.select(F.col("vec_id").alias("doc_j"), F.col("embedding").alias("e_j"))
+    cos = F.round(cosine(F.col("e_i"), F.col("e_j")), 6)
+    return (
+        pairs.join(ei, "doc_i")
+        .join(ej, "doc_j")
+        .select(
+            "doc_i",
+            "doc_j",
+            "jaccard",
+            cos.alias("cosine_sim"),
+            (F.col("jaccard") >= 0.8).alias("text_strong"),
+        )
+        .orderBy("doc_i", "doc_j")
+    )
+
+
+def _consensus_sql() -> str:
+    from kafka_topic_analyzer_spark.queries.similarity import _dot_sql
+
+    return f"""
+WITH jac AS ({_JACCARD_SQL}),
+v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         sqrt({_dot_sql("embedding", "embedding")}) AS nrm
+  FROM embeddings
+)
+SELECT doc_i, doc_j, jaccard,
+       round(CASE WHEN a.nrm > 0 AND b.nrm > 0
+                  THEN {_dot_sql("a.e", "b.e")} / (a.nrm * b.nrm) END, 6) AS cosine_sim,
+       jaccard >= 0.8 AS text_strong
+FROM jac JOIN v a ON a.vec_id = doc_i JOIN v b ON b.vec_id = doc_j
+ORDER BY doc_i, doc_j
+"""
+
+
+register("consensus_near_dups", _consensus_near_dups, _consensus_sql())

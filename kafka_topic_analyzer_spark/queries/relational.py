@@ -493,3 +493,41 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 ORDER BY o_orderstatus, o_orderpriority
 """,
 )
+
+
+def _balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(10) over account balance: per-decile customer counts and
+    balance bounds. Tie-broken by c_custkey so the bucket assignment is
+    total-order deterministic on both engines."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return (
+        c.select("c_custkey", "c_acctbal", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+        .orderBy("decile")
+    )
+
+
+register(
+    "balance_deciles",
+    _balance_deciles,
+    """
+SELECT decile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(min(c_acctbal), 2) AS min_bal,
+       round(max(c_acctbal), 2) AS max_bal
+FROM (
+  SELECT c_custkey, c_acctbal,
+         CAST(ntile(10) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS INTEGER) AS decile
+  FROM customer
+)
+GROUP BY decile ORDER BY decile
+""",
+)

@@ -96,6 +96,23 @@ FROM documents ORDER BY fp
 """
 
 
+def _streaming_wm_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_topic_analyzer_spark.streaming.dedup_stream import (
+        streaming_dedup_within_watermark,
+    )
+
+    return streaming_dedup_within_watermark(spark, sf_dir)
+
+
+# The stream is DOUBLED before dedup (see streaming/dedup_stream.py), so
+# matching the plain batch counts proves the watermarked state dropped
+# exactly one copy of every event.
+_WM_DEDUP_ORACLE = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def _register() -> None:
     # reuse the batch oracles verbatim — streaming must agree with them
     from kafka_topic_analyzer_spark.queries import kafka_core  # noqa: F401
@@ -125,6 +142,11 @@ def _register() -> None:
         "exact_dedup_streaming",
         _streaming_dedup,
         _STREAM_DEDUP_ORACLE,
+    )
+    register(
+        "dedup_within_watermark_streaming",
+        _streaming_wm_dedup,
+        _WM_DEDUP_ORACLE,
     )
 
 

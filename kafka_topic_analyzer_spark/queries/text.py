@@ -331,3 +331,48 @@ SELECT doc_id,
 FROM documents
 """,
 )
+
+
+def _sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc sentence segmentation stats via pure built-ins (the hot
+    path; the equivalent Python UDTF lives in functions/udtf.py as the
+    extension-API demo, equality-tested against this)."""
+    d = load_table(spark, sf_dir, "documents")
+    parts = F.filter(
+        F.transform(F.split(F.col("text"), r"[.!?]+"), lambda s: F.trim(s)),
+        lambda s: F.length(s) > 0,
+    )
+    base = d.select("doc_id", parts.alias("parts"))
+    total_chars = F.aggregate(
+        F.col("parts"), F.lit(0), lambda acc, s: acc + F.length(s)
+    )
+    avg_chars = F.when(
+        F.size("parts") > 0,
+        F.round(total_chars.cast("double") / F.size("parts"), 6),
+    ).otherwise(F.lit(0.0))
+    return base.select(
+        "doc_id",
+        F.size("parts").cast("long").alias("n_sentences"),
+        avg_chars.alias("avg_sentence_chars"),
+    ).orderBy("doc_id")
+
+
+register(
+    "sentence_stats",
+    _sentence_stats,
+    """
+WITH p AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split_regex(text, '[.!?]+'), s -> trim(s)),
+                s -> length(s) > 0) AS parts
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(parts) AS BIGINT) AS n_sentences,
+  CASE WHEN len(parts) > 0
+       THEN round(CAST(list_sum(list_transform(parts, s -> length(s))) AS DOUBLE)
+                  / len(parts), 6)
+       ELSE 0.0 END AS avg_sentence_chars
+FROM p ORDER BY doc_id
+""",
+)

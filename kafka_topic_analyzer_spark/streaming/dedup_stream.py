@@ -79,3 +79,51 @@ def streaming_distinct_fingerprints(spark: SparkSession, sf_dir: str) -> DataFra
             query.stop()
 
     return spark.table(name).orderBy("fp")
+
+
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded streaming dedup — the unbounded-topic variant.
+
+    The input is deliberately DOUBLED (the events stream unioned with
+    itself) so the dedup state provably drops rows;
+    ``dropDuplicatesWithinWatermark`` keys on event_id and, unlike plain
+    ``dropDuplicates``, expires state once the watermark passes a key's
+    event time + delay — state size tracks the duplication window, not
+    the full history. On bounded input every row is on-time, so the
+    surviving set is exactly the distinct event_ids; the returned
+    per-type counts equal plain batch counts over events.
+    """
+    from kafka_topic_analyzer_spark.streaming.report_stream import events_stream
+
+    prepare_session(spark)
+
+    def with_event_time(df: DataFrame) -> DataFrame:
+        ts = F.timestamp_seconds(F.floor(F.col("ts") / F.lit(1_000_000_000)))
+        return df.select("event_id", "event_type", ts.alias("event_ts"))
+
+    a = with_event_time(events_stream(spark, sf_dir))
+    b = with_event_time(events_stream(spark, sf_dir))
+    doubled = a.unionAll(b).withWatermark("event_ts", "1 hour")
+    deduped = doubled.dropDuplicatesWithinWatermark(["event_id"])
+
+    name = f"wmdedup_{uuid.uuid4().hex[:12]}"
+    query = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_wmdedup_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination()
+    finally:
+        if query.isActive:
+            query.stop()
+
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("event_type")
+    )

@@ -221,6 +221,31 @@ def test_quantize_int8_roundtrip(spark):
             assert abs(qi * step - orig) <= step / 2 + 1e-9
 
 
+def test_sentence_udtf_equals_builtin(spark):
+    """The UDTF extension demo must agree with the built-in hot path on
+    real fixture text (lateral join vs explode of the filtered split)."""
+    from kafka_topic_analyzer_spark.functions.udtf import register_udtfs
+    from kafka_topic_analyzer_spark.sources.tables import load_table
+
+    register_udtfs(spark)
+    load_table(spark, SF_SMOKE, "documents").createOrReplaceTempView("docs_udtf")
+    via_udtf = {
+        (r["doc_id"], r["idx"], r["sentence"])
+        for r in spark.sql(
+            "SELECT doc_id, s.idx, s.sentence FROM docs_udtf, "
+            "LATERAL sentence_split(text) s"
+        ).collect()
+    }
+    via_builtin = {
+        (r["doc_id"], r["idx"], r["sentence"])
+        for r in spark.sql(
+            "SELECT doc_id, posexplode(filter(transform(split(text, '[.!?]+'), "
+            "s -> trim(s)), s -> length(s) > 0)) AS (idx, sentence) FROM docs_udtf"
+        ).collect()
+    }
+    assert via_udtf == via_builtin and via_udtf
+
+
 def test_knn_lsh_recall(spark):
     """ANN top-5 must overlap exact top-5 meaningfully at 8 bits."""
     from kafka_topic_analyzer_spark.operators.similarity import (
