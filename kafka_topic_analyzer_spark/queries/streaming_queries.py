@@ -58,6 +58,50 @@ ORDER BY window_start, event_type
 """
 
 
+def _streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_topic_analyzer_spark.streaming.windowed_stream import (
+        streaming_session_stats,
+    )
+
+    return streaming_session_stats(spark, sf_dir)
+
+
+# Emitted sessions = those the final watermark (max tsec - delay) closed:
+# session end (last event + gap) <= watermark. Same islands construction
+# as the user_session_stats oracle, plus the cut.
+_SESSION_ORACLE = """
+WITH t AS (
+  SELECT user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events
+),
+numbered AS (
+  SELECT user_id, ts, tsec,
+         CASE WHEN tsec - lag(tsec) OVER (PARTITION BY user_id ORDER BY ts) > 1800
+                   OR lag(tsec) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM t
+),
+sessioned AS (
+  SELECT user_id, tsec,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM numbered
+),
+per_session AS (
+  SELECT user_id, min(tsec) AS session_start,
+         max(tsec) - min(tsec) AS duration_sec,
+         count(*) AS n_events
+  FROM sessioned GROUP BY user_id, session_id
+)
+SELECT user_id,
+       CAST(session_start AS BIGINT) AS session_start,
+       CAST(duration_sec AS BIGINT) AS duration_sec,
+       CAST(n_events AS BIGINT) AS n_events
+FROM per_session
+WHERE session_start + duration_sec + 1800 <= (SELECT max(tsec) - 3600 FROM t)
+ORDER BY user_id, session_start
+"""
+
+
 def _streaming_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_topic_analyzer_spark.streaming.join_stream import (
         streaming_purchase_click_join,
@@ -147,6 +191,11 @@ def _register() -> None:
         "dedup_within_watermark_streaming",
         _streaming_wm_dedup,
         _WM_DEDUP_ORACLE,
+    )
+    register(
+        "session_windows_streaming",
+        _streaming_sessions,
+        _SESSION_ORACLE,
     )
 
 

@@ -65,3 +65,62 @@ def streaming_windowed_counts(
         )
         .orderBy("window_start", "event_type")
     )
+
+
+def streaming_session_stats(
+    spark: SparkSession,
+    sf_dir: str,
+    gap_sec: int = 1800,
+    delay_sec: int = 3600,
+) -> DataFrame:
+    """Per-user session windows (merging stateful windows), append mode.
+
+    ``session_window`` merges events whose gap is <= gap_sec (boundary
+    pinned by test: a gap of exactly ``gap_sec`` MERGES, matching the
+    batch islands rule ``diff > gap`` starts a session). Emitted set on
+    bounded input = sessions whose end (last event + gap) the final
+    watermark has passed — the same deterministic cut as
+    :func:`streaming_windowed_counts`. Event times are floored to whole
+    seconds first so the session assignment is identical to the batch
+    oracle's integer-second islands.
+    """
+    prepare_session(spark)
+    ev = events_stream(spark, sf_dir).select(
+        F.timestamp_seconds(
+            F.floor(F.col("ts") / F.lit(1_000_000_000)).cast("long")
+        ).alias("ev_ts"),
+        "user_id",
+    )
+    agg = (
+        ev.withWatermark("ev_ts", f"{delay_sec} seconds")
+        .groupBy(F.session_window("ev_ts", f"{gap_sec} seconds"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    name = f"sessions_{uuid.uuid4().hex[:12]}"
+    query = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_sess_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination()
+    finally:
+        if query.isActive:
+            query.stop()
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("session_window.start")).alias("session_start"),
+            (
+                F.unix_timestamp(F.col("session_window.end"))
+                - F.unix_timestamp(F.col("session_window.start"))
+                - F.lit(gap_sec)
+            ).alias("duration_sec"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )

@@ -246,6 +246,31 @@ def test_sentence_udtf_equals_builtin(spark):
     assert via_udtf == via_builtin and via_udtf
 
 
+def test_session_window_boundary_merges_at_exact_gap(spark):
+    """Pin the merge rule the session_windows_streaming oracle depends
+    on: a gap of EXACTLY gap_sec merges (new session iff diff > gap),
+    identical to the batch islands rule."""
+    df = spark.createDataFrame(
+        [(1, 0), (1, 1800), (1, 3601), (2, 0), (2, 1799)], "uid long, t long"
+    ).select("uid", F.timestamp_seconds(F.col("t")).alias("ts"))
+    out = (
+        df.groupBy(F.session_window("ts", "1800 seconds"), "uid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "uid",
+            F.col("session_window.start").cast("long").alias("s"),
+            F.col("session_window.end").cast("long").alias("e"),
+            "n",
+        )
+        .orderBy("uid", "s")
+    )
+    assert [tuple(r) for r in out.collect()] == [
+        (1, 0, 3600, 2),   # 0 and 1800 merge (gap == 1800)
+        (1, 3601, 5401, 1),  # 3601 starts new (gap 1801 > 1800)
+        (2, 0, 3599, 2),
+    ]
+
+
 def test_knn_lsh_recall(spark):
     """ANN top-5 must overlap exact top-5 meaningfully at 8 bits."""
     from kafka_topic_analyzer_spark.operators.similarity import (

@@ -79,3 +79,43 @@ def test_column_pruning_reaches_scan(spark):
     assert "l_quantity" in scan and "l_extendedprice" not in scan, (
         "2-column projection must not read the full table: " + scan
     )
+
+
+def test_contamination_broadcasts_eval_grams(spark):
+    """The eval-gram side is small by definition — it must broadcast so
+    the corpus scan streams through without a corpus-sized shuffle."""
+    import __spark_entry__ as E
+
+    plan = _executed(E.queries()["benchmark_contamination"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, "eval grams must broadcast-join"
+
+
+def test_simhash_banded_join_no_cartesian(spark):
+    """The banded self-join must stay keyed on (band, band_bits) — a
+    regression to a cartesian/NL join would be quadratic in the corpus."""
+    import __spark_entry__ as E
+
+    plan = _executed(E.queries()["simhash_near_dups"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_consensus_joins_stay_keyed(spark):
+    import __spark_entry__ as E
+
+    plan = _executed(E.queries()["consensus_near_dups"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_shard_pipeline_single_dedup_shuffle(spark):
+    """The pipeline's selection (dedup window + filters) must not shuffle
+    more than once before packing: fp window -> quality/sample filters
+    are all post-shuffle, pre-pack."""
+    from kafka_topic_analyzer_spark.operators.pipeline import select_training_docs
+    from kafka_topic_analyzer_spark.sources.tables import load_table
+
+    plan = _executed(select_training_docs(load_table(spark, SF_SMOKE, "documents")))
+    # exchanges: documented scan-spread repartition (tables.py) + the fp
+    # window shuffle — and nothing else
+    assert plan.count("Exchange") <= 2, "selection grew an extra shuffle"
