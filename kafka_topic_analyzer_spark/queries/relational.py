@@ -531,3 +531,53 @@ FROM (
 GROUP BY decile ORDER BY decile
 """,
 )
+
+
+def _monthly_order_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month order volume with LAG: the remaining window class
+    (offset functions) not covered by rank/running-sum/ntile queries.
+    One shuffle for the monthly rollup; the lag window then runs on the
+    tiny aggregated frame."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.select(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+        .groupBy("month")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("n_orders").over(w)
+    growth = F.when(
+        prev.isNotNull() & (prev > 0),
+        F.round((F.col("n_orders") - prev).cast("double") / prev, 6),
+    )
+    return (
+        monthly.select(
+            F.date_format("month", "yyyy-MM").alias("month"),
+            "n_orders",
+            prev.alias("prev_orders"),
+            growth.alias("growth_rate"),
+        )
+        .orderBy("month")
+    )
+
+
+register(
+    "monthly_order_growth",
+    _monthly_order_growth,
+    """
+WITH m AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT month, n_orders,
+       lag(n_orders) OVER (ORDER BY month) AS prev_orders,
+       CASE WHEN lag(n_orders) OVER (ORDER BY month) > 0
+            THEN round(CAST(n_orders - lag(n_orders) OVER (ORDER BY month) AS DOUBLE)
+                       / lag(n_orders) OVER (ORDER BY month), 6)
+       END AS growth_rate
+FROM m ORDER BY month
+""",
+)

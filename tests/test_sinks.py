@@ -63,3 +63,35 @@ def test_training_shard_pipeline_end_to_end(spark, tmp_path):
     assert back.select("fp").distinct().count() == n_written
     # packing columns present and non-negative
     assert back.where("seq_id < 0 OR token_start < 0").count() == 0
+
+
+def test_streaming_foreachbatch_corpus_sink(spark, tmp_path):
+    """Streamed clean→dedup→shard ingest equals the batch equivalent:
+    same row count, same distinct fingerprints, hive layout by lang."""
+    from kafka_topic_analyzer_spark.functions.text import clean_text, md5_fingerprint
+    from kafka_topic_analyzer_spark.sources.tables import load_table
+    from kafka_topic_analyzer_spark.streaming.sink_stream import stream_curated_corpus
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "corpus")
+    n = stream_curated_corpus(spark, SF_SMOKE, out)
+
+    batch = load_table(spark, SF_SMOKE, "documents").select(
+        md5_fingerprint(F.col("text")).alias("fp")
+    )
+    assert n == batch.distinct().count() > 0
+
+    back = spark.read.parquet(out)
+    assert set(back.columns) == {"doc_id", "lang", "text", "fp"}
+    assert back.select("fp").distinct().count() == n
+    # lang is a hive partition directory, and text arrives cleaned
+    import os
+
+    assert any(d.startswith("lang=") for d in os.listdir(out))
+    both = back.alias("s").join(
+        load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", clean_text(F.col("text")).alias("expect"))
+        .alias("b"),
+        "doc_id",
+    )
+    assert both.where(F.col("s.text") != F.col("b.expect")).count() == 0
