@@ -343,7 +343,11 @@ def simhash_fingerprints_wide(docs: DataFrame, bits: int = 48) -> DataFrame:
 
 
 def simhash_near_dup_pairs(
-    docs: DataFrame, max_hamming: int = 3, bands: int = 4, bits: int = 48
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    bits: int = 48,
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs (doc_i < doc_j, hamming <= max_hamming).
 
@@ -356,13 +360,22 @@ def simhash_near_dup_pairs(
     not corpus size (and the fingerprint width keeps non-duplicates out
     of buckets — see :func:`simhash_fingerprints_wide`). Verification
     (``bit_count(xor)``) is pure JVM column arithmetic.
+
+    Self-join cost note: Catalyst plans the fingerprint subtree on BOTH
+    join sides (no exchange reuse even under AQE — measured), so by
+    default the corpus text is scanned/tokenized twice. Fine at test
+    scale (recompute beats materialization below ~10^5 docs: 3.8s vs
+    4.5s at sf0.1), wrong at corpus scale — there, pass
+    ``fingerprints=simhash_fingerprints_wide(docs).localCheckpoint()``
+    (or a persisted fingerprint table, which a real pipeline keeps as an
+    artifact anyway) and the text is scanned once.
     """
     if max_hamming >= bands:
         raise ValueError("banded candidates are exact only for max_hamming < bands")
     if bits % bands:
         raise ValueError("bits must divide evenly into bands")
     width = bits // bands
-    fp = simhash_fingerprints_wide(docs, bits)
+    fp = fingerprints if fingerprints is not None else simhash_fingerprints_wide(docs, bits)
     banded = fp.select(
         "doc_id",
         "simhash",

@@ -294,3 +294,57 @@ GROUP BY lang
 ORDER BY lang
 """,
 )
+
+
+CHUNK_CHARS = 200
+CHUNK_STRIDE = 150  # 50-char overlap between adjacent chunks
+
+
+def _doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping character chunking: windows of CHUNK_CHARS
+    every CHUNK_STRIDE chars (start < len, so the tail chunk may be
+    short; empty docs yield no chunks). Pure scan-side explode — chunk
+    count, not corpus size, is the only row amplification."""
+    d = load_table(spark, sf_dir, "documents")
+    n_chunks = F.ceil(F.length("text").cast("double") / CHUNK_STRIDE).cast("int")
+    # sequence(0, -1) would DESCEND, so empty docs are filtered first
+    chunks = d.where(F.length("text") > 0).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"sequence(0L, cast(ceil(length(text) / double({CHUNK_STRIDE})) as long) - 1L)"
+            )
+        ).alias("chunk_idx"),
+        F.col("text"),
+    )
+    chunk_text = F.substring(
+        F.col("text"), F.col("chunk_idx").cast("int") * CHUNK_STRIDE + 1, CHUNK_CHARS
+    )
+    return (
+        chunks.select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            (F.col("chunk_idx").cast("long") * CHUNK_STRIDE).alias("chunk_start"),
+            chunk_text.alias("chunk_text"),
+            F.length(chunk_text).cast("long").alias("chunk_len"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+register(
+    "doc_chunking",
+    _doc_chunking,
+    f"""
+WITH c AS (
+  SELECT doc_id, text, unnest(range(0, CAST(ceil(length(text) / {CHUNK_STRIDE}.0) AS BIGINT))) AS chunk_idx
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id,
+  CAST(chunk_idx AS BIGINT) AS chunk_idx,
+  CAST(chunk_idx * {CHUNK_STRIDE} AS BIGINT) AS chunk_start,
+  substring(text, CAST(chunk_idx * {CHUNK_STRIDE} + 1 AS INT), {CHUNK_CHARS}) AS chunk_text,
+  CAST(length(substring(text, CAST(chunk_idx * {CHUNK_STRIDE} + 1 AS INT), {CHUNK_CHARS})) AS BIGINT) AS chunk_len
+FROM c ORDER BY doc_id, chunk_idx
+""",
+)

@@ -107,3 +107,51 @@ def _event_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 register("event_value_quantiles_approx", _event_value_quantiles_approx, None)
+
+
+MIN_DOC_FREQ = 25  # postings emitted only for reasonably common terms
+POSTINGS_CAP = 20  # first K doc_ids per term (CSV for hash stability)
+
+
+def _term_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: per term, document frequency and the
+    first K sorted doc_ids (the posting-list head a search/near-dup
+    system materializes). One explode + one term-keyed shuffle; the
+    collect_list is bounded per term by the slice, postings never exceed
+    POSTINGS_CAP ids on the wire after the head cut."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.lower(F.col("text"))))).alias("term")
+    )
+    return (
+        tok.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("doc_freq"),
+            F.concat_ws(
+                ",",
+                F.slice(F.sort_array(F.collect_list("doc_id")), 1, POSTINGS_CAP).cast(
+                    "array<string>"
+                ),
+            ).alias("postings_head"),
+        )
+        .where(F.col("doc_freq") >= MIN_DOC_FREQ)
+        .orderBy("term")
+    )
+
+
+register(
+    "term_postings",
+    _term_postings,
+    f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest({_TOKS}) AS term FROM documents
+)
+SELECT term,
+  CAST(count(*) AS BIGINT) AS doc_freq,
+  array_to_string(list_sort(list(doc_id))[1:{POSTINGS_CAP}], ',') AS postings_head
+FROM tok
+GROUP BY term
+HAVING count(*) >= {MIN_DOC_FREQ}
+ORDER BY term
+""",
+)

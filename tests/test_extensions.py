@@ -136,6 +136,15 @@ def test_simhash_banded_pairs_equal_bruteforce(spark):
     }
     assert banded == brute and brute
 
+    # the scale path (precomputed/materialized fingerprints) is identical
+    pre = {
+        (r["doc_i"], r["doc_j"], r["hamming"])
+        for r in simhash_near_dup_pairs(
+            docs, max_hamming=3, fingerprints=fp.localCheckpoint()
+        ).collect()
+    }
+    assert pre == brute
+
     with pytest.raises(ValueError):
         simhash_near_dup_pairs(docs, max_hamming=4, bands=4)
 
