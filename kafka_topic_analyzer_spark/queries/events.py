@@ -340,3 +340,107 @@ FROM t WHERE n_trailing_hours > 0
 ORDER BY hour
 """,
 )
+
+
+def _event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel signup→view→click→purchase: users counted at each
+    stage only if the stage's FIRST occurrence is strictly after the
+    previous stage's entry time. Each stage is one user-keyed
+    conditional aggregate joined back on user_id — four partial-agged
+    shuffles on the same key (co-partitioned after the first), no
+    event-level self-join."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", WOP.ts_sec().alias("tsec")
+    )
+
+    def first_after(df: DataFrame, etype: str, prev: DataFrame, prev_col: str, out: str) -> DataFrame:
+        return (
+            df.join(prev, "user_id")
+            .where((F.col("event_type") == etype) & (F.col("tsec") > F.col(prev_col)))
+            .groupBy("user_id")
+            .agg(F.min("tsec").alias(out))
+        )
+
+    s1 = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("tsec").alias("t1"))
+    )
+    s2 = first_after(e, "view", s1, "t1", "t2")
+    s3 = first_after(e, "click", s2, "t2", "t3")
+    s4 = first_after(e, "purchase", s3, "t3", "t4")
+    return spark.createDataFrame(
+        [("1_signup",), ("2_view",), ("3_click",), ("4_purchase",)], "stage string"
+    ).join(
+        s1.agg(F.count(F.lit(1)).alias("n")).select(F.lit("1_signup").alias("stage"), "n")
+        .unionAll(s2.agg(F.count(F.lit(1)).alias("n")).select(F.lit("2_view").alias("stage"), "n"))
+        .unionAll(s3.agg(F.count(F.lit(1)).alias("n")).select(F.lit("3_click").alias("stage"), "n"))
+        .unionAll(s4.agg(F.count(F.lit(1)).alias("n")).select(F.lit("4_purchase").alias("stage"), "n")),
+        "stage",
+    ).select("stage", F.col("n").cast("long").alias("n_users")).orderBy("stage")
+
+
+register(
+    "event_funnel",
+    _event_funnel,
+    f"""
+WITH e AS (SELECT user_id, event_type, {_TS} AS tsec FROM events),
+s1 AS (SELECT user_id, min(tsec) AS t1 FROM e WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(tsec) AS t2 FROM e JOIN s1 USING (user_id)
+       WHERE event_type = 'view' AND tsec > t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(tsec) AS t3 FROM e JOIN s2 USING (user_id)
+       WHERE event_type = 'click' AND tsec > t2 GROUP BY e.user_id),
+s4 AS (SELECT e.user_id, min(tsec) AS t4 FROM e JOIN s3 USING (user_id)
+       WHERE event_type = 'purchase' AND tsec > t3 GROUP BY e.user_id)
+SELECT stage, n_users FROM (
+  SELECT '1_signup' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s1
+  UNION ALL SELECT '2_view', CAST(count(*) AS BIGINT) FROM s2
+  UNION ALL SELECT '3_click', CAST(count(*) AS BIGINT) FROM s3
+  UNION ALL SELECT '4_purchase', CAST(count(*) AS BIGINT) FROM s4
+) ORDER BY stage
+""",
+)
+
+
+WEEK_SEC = 7 * 24 * 3600
+
+
+def _weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted as retained in each later week they were active. All-integer
+    week arithmetic; two user-keyed aggregates + one distinct — the
+    classic warehouse rollup, partial-aggregable end to end."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", (WOP.ts_sec() - WOP.ts_sec() % WEEK_SEC).alias("week")
+    )
+    first = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = e.distinct()
+    return (
+        active.join(first, "user_id")
+        .select(
+            "cohort_week",
+            ((F.col("week") - F.col("cohort_week")) / WEEK_SEC).cast("long").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+register(
+    "weekly_retention_cohorts",
+    _weekly_retention_cohorts,
+    f"""
+WITH e AS (
+  SELECT DISTINCT user_id, {_TS} - {_TS} % {WEEK_SEC} AS week FROM events
+),
+first AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id)
+SELECT cohort_week,
+       CAST((week - cohort_week) // {WEEK_SEC} AS BIGINT) AS week_offset,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM e JOIN first USING (user_id)
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
