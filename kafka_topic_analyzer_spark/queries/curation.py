@@ -348,3 +348,57 @@ SELECT doc_id,
 FROM c ORDER BY doc_id, chunk_idx
 """,
 )
+
+
+def _source_char_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDAF-rung demo with an oracle: exact-integer median absolute
+    deviation per source (operators/grouped.py char_dispersion_udaf)."""
+    from kafka_topic_analyzer_spark.operators.grouped import source_char_dispersion
+
+    return source_char_dispersion(load_table(spark, sf_dir, "documents"))
+
+
+register(
+    "source_char_dispersion",
+    _source_char_dispersion,
+    """
+WITH m AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(round(2 * median(n_chars)) AS BIGINT) AS med2
+  FROM documents GROUP BY source
+)
+SELECT d.source, CAST(m.n_docs AS BIGINT) AS n_docs,
+       CAST(sum(abs(2 * d.n_chars - m.med2)) AS BIGINT) AS total_abs_dev_x2
+FROM documents d JOIN m ON d.source = m.source
+GROUP BY d.source, m.n_docs
+ORDER BY d.source
+""",
+)
+
+
+def _per_lang_length_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas rung with an oracle: per-language
+    min-max normalized doc length (operators/grouped.py)."""
+    from kafka_topic_analyzer_spark.operators.grouped import per_group_minmax_norm
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return per_group_minmax_norm(d, "lang", "n_chars", "len_norm").orderBy("doc_id")
+
+
+register(
+    "per_lang_length_norm",
+    _per_lang_length_norm,
+    """
+WITH w AS (
+  SELECT doc_id, lang, n_chars,
+         min(n_chars) OVER (PARTITION BY lang) AS lo,
+         max(n_chars) OVER (PARTITION BY lang) AS hi
+  FROM documents
+)
+SELECT doc_id, lang,
+  CASE WHEN hi = lo THEN 0.0
+       ELSE floor((CAST(n_chars - lo AS DOUBLE) / (hi - lo)) * 1000000.0 + 0.5)
+            / 1000000.0 END AS len_norm
+FROM w ORDER BY doc_id
+""",
+)
