@@ -20,7 +20,7 @@ from kafka_topic_analyzer_spark.registry import register
 from kafka_topic_analyzer_spark.sources.tables import load_table
 
 CONTAM_K = 8  # words per gram
-EVAL_MAX_DOC_ID = 20  # fixture stand-in benchmark: doc_id < 20
+EVAL_MAX_DOC_ID = 50  # fixture stand-in benchmark: doc_id < 50
 
 
 def _benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -33,10 +33,24 @@ def _benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         grams(d.where(F.col("doc_id") < EVAL_MAX_DOC_ID)).select("gram").distinct()
     )
     corpus_grams = grams(d.where(F.col("doc_id") >= EVAL_MAX_DOC_ID))
-    return (
+    totals = corpus_grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
         corpus_grams.join(F.broadcast(eval_grams), "gram")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+    # the decontam decision needs the RATE (drop docs above a collision
+    # fraction), so report shared/total per contaminated doc
+    return (
+        hits.join(totals, "doc_id")
+        .select(
+            "doc_id",
+            "n_shared_grams",
+            "n_grams",
+            F.round(
+                F.col("n_shared_grams").cast("double") / F.col("n_grams"), 6
+            ).alias("contamination_rate"),
+        )
         .orderBy("doc_id")
     )
 
@@ -55,10 +69,15 @@ WITH g AS (
   SELECT doc_id, unnest(list_distinct({_GRAMS})) AS gram FROM documents
 ),
 ev AS (SELECT DISTINCT gram FROM g WHERE doc_id < {EVAL_MAX_DOC_ID}),
-corpus AS (SELECT doc_id, gram FROM g WHERE doc_id >= {EVAL_MAX_DOC_ID})
-SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
-FROM corpus JOIN ev USING (gram)
-GROUP BY doc_id
+corpus AS (SELECT doc_id, gram FROM g WHERE doc_id >= {EVAL_MAX_DOC_ID}),
+totals AS (SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY doc_id),
+hits AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+  FROM corpus JOIN ev USING (gram) GROUP BY doc_id
+)
+SELECT doc_id, n_shared_grams, CAST(n_grams AS BIGINT) AS n_grams,
+       round(CAST(n_shared_grams AS DOUBLE) / n_grams, 6) AS contamination_rate
+FROM hits JOIN totals USING (doc_id)
 ORDER BY doc_id
 """,
 )
