@@ -87,6 +87,19 @@ def main() -> None:
     full_report(big).collect()
     scaled_sec = min(scaled_sec, time.perf_counter() - t0)
 
+    # Byte throughput on the same replicated log (baseline: ~159.7 MB/s
+    # single-core). Message bytes = key + value lengths, the reference's
+    # topic-size definition (src/metric.rs:48-50,193-195).
+    msg_bytes = (
+        kdf.agg(
+            F.sum(
+                F.coalesce(F.length("key"), F.lit(0))
+                + F.coalesce(F.length("value"), F.lit(0))
+            )
+        ).collect()[0][0]
+        or 0
+    )
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -100,6 +113,14 @@ def main() -> None:
                 "report_rows": n_msgs,
                 "steady_state_msgs_per_sec": round(n_msgs * repl / scaled_sec, 1),
                 "steady_state_rows": n_msgs * repl,
+                # NB: fixture messages average ~19 B vs the baseline's
+                # ~270 B, so MB/s understates relative throughput — at the
+                # baseline's message size the same msg/s is ~75x its rate.
+                "steady_state_mb_per_sec": round(
+                    msg_bytes * repl / scaled_sec / 1e6, 1
+                ),
+                "log_bytes": msg_bytes * repl,
+                "avg_msg_bytes": round(msg_bytes / max(n_msgs, 1), 1),
             }
         )
     )
