@@ -95,3 +95,28 @@ def test_streaming_foreachbatch_corpus_sink(spark, tmp_path):
         "doc_id",
     )
     assert both.where(F.col("s.text") != F.col("b.expect")).count() == 0
+
+
+def test_jsonl_roundtrip_equals_parquet(spark, tmp_path):
+    """JSONL write -> FAILFAST read reproduces the parquet table exactly."""
+    from kafka_topic_analyzer_spark.sources.tables import load_table
+    from kafka_topic_analyzer_spark.sources.text_formats import (
+        read_documents_jsonl,
+        write_documents_jsonl,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = str(tmp_path / "docs_jsonl")
+    write_documents_jsonl(docs, out)
+    back = read_documents_jsonl(spark, out)
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    assert {tuple(r) for r in back.select(cols).collect()} == {
+        tuple(r) for r in docs.select(cols).collect()
+    }
+    # corrupt line must fail loudly, not null out
+    import pytest as _pytest
+
+    bad = tmp_path / "bad" ; bad.mkdir()
+    (bad / "part-00000.json").write_text('{"doc_id": 1, "text": "ok"}\n{broken\n')
+    with _pytest.raises(Exception):
+        read_documents_jsonl(spark, str(bad)).collect()
