@@ -444,3 +444,55 @@ GROUP BY 1, 2
 ORDER BY 1, 2
 """,
 )
+
+
+def _user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event log → SCD2-style state history: consecutive duplicate states
+    collapsed, each surviving row stamped [valid_from, valid_to) with
+    valid_to = next change (NULL while current) — the anti-join+window
+    CDC-merge emulation pattern, run log-side. Two windows over the same
+    (user_id, ts) partitioning = one shuffle."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id", WOP.ts_sec().alias("tsec")
+    )
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = e.withColumn(
+        "prev_state", F.lag("event_type").over(order)
+    ).where(
+        F.col("prev_state").isNull() | (F.col("prev_state") != F.col("event_type"))
+    )
+    order2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        changed.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("tsec").alias("valid_from_sec"),
+            F.lead("tsec").over(order2).alias("valid_to_sec"),
+        )
+        .orderBy("user_id", "valid_from_sec", "state")
+    )
+
+
+register(
+    "user_state_history",
+    _user_state_history,
+    f"""
+WITH e AS (
+  SELECT user_id, event_type, ts, event_id, {_TS} AS tsec FROM events
+),
+changed AS (
+  SELECT * FROM (
+    SELECT user_id, event_type, ts, event_id, tsec,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
+    FROM e
+  ) WHERE prev_state IS NULL OR prev_state <> event_type
+)
+SELECT user_id, event_type AS state,
+       tsec AS valid_from_sec,
+       lead(tsec) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_sec
+FROM changed
+ORDER BY user_id, valid_from_sec, state
+""",
+)

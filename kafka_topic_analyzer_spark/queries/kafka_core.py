@@ -137,3 +137,45 @@ def _kafka_alive_keys_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 # HLL sketches differ across engines — rows-only check (driver records the
 # weaker gate; the exact variant above is the hash-matched one).
 register("kafka_alive_keys_approx", _kafka_alive_keys_approx, None)
+
+
+def _report_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (long-form) of the per-partition report — the inverse of
+    order_status_pivot's wide-form: one (partition, metric, value) row
+    per counter, the shape metric stores and dashboards ingest. stack()
+    is pure projection — no extra shuffle beyond the report itself."""
+    from kafka_topic_analyzer_spark.operators.report import partition_report
+    from kafka_topic_analyzer_spark.sources.events_log import kafka_frame_from_events
+
+    rep = partition_report(kafka_frame_from_events(spark, sf_dir))
+    return (
+        rep.selectExpr(
+            "partition",
+            "stack(4, 'total', total, 'alive', alive, 'tombstones', tombstones, "
+            "'key_non_null', key_non_null) AS (metric, value)",
+        )
+        .orderBy("partition", "metric")
+    )
+
+
+register(
+    "report_metrics_unpivot",
+    _report_metrics_unpivot,
+    kafka_oracle("""
+, agg AS (
+  SELECT "partition",
+    CAST(count(*) AS BIGINT) AS total,
+    CAST(count("value") AS BIGINT) AS alive,
+    CAST(count(*) - count("value") AS BIGINT) AS tombstones,
+    CAST(count("key") AS BIGINT) AS key_non_null
+  FROM kafka_messages GROUP BY "partition"
+)
+SELECT "partition", metric, value FROM (
+  SELECT "partition", 'total' AS metric, total AS value FROM agg
+  UNION ALL SELECT "partition", 'alive', alive FROM agg
+  UNION ALL SELECT "partition", 'tombstones', tombstones FROM agg
+  UNION ALL SELECT "partition", 'key_non_null', key_non_null FROM agg
+)
+ORDER BY "partition", metric
+"""),
+)
