@@ -496,3 +496,63 @@ FROM changed
 ORDER BY user_id, valid_from_sec, state
 """,
 )
+
+
+_CHECKS: list[tuple[str, str]] = [
+    # (check name, SQL predicate that flags a VIOLATION) — shared between
+    # engines verbatim: every predicate is portable SQL on scan columns.
+    ("value_negative", "value < 0"),
+    ("value_over_400", "value > 400"),
+    ("value_null", "value IS NULL"),
+    ("unknown_event_type",
+     "event_type NOT IN ('click','view','purchase','signup','error')"),
+    ("user_id_null", "user_id IS NULL"),
+]
+
+
+def _events_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-validation pass (the 'expectations' pattern): every invariant
+    evaluated in ONE scan via conditional aggregation — adding a check
+    adds a column to the same partial-aggregated pass, never a second
+    read. Violation counts + rates in long form for alerting."""
+    e = load_table(spark, sf_dir, "events")
+    aggs = [
+        F.sum(F.when(F.expr(pred), 1).otherwise(0)).cast("long").alias(name)
+        for name, pred in _CHECKS
+    ] + [F.count(F.lit(1)).alias("_n")]
+    row = e.agg(*aggs)
+    stacked = row.selectExpr(
+        "_n",
+        "stack({}, {}) AS (check, n_violations)".format(
+            len(_CHECKS), ", ".join(f"'{n}', {n}" for n, _ in _CHECKS)
+        ),
+    )
+    return stacked.select(
+        "check",
+        "n_violations",
+        F.col("_n").alias("n_rows"),
+        F.round(F.col("n_violations").cast("double") / F.col("_n"), 6).alias(
+            "violation_rate"
+        ),
+    ).orderBy("check")
+
+
+_CHECK_ARMS = "\nUNION ALL ".join(
+    f"SELECT '{name}' AS \"check\", {name} AS n_violations, CAST(n AS BIGINT) AS n_rows, "
+    f"round(CAST({name} AS DOUBLE) / n, 6) AS violation_rate FROM agg"
+    for name, _ in _CHECKS
+)
+
+register(
+    "events_quality_checks",
+    _events_quality_checks,
+    f"""
+WITH agg AS (
+  SELECT count(*) AS n,
+    {", ".join(f"CAST(sum(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT) AS {name}" for name, pred in _CHECKS)}
+  FROM events
+)
+{_CHECK_ARMS}
+ORDER BY "check"
+""",
+)

@@ -120,3 +120,59 @@ def test_jsonl_roundtrip_equals_parquet(spark, tmp_path):
     (bad / "part-00000.json").write_text('{"doc_id": 1, "text": "ok"}\n{broken\n')
     with _pytest.raises(Exception):
         read_documents_jsonl(spark, str(bad)).collect()
+
+
+def test_streaming_upsert_merge_equals_batch_compaction(spark, tmp_path):
+    """foreachBatch MERGE emulation: after streaming epoch-ordered slices
+    of the log, the state table equals the batch latest-per-key
+    compaction (tombstones deleted)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from kafka_topic_analyzer_spark.sources.events_log import kafka_frame_from_events
+    from kafka_topic_analyzer_spark.streaming.upsert_sink import (
+        read_state,
+        stream_upsert_compacted_state,
+    )
+
+    kdf = kafka_frame_from_events(spark, SF_SMOKE).where(F.col("key").isNotNull())
+    pdf = kdf.toPandas()
+
+    # epoch slices ordered like the engine's recency order (partition asc),
+    # so later epochs really are "newer" — CDC batches arrive in log order
+    src = tmp_path / "slices"
+    src.mkdir()
+    for i, lo in enumerate(range(0, 8, 2)):
+        part = pdf[(pdf["partition"] >= lo) & (pdf["partition"] < lo + 2)]
+        f = src / f"slice{i}.parquet"
+        pq.write_table(pa.Table.from_pandas(part, preserve_index=False), str(f))
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))  # mtime = epoch order
+
+    stream = (
+        spark.readStream.schema(kdf.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    state_dir = str(tmp_path / "state")
+    stream_upsert_compacted_state(spark, stream, state_dir)
+
+    final = read_state(spark, state_dir)
+    assert final is not None
+    got = {
+        (r["key"], r["partition"], r["offset"], r["value"])
+        for r in final.collect()
+    }
+    w = Window.partitionBy("key").orderBy(F.col("partition").desc(), F.col("offset").desc())
+    latest = kdf.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn")
+    want = {
+        (r["key"], r["partition"], r["offset"], r["value"])
+        for r in latest.where(F.col("value").isNotNull()).collect()
+    }
+    assert got == want and got
+    # multiple epochs actually ran: more than one version dir exists
+    versions = [d for d in os.listdir(state_dir) if d.startswith("v")]
+    assert len(versions) >= 2
