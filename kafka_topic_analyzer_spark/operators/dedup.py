@@ -588,3 +588,56 @@ def score_id_pairs_blocked(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def pagerank_integer(
+    edges: DataFrame, iterations: int = 10, scale: int = 10**12, damping_pct: int = 85
+) -> DataFrame:
+    """PageRank over an undirected edge list in EXACT int64 arithmetic.
+
+    Ranks are integers scaled by ``scale``; each iteration is
+    ``r'(v) = teleport + (damping_pct * Σ_incoming(r(u) div outdeg(u))) div 100``
+    with ``teleport = ((100 - damping_pct) * scale div 100) div n``.
+    Floor-division everywhere makes the result bit-identical on every
+    engine — the same libm-free discipline as the term-ranking queries —
+    so even this iterative algorithm has an exact DuckDB oracle
+    (unrolled per-iteration CTEs). Floor losses mean ranks sum to
+    slightly under ``scale``; ordering and proportions are standard
+    PageRank.
+
+    Scale notes: one vertex-keyed shuffle per iteration;
+    ``localCheckpoint`` truncates lineage (same pattern as
+    :func:`connected_components`). int64 headroom bounds the graph:
+    ``damping_pct * n_neighbors * scale`` must stay under 2^63 — at
+    scale=10^12 that allows ~10^5 incoming edges per vertex; drop scale
+    to 10^9 for denser graphs. The symmetric edge list gives every
+    vertex outdeg >= 1, so there is no dangling mass.
+    """
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sym = sym.localCheckpoint(eager=True)
+    nodes = sym.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+    n = nodes.count()
+    teleport = ((100 - damping_pct) * scale // 100) // n
+    outdeg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = nodes.select("node", F.lit(scale // n).cast("long").alias("rank"))
+    for i in range(iterations):
+        contribs = (
+            sym.join(ranks, sym.src == ranks.node)
+            .join(outdeg, "src")
+            .select(F.col("dst").alias("node"), F.expr("rank div outdeg").alias("c"))
+        )
+        ranks = (
+            contribs.groupBy("node")
+            .agg(
+                (F.lit(teleport) + F.expr(f"({damping_pct} * sum(c)) div 100"))
+                .cast("long")
+                .alias("rank")
+            )
+        )
+        # checkpoint sparsely: each eager checkpoint is a full job, and at
+        # 10 iterations the un-truncated plan is still cheap to optimize —
+        # the cadence only needs to stop exponential replay, not lineage
+        # growth per se
+        if (i + 1) % 5 == 0 and (i + 1) < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select(F.col("node").alias("doc_id"), "rank")

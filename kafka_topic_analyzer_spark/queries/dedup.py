@@ -368,3 +368,75 @@ ORDER BY doc_i, doc_j
 
 
 register("consensus_near_dups", _consensus_near_dups, _consensus_sql())
+
+
+PAGERANK_ITERS = 10
+PAGERANK_SCALE = 10**12
+
+
+def _dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer PageRank over the near-dup graph (the canonical-doc
+    priority signal: within a dup cluster, keep the most-connected doc).
+    Exact int64 arithmetic makes this ITERATIVE algorithm oracle-
+    checkable — the DuckDB side unrolls the same 10 iterations as CTEs."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.near_dup_pairs_jaccard(docs, k=3, threshold=0.7, max_df=50)
+    edges = pairs.select(F.col("doc_i").alias("src"), F.col("doc_j").alias("dst"))
+    return (
+        D.pagerank_integer(edges, iterations=PAGERANK_ITERS, scale=PAGERANK_SCALE)
+        .orderBy("doc_id")
+    )
+
+
+def _pagerank_sql() -> str:
+    scale, damp, iters = PAGERANK_SCALE, 85, PAGERANK_ITERS
+    ctes = [
+        f"""edges AS (
+  SELECT doc_i AS src, doc_j AS dst FROM nd
+  UNION ALL SELECT doc_j, doc_i FROM nd
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+meta AS (SELECT count(*) AS n FROM nodes),
+outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+pr0 AS (SELECT node, CAST((SELECT {scale} // n FROM meta) AS BIGINT) AS rank FROM nodes)"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""pr{i} AS (
+  SELECT e.dst AS node,
+         CAST((SELECT (({100 - damp} * {scale}) // 100) // n FROM meta)
+              + ({damp} * sum(pr{i-1}.rank // o.outdeg)) // 100 AS BIGINT) AS rank
+  FROM pr{i-1} JOIN edges e ON pr{i-1}.node = e.src
+  JOIN outdeg o ON o.src = pr{i-1}.node
+  GROUP BY e.dst
+)"""
+        )
+    # reuse the near-dup pair construction from the cluster oracle
+    return (
+        f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS shingle FROM documents
+),
+kept AS (
+  SELECT doc_id, shingle FROM sh
+  WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 50)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+p AS (
+  SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, count(*) AS shared
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+nd AS (
+  SELECT doc_i, doc_j FROM p
+  JOIN sizes sa ON sa.doc_id = doc_i
+  JOIN sizes sb ON sb.doc_id = doc_j
+  WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.7
+),
+"""
+        + ",\n".join(ctes)
+        + f"\nSELECT node AS doc_id, rank FROM pr{iters} ORDER BY doc_id"
+    )
+
+
+register("dup_graph_pagerank", _dup_graph_pagerank, _pagerank_sql())
