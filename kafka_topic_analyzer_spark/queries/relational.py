@@ -581,3 +581,107 @@ SELECT month, n_orders,
 FROM m ORDER BY month
 """,
 )
+
+
+def _q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — deliberately written through the SQL API
+    (temp view + spark.sql) to pin that the engine's SQL entry point
+    plans identically to the DataFrame path: same scan pushdown, same
+    single partial-agged aggregate."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                              * CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS forecast_revenue
+        FROM lineitem_v
+        WHERE l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """
+    )
+
+
+register(
+    "q6_forecast_revenue",
+    _q6_forecast_revenue,
+    """
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE)
+       AS forecast_revenue
+FROM lineitem
+WHERE l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+
+
+def _q12_returnflag_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (join + CASE-conditional counts); the slim fixture
+    lineitem has no l_shipmode, so the grouping key is l_returnflag —
+    same plan shape: fact-fact equi-join, conditional aggregation."""
+    l = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag").isin("A", "R")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+register(
+    "q12_returnflag_priority",
+    _q12_returnflag_priority,
+    """
+SELECT l_returnflag,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+    AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+    AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_returnflag IN ('A','R')
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+
+
+def _q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share — conditional decimal sums,
+    part dim broadcast."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(6,4)") - dec("l_discount", 6, 4))
+    promo = F.col("p_type").startswith("PROMO")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    return j.agg(
+        F.round(
+            (F.sum(F.when(promo, rev).otherwise(F.lit(0).cast("decimal(18,4)"))) * 100)
+            .cast("double")
+            / F.sum(rev).cast("double"),
+            4,
+        ).alias("promo_revenue_pct")
+    )
+
+
+register(
+    "q14_promo_share",
+    _q14_promo_share,
+    """
+SELECT round(
+  CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                     * (1 - CAST(l_discount AS DECIMAL(6,4)))
+                ELSE CAST(0 AS DECIMAL(18,4)) END) * 100 AS DOUBLE)
+  / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+             * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE), 4)
+  AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+""",
+)
