@@ -125,3 +125,41 @@ def test_tombstone_vs_empty_value(spark, kdf):
 
     state = {bytes(r["key"]): r.asDict() for r in compacted_state(kdf).collect()}
     assert state[(b"e")]["alive"] is True
+
+
+def test_canonicalize_raw_kafka_frame(spark):
+    """The real-broker path: a frame with the Kafka source's exact schema
+    canonicalizes into the engine frame (ms timestamps, missing ts -> 0,
+    binary key/value nullness preserved) and feeds the same report."""
+    import datetime as dt
+
+    from pyspark.sql import types as T, functions as F
+    from kafka_topic_analyzer_spark.operators.report import partition_report
+    from kafka_topic_analyzer_spark.sources.kafka import canonicalize_kafka_frame
+
+    schema = T.StructType([
+        T.StructField("key", T.BinaryType()),
+        T.StructField("value", T.BinaryType()),
+        T.StructField("topic", T.StringType()),
+        T.StructField("partition", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("timestampType", T.IntegerType()),
+    ])
+    ts = dt.datetime(2024, 1, 1, 0, 0, 1, 500000, tzinfo=dt.timezone.utc)
+    rows = [
+        (b"k1", b"v1", "t", 0, 0, ts, 0),
+        (b"k1", None, "t", 0, 1, ts, 0),      # tombstone
+        (None, b"v2", "t", 0, 2, None, 0),    # null key, missing ts
+        (b"k2", b"", "t", 1, 0, ts, 0),       # empty-but-present value
+    ]
+    kdf = canonicalize_kafka_frame(spark.createDataFrame(rows, schema))
+    got = {(r["partition"], r["offset"]): r for r in kdf.collect()}
+    assert got[(0, 0)]["timestamp_ms"] == 1704067201500
+    assert got[(0, 2)]["timestamp_ms"] == 0          # missing -> epoch
+    assert got[(0, 1)]["value"] is None              # tombstone kept NULL
+    assert got[(1, 0)]["value"] == bytearray(b"")    # empty != tombstone
+
+    rep = {r["partition"]: r for r in partition_report(kdf).collect()}
+    assert rep[0]["total"] == 3 and rep[0]["tombstones"] == 1
+    assert rep[1]["alive"] == 1 and rep[1]["value_bytes"] == 0
