@@ -554,3 +554,19 @@ def test_salted_join_equals_plain_join(spark):
         for r in salted_equi_join(big, small, "key", salt=8).collect()
     }
     assert salted == plain and len(plain) > 0
+
+
+def test_approx_alive_keys_within_error_bound(spark):
+    """The HLL scale path must land within its advertised rsd of the
+    exact count (3 sigma) on real fixture data."""
+    from kafka_topic_analyzer_spark.operators.alive_keys import (
+        alive_key_count,
+        alive_key_count_approx,
+    )
+    from kafka_topic_analyzer_spark.sources.events_log import kafka_frame_from_events
+
+    kdf = kafka_frame_from_events(spark, SF_SMOKE)
+    exact = alive_key_count(kdf).collect()[0][0]
+    approx = alive_key_count_approx(kdf, rsd=0.05).collect()[0][0]
+    assert exact > 0
+    assert abs(approx - exact) <= 3 * 0.05 * exact
