@@ -402,3 +402,55 @@ SELECT doc_id, lang,
 FROM w ORDER BY doc_id
 """,
 )
+
+
+def _source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing weights: per-source deterministic keep-rate that
+    reshapes the natural token distribution toward a uniform target
+    share (the pre-training mixture step). keep_rate = min(1, target /
+    natural); exact-integer token sums, one tiny aggregate — the rates
+    then drive the md5-bucket sampler scan-side at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.sum(TX.token_count(F.col("text"))).alias("total_tokens")
+    )
+    total = Window.partitionBy()
+    natural = F.col("total_tokens").cast("double") / F.sum("total_tokens").over(total)
+    n_sources = F.count(F.lit(1)).over(total)
+    target = F.lit(1.0) / n_sources
+    keep = F.least(F.lit(1.0), target / natural)
+    return (
+        per_source.select(
+            "source",
+            "total_tokens",
+            F.round(natural, 6).alias("natural_share"),
+            F.round(target, 6).alias("target_share"),
+            F.round(keep, 6).alias("keep_rate"),
+            F.floor(keep * F.col("total_tokens")).cast("long").alias("expected_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+register(
+    "source_mixing_weights",
+    _source_mixing_weights,
+    f"""
+WITH per_source AS (
+  SELECT source, CAST(sum({_NTOK_SQL}) AS BIGINT) AS total_tokens
+  FROM documents GROUP BY source
+),
+shares AS (
+  SELECT source, total_tokens,
+    CAST(total_tokens AS DOUBLE) / sum(total_tokens) OVER () AS nat_share,
+    1.0 / count(*) OVER () AS tgt_share
+  FROM per_source
+)
+SELECT source, total_tokens,
+  round(nat_share, 6) AS natural_share,
+  round(tgt_share, 6) AS target_share,
+  round(least(1.0, tgt_share / nat_share), 6) AS keep_rate,
+  CAST(floor(least(1.0, tgt_share / nat_share) * total_tokens) AS BIGINT) AS expected_tokens
+FROM shares ORDER BY source
+""",
+)
