@@ -87,6 +87,26 @@ def main() -> None:
     full_report(big).collect()
     scaled_sec = min(scaled_sec, time.perf_counter() - t0)
 
+    # Training-pipeline headline: docs/sec through the full shard
+    # pipeline (dedup -> quality gate -> downsample -> pack -> hive-
+    # partitioned parquet write), the curation-side counterpart of the
+    # report throughput number.
+    import shutil
+    import tempfile
+
+    from kafka_topic_analyzer_spark.operators.pipeline import build_training_shards
+    from kafka_topic_analyzer_spark.sources.tables import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    shard_dir = tempfile.mkdtemp(prefix="bench_shards_")
+    try:
+        t0 = time.perf_counter()
+        # the writer wants a fresh path; mkdtemp only reserves the parent
+        build_training_shards(spark, sf_dir, os.path.join(shard_dir, "out"))
+        curation_sec = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(shard_dir, ignore_errors=True)
+
     # Byte throughput on the same replicated log (baseline: ~159.7 MB/s
     # single-core). Message bytes = key + value lengths, the reference's
     # topic-size definition (src/metric.rs:48-50,193-195).
@@ -121,6 +141,8 @@ def main() -> None:
                 ),
                 "log_bytes": msg_bytes * repl,
                 "avg_msg_bytes": round(msg_bytes / max(n_msgs, 1), 1),
+                "curation_docs_per_sec": round(n_docs / curation_sec, 1),
+                "curation_docs": n_docs,
             }
         )
     )
