@@ -224,3 +224,27 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     return F.when(n < k, F.array().cast("array<string>")).otherwise(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
     )
+
+
+def compression_ratio_udf(text: Column) -> Column:
+    """Gopher-style compressibility signal: zlib-compressed size over
+    raw UTF-8 size (repetitive/boilerplate text compresses far below
+    ~0.4; high-entropy junk stays near 1). zlib has no SQL analogue, so
+    the registered query is rows-only with unit tests pinning the
+    planted-extremes ordering. Arrow-batched pandas UDF — the C zlib
+    dominates, Python overhead is per-batch."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(s: pd.Series) -> pd.Series:
+        def one(t: str | None) -> float:
+            if not t:
+                return 1.0
+            raw = t.encode("utf-8")
+            return round(len(zlib.compress(raw, 6)) / len(raw), 6)
+
+        return s.map(one)
+
+    return _ratio(text)

@@ -440,3 +440,68 @@ nd AS (
 
 
 register("dup_graph_pagerank", _dup_graph_pagerank, _pagerank_sql())
+
+
+FUZZY_PREFIX = 200  # edit distance over the first N chars bounds the O(n*m) DP
+FUZZY_MAX_DIST = 40
+
+
+def _fuzzy_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution-style fuzzy matching: LSH candidate pairs
+    verified by bounded edit distance (levenshtein over a fixed prefix —
+    the DP is O(prefix^2) per pair, so candidates × 40k cell ops, never
+    corpus-quadratic). Jaccard banding recalls the candidates; the edit
+    distance is the typo-tolerant verifier n-gram Jaccard isn't."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = D.lsh_candidate_pairs(D.minhash_signatures(docs, 3))
+    txt = docs.select("doc_id", F.substring(F.col("text"), 1, FUZZY_PREFIX).alias("t"))
+    ti = txt.select(F.col("doc_id").alias("doc_i"), F.col("t").alias("t_i"))
+    tj = txt.select(F.col("doc_id").alias("doc_j"), F.col("t").alias("t_j"))
+    dist = F.levenshtein(F.col("t_i"), F.col("t_j"))
+    return (
+        cands.join(ti, "doc_i")
+        .join(tj, "doc_j")
+        .select("doc_i", "doc_j", dist.cast("long").alias("edit_distance"))
+        .where(F.col("edit_distance") <= FUZZY_MAX_DIST)
+        .orderBy("doc_i", "doc_j")
+    )
+
+
+def _fuzzy_sql() -> str:
+    # candidates: same banded-minhash construction as minhash_near_dups,
+    # expressed directly — bands of 4 consecutive signature values
+    sigs = []
+    for i in range(D.N_PERMUTATIONS):
+        a, b = D.minhash_coeffs(i + 1)
+        sigs.append(f"list_min(list_transform(hs, x -> ({a} * x + {b}) % {D.MINHASH_P}))")
+    band_keys = []
+    rows_per_band = D.N_PERMUTATIONS // D.LSH_BANDS
+    for bnd in range(D.LSH_BANDS):
+        parts = ", ".join(f"''||({sigs[bnd * rows_per_band + r]})" for r in range(rows_per_band))
+        band_keys.append(f"concat_ws('_', {parts})")
+    bands_list = "[" + ", ".join(f"concat('{i}_', {k})" for i, k in enumerate(band_keys)) + "]"
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES} AS shingles FROM documents
+),
+hashed AS (
+  SELECT doc_id, list_transform(shingles, s -> {_ROLL}) AS hs FROM sh
+  WHERE len(shingles) > 0
+),
+banded AS (
+  SELECT doc_id, unnest({bands_list}) AS bucket FROM hashed
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+  FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+txt AS (SELECT doc_id, substring(text, 1, {FUZZY_PREFIX}) AS t FROM documents)
+SELECT doc_i, doc_j,
+       CAST(levenshtein(ti.t, tj.t) AS BIGINT) AS edit_distance
+FROM cands JOIN txt ti ON ti.doc_id = doc_i JOIN txt tj ON tj.doc_id = doc_j
+WHERE levenshtein(ti.t, tj.t) <= {FUZZY_MAX_DIST}
+ORDER BY doc_i, doc_j
+"""
+
+
+register("fuzzy_match_pairs", _fuzzy_match_pairs, _fuzzy_sql())

@@ -376,3 +376,24 @@ SELECT doc_id,
 FROM p ORDER BY doc_id
 """,
 )
+
+
+def _compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source compressibility profile (rows-only: zlib has no SQL
+    twin; semantics pinned by unit tests on planted extremes)."""
+    d = load_table(spark, sf_dir, "documents")
+    r = TX.compression_ratio_udf(F.col("text"))
+    return (
+        d.select("source", r.alias("ratio"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.min("ratio"), 6).alias("min_ratio"),
+            F.round(F.expr("percentile(ratio, 0.5)"), 6).alias("median_ratio"),
+            F.round(F.max("ratio"), 6).alias("max_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+register("compression_quality", _compression_quality, None)

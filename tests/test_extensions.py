@@ -570,3 +570,34 @@ def test_approx_alive_keys_within_error_bound(spark):
     approx = alive_key_count_approx(kdf, rsd=0.05).collect()[0][0]
     assert exact > 0
     assert abs(approx - exact) <= 3 * 0.05 * exact
+
+
+def test_compression_ratio_orders_planted_extremes(spark):
+    from kafka_topic_analyzer_spark.functions.text import compression_ratio_udf
+
+    natural = (
+        "the quick brown fox jumps over a lazy dog while seventeen zebras "
+        "wander past an abandoned railway station carrying umbrellas, "
+        "discussing philosophy, quantum mechanics, breakfast cereals and "
+        "various improbable migration patterns observed during autumn "
+    ) * 3
+    rows = [
+        (1, "spam " * 200),                      # highly repetitive
+        (2, natural),                            # long natural-ish prose
+        (3, "9f8a7d6c5b4e3f2a1d0c9b8a7f6e5d4c" * 4),  # high-entropy-ish hex
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["r"]
+        for r in df.select("doc_id", compression_ratio_udf(F.col("text")).alias("r")).collect()
+    }
+    assert got[1] < got[2] < 1.0
+    assert got[1] < 0.1          # repetition collapses
+    assert got[4] == 1.0         # empty -> defined as incompressible
+    # deterministic across invocations
+    again = {
+        r["doc_id"]: r["r"]
+        for r in df.select("doc_id", compression_ratio_udf(F.col("text")).alias("r")).collect()
+    }
+    assert again == got
