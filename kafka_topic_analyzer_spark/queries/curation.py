@@ -454,3 +454,36 @@ SELECT source, total_tokens,
 FROM shares ORDER BY source
 """,
 )
+
+
+def _corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus overview — the dashboard headline a curation run
+    opens with: volume, token mass, exact-dup rate, language/source
+    breadth, mean quality. Single scan, one global aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    q = TX.quality_score(F.col("text")).cast("decimal(18,6)")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TX.token_count(F.col("text"))).alias("total_tokens"),
+        F.countDistinct(TX.md5_fingerprint(F.col("text"))).alias("n_unique_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.round(F.sum(q).cast("double") / F.count(F.lit(1)), 6).alias("mean_quality"),
+    )
+
+
+register(
+    "corpus_summary",
+    _corpus_summary,
+    rf"""
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum({_NTOK_SQL}) AS BIGINT) AS total_tokens,
+  CAST(count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS BIGINT)
+    AS n_unique_docs,
+  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+  round(CAST(sum(CAST({_QSCORE} AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+    AS mean_quality
+FROM documents
+""",
+)

@@ -601,3 +601,24 @@ def test_compression_ratio_orders_planted_extremes(spark):
         for r in df.select("doc_id", compression_ratio_udf(F.col("text")).alias("r")).collect()
     }
     assert again == got
+
+
+def test_hll_sketch_union_is_mergeable(spark):
+    """Mergeable-aggregation property for incremental rollups: per-
+    partition HLL sketches unioned == one sketch over everything (same
+    estimate, exactly — sketch union is associative/commutative)."""
+    from kafka_topic_analyzer_spark.sources.events_log import kafka_frame_from_events
+
+    kdf = kafka_frame_from_events(spark, SF_SMOKE).where(F.col("key").isNotNull())
+    direct = kdf.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("key")).alias("n")
+    ).collect()[0]["n"]
+    merged = (
+        kdf.groupBy("partition")
+        .agg(F.hll_sketch_agg("key").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n"))
+        .collect()[0]["n"]
+    )
+    exact = kdf.select("key").distinct().count()
+    assert merged == direct
+    assert abs(direct - exact) <= 0.05 * exact
