@@ -487,3 +487,66 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
 FROM documents
 """,
 )
+
+
+def _mixed_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end mixture application: the per-source keep-rates from
+    source_mixing_weights applied through the deterministic md5 bucket
+    (keep iff bucket < floor(rate * 0x10000)), audited as realized
+    per-source token counts. The rates are a 20-row broadcast join onto
+    the scan-side filter — the selection itself never shuffles."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", TX.token_count(F.col("text"))
+    )
+    per_source = d.groupBy("source").agg(F.sum("n_tokens").alias("total_tokens"))
+    w = Window.partitionBy()
+    keep = F.least(
+        F.lit(1.0),
+        (F.lit(1.0) / F.count(F.lit(1)).over(w))
+        / (F.col("total_tokens").cast("double") / F.sum("total_tokens").over(w)),
+    )
+    rates = per_source.select(
+        "source", F.floor(keep * 65536).cast("long").alias("bucket_bound")
+    )
+    bucket = F.conv(F.substring(F.md5(F.encode(F.col("text"), "UTF-8")), 1, 4), 16, 10).cast(
+        "long"
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .where(bucket < F.col("bucket_bound"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_tokens").alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+register(
+    "mixed_sample_audit",
+    _mixed_sample_audit,
+    f"""
+WITH sized AS (
+  SELECT source, text, {_NTOK_SQL} AS n_tokens FROM documents
+),
+per_source AS (
+  SELECT source, sum(n_tokens) AS total_tokens FROM sized GROUP BY source
+),
+rates AS (
+  SELECT source,
+    CAST(floor(least(1.0,
+      (1.0 / count(*) OVER ())
+      / (CAST(total_tokens AS DOUBLE) / sum(total_tokens) OVER ())) * 65536) AS BIGINT)
+      AS bucket_bound
+  FROM per_source
+)
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_kept,
+  CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
+FROM sized JOIN rates USING (source)
+WHERE CAST('0x' || substr(md5(text), 1, 4) AS INTEGER) < bucket_bound
+GROUP BY source
+ORDER BY source
+""",
+)
