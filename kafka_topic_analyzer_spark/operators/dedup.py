@@ -348,6 +348,7 @@ def simhash_near_dup_pairs(
     bands: int = 4,
     bits: int = 48,
     fingerprints: DataFrame | None = None,
+    materialize_threshold: int = 100_000,
 ) -> DataFrame:
     """SimHash near-dup pairs (doc_i < doc_j, hamming <= max_hamming).
 
@@ -362,20 +363,28 @@ def simhash_near_dup_pairs(
     (``bit_count(xor)``) is pure JVM column arithmetic.
 
     Self-join cost note: Catalyst plans the fingerprint subtree on BOTH
-    join sides (no exchange reuse even under AQE — measured), so by
-    default the corpus text is scanned/tokenized twice. Fine at test
-    scale (recompute beats materialization below ~10^5 docs: 3.8s vs
-    4.5s at sf0.1), wrong at corpus scale — there, pass
-    ``fingerprints=simhash_fingerprints_wide(docs).localCheckpoint()``
-    (or a persisted fingerprint table, which a real pipeline keeps as an
-    artifact anyway) and the text is scanned once.
+    join sides (no exchange reuse even under AQE — measured), so with
+    recompute the corpus text is scanned/tokenized twice. Recompute wins
+    below ~10^5 docs (3.8s vs 4.5s at sf0.1 — localCheckpoint's blocking
+    serialization costs more than the second tiny scan), but at corpus
+    scale the double tokenize dominates, so above
+    ``materialize_threshold`` docs the fingerprints are auto-materialized
+    via ``localCheckpoint`` and the text is scanned ONCE. Callers that
+    keep a persisted fingerprint table (which a real pipeline maintains
+    as an artifact anyway) pass ``fingerprints=`` and skip both the
+    count probe and the recompute.
     """
     if max_hamming >= bands:
         raise ValueError("banded candidates are exact only for max_hamming < bands")
     if bits % bands:
         raise ValueError("bits must divide evenly into bands")
     width = bits // bands
-    fp = fingerprints if fingerprints is not None else simhash_fingerprints_wide(docs, bits)
+    if fingerprints is not None:
+        fp = fingerprints
+    else:
+        fp = simhash_fingerprints_wide(docs, bits)
+        if docs.count() > materialize_threshold:
+            fp = fp.localCheckpoint(eager=True)
     banded = fp.select(
         "doc_id",
         "simhash",
@@ -410,23 +419,51 @@ def simhash_near_dup_pairs(
 
 
 def embedding_near_dup_pairs(
-    emb: DataFrame, threshold: float = 0.9, round_digits: int = 6
+    emb: DataFrame,
+    threshold: float = 0.9,
+    round_digits: int = 6,
+    strategy: str = "auto",
+    max_broadcast_rows: int = 1_000_000,
+    blocks: int = 16,
 ) -> DataFrame:
     """Exact embedding-cosine near-dup pairs (i < j, cosine >= threshold).
 
-    Blocked exact scan: the corpus matrix is broadcast once; each task
-    scores its partition's block against it with numpy accumulated
-    SEQUENTIALLY over dims (``acc += x_d*y_d`` per dim — the identical
-    IEEE-754 sequence as the SQL left fold, so scores are bit-equal to
-    the oracle), then emits ONLY surviving pairs. Nothing quadratic ever
-    crosses the wire — the alternative i<j vector-carrying self-join
-    shuffles |pairs| * 2 * dim doubles and was measured 3x slower.
+    Two exact physical strategies, picked by corpus size (``auto`` counts
+    once — a column-less parquet scan — and compares to
+    ``max_broadcast_rows``):
 
-    Bound: the broadcast corpus must fit in executor memory (~1 GB per
-    1M x 64-dim float64 block — fine for exact-baseline use). Past that,
-    use :func:`embedding_near_dups_lsh`, which prunes the pair space
-    instead of enumerating it.
+    * ``broadcast`` (small corpus): the corpus matrix is broadcast once;
+      each task scores its partition's block against it, emitting only
+      surviving pairs. Nothing quadratic crosses the wire. Bound: the
+      broadcast must fit in executor memory (~1 GB per 1M x 64-dim
+      float64) — and, before that, the driver must hold one copy while
+      building it, which is why this path is gated and never the silent
+      default at scale.
+    * ``blocked`` (large corpus): distributed block-nested-loop — each
+      vector is replicated to the ``blocks`` block-pair groups it
+      participates in (B(B+1)/2 groups via ``groupBy(p, q)``), and each
+      group cross-scores its two blocks with ``applyInPandas``. No
+      driver materialization at any size; shuffle volume is
+      ``blocks`` x corpus (the inherent replication of a distributed
+      exact all-pairs scan). Size ``blocks`` so 2n/B vectors fit one
+      task's memory.
+
+    Both paths accumulate numpy dot products SEQUENTIALLY over dims
+    (``acc += x_d*y_d`` per dim — the identical IEEE-754 sequence as the
+    SQL left fold), so scores are bit-equal to the oracle and to each
+    other. Past exact-scan feasibility entirely, use
+    :func:`embedding_near_dups_lsh`, which prunes the pair space instead
+    of enumerating it.
     """
+    if strategy == "auto":
+        strategy = (
+            "broadcast" if emb.count() <= max_broadcast_rows else "blocked"
+        )
+    if strategy == "blocked":
+        return _embedding_pairs_blockwise(emb, threshold, round_digits, blocks)
+    if strategy != "broadcast":
+        raise ValueError(f"unknown strategy: {strategy}")
+
     from collections.abc import Iterator
 
     import numpy as np
@@ -490,6 +527,86 @@ def embedding_near_dup_pairs(
     )
 
 
+def _embedding_pairs_blockwise(
+    emb: DataFrame, threshold: float, round_digits: int, blocks: int
+) -> DataFrame:
+    """Distributed exact all-pairs cosine via block-nested-loop (see
+    :func:`embedding_near_dup_pairs` ``blocked`` strategy). Blocks are
+    assigned by ``vec_id % blocks``; every unordered vector pair lands in
+    exactly one (p <= q) block-pair group."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    pre_cut = threshold - 10.0 ** (-round_digits)
+    base = emb.select(
+        "vec_id", "embedding", F.pmod(F.col("vec_id"), F.lit(blocks)).alias("blk")
+    )
+    assignments = F.array(
+        *[
+            F.struct(
+                F.least(F.col("blk"), F.lit(c)).cast("int").alias("p"),
+                F.greatest(F.col("blk"), F.lit(c)).cast("int").alias("q"),
+            )
+            for c in range(blocks)
+        ]
+    )
+    replicated = (
+        base.select("vec_id", "embedding", "blk", F.explode(assignments).alias("g"))
+        .select("vec_id", "embedding", "blk", "g.p", "g.q")
+        .dropDuplicates(["vec_id", "p", "q"])  # (b,b) appears once per vector
+    )
+
+    out_schema = "vec_i long, vec_j long, raw_cosine double"
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        p, q = int(pdf["p"].iat[0]), int(pdf["q"].iat[0])
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        blk = pdf["blk"].to_numpy(dtype=np.int64)
+        nsq = np.zeros(len(mat))
+        for d in range(mat.shape[1]):  # sequential over dims == fold
+            nsq = nsq + mat[:, d] * mat[:, d]
+        norms = np.sqrt(nsq)
+        if p == q:
+            li, ri = np.triu_indices(len(ids), k=1)
+        else:
+            lsel, rsel = np.flatnonzero(blk == p), np.flatnonzero(blk == q)
+            gi, gj = np.meshgrid(
+                np.arange(len(lsel)), np.arange(len(rsel)), indexing="ij"
+            )
+            li, ri = lsel[gi.ravel()], rsel[gj.ravel()]
+        a, b = mat[li], mat[ri]
+        acc = np.zeros(len(a))
+        for d in range(mat.shape[1]):  # sequential over dims == fold
+            acc = acc + a[:, d] * b[:, d]
+        ni, nj = norms[li], norms[ri]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            score = acc / (ni * nj)
+        keep = (ni > 0) & (nj > 0) & (score >= pre_cut)
+        ii, jj = ids[li][keep], ids[ri][keep]
+        return pd.DataFrame(
+            {
+                "vec_i": np.minimum(ii, jj),
+                "vec_j": np.maximum(ii, jj),
+                "raw_cosine": score[keep],
+            }
+        )
+
+    return (
+        replicated.groupBy("p", "q")
+        .applyInPandas(score_group, out_schema)
+        .where(F.col("vec_i") < F.col("vec_j"))
+        .select(
+            "vec_i",
+            "vec_j",
+            F.round(F.col("raw_cosine"), round_digits).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def embedding_near_dups_lsh(
     emb: DataFrame,
     threshold: float = 0.9,
@@ -524,49 +641,63 @@ def embedding_near_dups_lsh(
         )
         .distinct()
     )
-    return score_id_pairs_blocked(cands, emb, threshold, round_digits)
+    return score_id_pairs_joined(cands, emb, threshold, round_digits)
 
 
-def score_id_pairs_blocked(
+def score_id_pairs_joined(
     pairs: DataFrame, emb: DataFrame, threshold: float, round_digits: int = 6
 ) -> DataFrame:
-    """Exact-cosine verify of (vec_i, vec_j) id pairs against a broadcast
-    corpus matrix — same fold-identical sequential-dim accumulation as
-    :func:`embedding_near_dup_pairs`, so scores are bit-equal to the SQL
-    fold. Only bare id pairs flow through the plan; the vectors ride the
-    broadcast. Bound: corpus must fit in executor memory (the LSH caller's
-    contract already assumes a collectable corpus-side table)."""
+    """Exact-cosine verify of (vec_i, vec_j) id pairs — fully distributed.
+
+    Vectors re-attach to the bare id pairs via TWO id-keyed shuffle joins
+    (pairs→emb on vec_i, then on vec_j); each surviving pair then pays
+    exactly one dot-product fold inside an Arrow-batched ``mapInPandas``.
+    Nothing is ever collected to the driver, so the corpus can be
+    arbitrarily large — shuffle volume is |pairs| x 2 x dim doubles,
+    i.e. proportional to the candidate set the caller already pruned,
+    not to the corpus. The fold accumulates SEQUENTIALLY over dims
+    (``acc += x_d*y_d``), the identical IEEE-754 sequence as the SQL
+    left fold and :func:`embedding_near_dup_pairs`, so scores are
+    bit-equal across all paths.
+    """
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
 
-    spark = emb.sparkSession
-    rows = emb.select("vec_id", "embedding").collect()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    nsq = np.zeros(len(mat))
-    for d in range(mat.shape[1]):
-        nsq = nsq + mat[:, d] * mat[:, d]
-    norms = np.sqrt(nsq)
-    index = {int(v): i for i, v in enumerate(ids)}
-    bc = spark.sparkContext.broadcast((index, mat, norms))
     pre_cut = threshold - 10.0 ** (-round_digits)
+    with_vecs = (
+        pairs.select("vec_i", "vec_j")
+        .join(
+            emb.select(
+                F.col("vec_id").alias("vec_i"), F.col("embedding").alias("emb_i")
+            ),
+            "vec_i",
+        )
+        .join(
+            emb.select(
+                F.col("vec_id").alias("vec_j"), F.col("embedding").alias("emb_j")
+            ),
+            "vec_j",
+        )
+    )
 
     out_schema = "vec_i long, vec_j long, raw_cosine double"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        idx, c_mat, c_norms = bc.value
         for pdf in it:
             if pdf.empty:
                 continue
-            ii = pdf["vec_i"].map(idx).to_numpy(dtype=np.int64)
-            jj = pdf["vec_j"].map(idx).to_numpy(dtype=np.int64)
-            a, b = c_mat[ii], c_mat[jj]
+            a = np.array(pdf["emb_i"].tolist(), dtype=np.float64)
+            b = np.array(pdf["emb_j"].tolist(), dtype=np.float64)
             acc = np.zeros(len(a))
+            ni_sq = np.zeros(len(a))
+            nj_sq = np.zeros(len(a))
             for d in range(a.shape[1]):  # sequential over dims == fold
                 acc = acc + a[:, d] * b[:, d]
-            ni, nj = c_norms[ii], c_norms[jj]
+                ni_sq = ni_sq + a[:, d] * a[:, d]
+                nj_sq = nj_sq + b[:, d] * b[:, d]
+            ni, nj = np.sqrt(ni_sq), np.sqrt(nj_sq)
             with np.errstate(divide="ignore", invalid="ignore"):
                 score = acc / (ni * nj)
             keep = (ni > 0) & (nj > 0) & (score >= pre_cut)
@@ -579,8 +710,7 @@ def score_id_pairs_blocked(
             )
 
     return (
-        pairs.select("vec_i", "vec_j")
-        .mapInPandas(batches, out_schema)
+        with_vecs.mapInPandas(batches, out_schema)
         .select(
             "vec_i",
             "vec_j",

@@ -286,12 +286,20 @@ ORDER BY o_orderpriority
 
 
 def _rich_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar subquery: customers above the global average balance."""
+    """Scalar subquery: customers above the global average balance.
+
+    The global average is a 1-row aggregate broadcast-crossJoined onto the
+    scan — fully declarative (ONE plan, no driver round-trip), so Catalyst
+    sees the whole query and the broadcast is a 16-byte exchange. Exact
+    decimal sum / double division, like the oracle.
+    """
     c = load_table(spark, sf_dir, "customer")
-    # scalar subquery — exact decimal sum / double division, like the oracle
-    tot, cnt = c.agg(F.sum(dec("c_acctbal")).cast("double"), F.count(F.lit(1))).collect()[0]
+    global_avg = c.agg(
+        (F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("_avg_bal")
+    )
     return (
-        c.where(F.col("c_acctbal") > F.lit(tot / cnt))
+        c.crossJoin(F.broadcast(global_avg))
+        .where(F.col("c_acctbal") > F.col("_avg_bal"))
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_rich"),

@@ -49,7 +49,8 @@ def kafka_frame_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def kafka_frame_from_events_df(e: DataFrame) -> DataFrame:
     """Derivation over an already-loaded events frame (batch OR streaming)."""
     eid = F.col("event_id")
-    # events.ts is epoch-nanoseconds (long) under the nanosAsLong conf.
+    # events.ts arrives normalized to epoch-nanoseconds long (tables.py
+    # normalize_events_ts handles both physical encodings).
     ts_ms = F.floor(F.col("ts") / F.lit(1_000_000)).cast("long")
     return e.select(
         F.lit("events-log").alias(TOPIC),

@@ -14,41 +14,40 @@ is the per-partition groupBy — the global row comes from the batch path.
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql import DataFrame, SparkSession
 
 from kafka_topic_analyzer_spark.functions.metrics import partition_metric_aggs
 from kafka_topic_analyzer_spark.functions.metrics import derived_partition_metrics
 from kafka_topic_analyzer_spark.schema import PARTITION
 from kafka_topic_analyzer_spark.session import prepare_session
 from kafka_topic_analyzer_spark.sources.events_log import kafka_frame_from_events_df
-
-# Physical schema of events.parquet under the nanosAsLong conf.
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # epoch nanos
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+from kafka_topic_analyzer_spark.sources.tables import normalize_events_ts
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded file-source stream over events.parquet (the source must be a
-    directory; pathGlobFilter narrows it to the one table)."""
+    directory; pathGlobFilter narrows it to the one table).
+
+    The declared read schema is taken from the parquet footer (a batch
+    ``spark.read`` that only touches metadata) rather than hard-coded: the
+    driver's testdata generations have shipped ``ts`` as both TIMESTAMP(NANOS)
+    and native TIMESTAMP_NTZ. ``normalize_events_ts`` then presents the same
+    epoch-nanos LongType to every downstream stream regardless.
+    """
     prepare_session(spark)
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .option("maxFilesPerTrigger", "1")
         .load(sf_dir)
     )
+    return normalize_events_ts(stream)
 
 
 def streaming_partition_report(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -108,6 +108,52 @@ def test_consensus_joins_stay_keyed(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_embedding_lsh_verify_has_no_driver_collect(spark):
+    """The LSH near-dup verify must re-attach vectors via id-keyed joins —
+    building the plan may not collect the corpus to the driver (the round-1
+    design pulled every vector driver-side; at 100 TB that OOMs the driver
+    before any executor limit matters)."""
+    from unittest import mock
+
+    from pyspark.sql import DataFrame
+    from kafka_topic_analyzer_spark.operators.dedup import embedding_near_dups_lsh
+    from kafka_topic_analyzer_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+
+    def forbidden(self, *a, **k):  # pragma: no cover - only on regression
+        raise AssertionError("plan construction collected data to the driver")
+
+    with mock.patch.object(DataFrame, "collect", forbidden):
+        df = embedding_near_dups_lsh(emb, threshold=0.4, tables=4)
+    plan = _executed(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # two id-keyed joins re-attach the vectors to the bare candidate pairs
+    assert plan.count("Join") >= 3, plan  # bucket self-join + vec_i + vec_j
+
+
+def test_embedding_blocked_exact_has_no_driver_collect(spark):
+    """The blocked exact strategy is the above-broadcast-threshold path; it
+    must build without any driver-side materialization."""
+    from unittest import mock
+
+    from pyspark.sql import DataFrame
+    from kafka_topic_analyzer_spark.operators.dedup import embedding_near_dup_pairs
+    from kafka_topic_analyzer_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+
+    def forbidden(self, *a, **k):  # pragma: no cover - only on regression
+        raise AssertionError("plan construction collected data to the driver")
+
+    with mock.patch.object(DataFrame, "collect", forbidden):
+        df = embedding_near_dup_pairs(emb, threshold=0.4, strategy="blocked")
+    plan = _executed(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_shard_pipeline_single_dedup_shuffle(spark):
     """The pipeline's selection (dedup window + filters) must not shuffle
     more than once before packing: fp window -> quality/sample filters
