@@ -1,16 +1,21 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The Spark-side plumbing is real and tested — schema, Arrow batch shape,
-``mapInPandas`` signatures, partition behavior; the actual media decode is
-STUBBED (the container has no image/audio libraries): ``decode_image``
-raises ``NotImplementedError`` unless ``deterministic_fake=True``, which
-produces a seeded fake derived from the bytes so pipelines are testable
-end-to-end.
+Image and audio paths are REAL end-to-end: blobs are genuine PGM (P5)
+and RIFF/WAV PCM16 files (functions/codecs.py — pure-numpy codecs for
+two public formats), and the decode steps parse those bytes back. Only
+video frame *extraction* remains stubbed (a real video codec is not
+implementable in-container), clearly marked on
+:func:`sample_video_frames`.
+
+The test fixture derives media content deterministically from document
+text bytes (pixels/samples cycle through the UTF-8 bytes), which keeps
+every stage SQL-reproducible for the DuckDB oracle while the Spark side
+works only on the encoded blob.
 
 Pattern for 100 TB: media bytes never pass through Python row-at-a-time —
-``mapInPandas`` streams Arrow record batches, and per-batch vectorized
-numpy does the work. Partitioning is whatever the upstream scan gives;
-a ``repartition(n)`` before heavy decode evens out skew from variable
+``mapInPandas`` streams Arrow record batches, and per-batch numpy does
+the work. Partitioning is whatever the upstream scan gives; a
+``repartition(n)`` before heavy decode evens out skew from variable
 blob sizes.
 """
 
@@ -25,7 +30,19 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
-IMAGE_FEATURE_DIM = 16
+from kafka_topic_analyzer_spark.functions.codecs import (
+    pgm_decode,
+    pgm_encode,
+    wav_decode,
+    wav_encode,
+)
+
+# Fixture geometry — small enough that the DuckDB oracle can re-derive
+# pixel/sample streams by unnesting ranges (w*h <= 2145, n_samples < 5000).
+IMG_W_MOD, IMG_W_BASE = 48, 8
+IMG_H_MOD, IMG_H_BASE = 32, 8
+AUDIO_RATE = 2_000  # Hz — fixture rate; the codec handles any rate
+DUR_MOD, DUR_BASE = 2_000, 500  # duration_ms in [500, 2499]
 
 MEDIA_SCHEMA = (
     "media_id long, kind string, data binary, width int, height int, "
@@ -33,47 +50,72 @@ MEDIA_SCHEMA = (
 )
 
 
+def _cycle_bytes(blob: bytes, n: int) -> np.ndarray:
+    """First ``n`` bytes of ``blob`` repeated cyclically (zeros if empty)."""
+    if not blob:
+        return np.zeros(n, dtype=np.uint8)
+    return np.resize(np.frombuffer(blob, dtype=np.uint8), n)
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
-    """Derive a deterministic fake media table from documents (test stand-in:
-    text bytes play the role of an encoded blob)."""
-    kind = F.element_at(
-        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-        (F.col("doc_id") % 3 + 1).cast("int"),
-    )
-    return docs.select(
-        F.col("doc_id").alias("media_id"),
-        kind.alias("kind"),
-        F.encode(F.col("text"), "UTF-8").alias("data"),
-        ((F.col("doc_id") % 640) + 16).cast("int").alias("width"),
-        ((F.col("doc_id") % 480) + 16).cast("int").alias("height"),
-        ((F.col("doc_id") % 90_000) + 1_000).cast("int").alias("duration_ms"),
-    )
+    """documents → media table with REAL encoded blobs.
 
+    kind cycles image/audio/video by ``doc_id % 3``; content derives from
+    the document's UTF-8 bytes (cycled), so the oracle can reproduce the
+    decoded stats from ``text`` alone:
 
-def _fake_pixels(blob: bytes, width: int, height: int) -> np.ndarray:
-    """Deterministic stand-in for a real decoder: seeded PRNG over the blob."""
-    seed = zlib.crc32(blob) & 0xFFFFFFFF
-    rng = np.random.default_rng(seed)
-    return rng.integers(0, 256, size=(height, width), dtype=np.uint8)
-
-
-def decode_image_features(
-    media: DataFrame, deterministic_fake: bool = False
-) -> DataFrame:
-    """image rows → per-image feature vector + basic stats via mapInPandas.
-
-    Real deployment would decode with PIL/opencv inside the same batch
-    loop; the Arrow plumbing (schema below) is identical either way.
+    * image: ``width x height`` grayscale PGM, pixel[i] = byte[i mod L]
+    * audio: mono 16-bit WAV at AUDIO_RATE, sample[k] = (byte[k mod L] - 128) * 256
+    * video: raw text bytes (extraction is stubbed; see module docstring)
     """
-    if not deterministic_fake:
-        raise NotImplementedError(
-            "no image codec in this environment — pass deterministic_fake=True "
-            "for the seeded stand-in decoder"
-        )
+    meta = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("raw"),
+        ((F.col("doc_id") % IMG_W_MOD) + IMG_W_BASE).cast("int").alias("width"),
+        ((F.col("doc_id") % IMG_H_MOD) + IMG_H_BASE).cast("int").alias("height"),
+        ((F.col("doc_id") % DUR_MOD) + DUR_BASE).cast("int").alias("duration_ms"),
+    )
 
+    def encode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            blobs = []
+            for _, r in pdf.iterrows():
+                raw = bytes(r["raw"]) if r["raw"] is not None else b""
+                if r["kind"] == "image":
+                    w, h = int(r["width"]), int(r["height"])
+                    blobs.append(pgm_encode(_cycle_bytes(raw, w * h).reshape(h, w)))
+                elif r["kind"] == "audio":
+                    n = AUDIO_RATE * int(r["duration_ms"]) // 1000
+                    samples = (
+                        (_cycle_bytes(raw, n).astype(np.int64) - 128) * 256
+                    ).astype(np.int16)
+                    blobs.append(wav_encode(samples, AUDIO_RATE))
+                else:
+                    blobs.append(raw)
+            out = pdf.drop(columns=["raw"])
+            out["data"] = blobs
+            yield out[
+                ["media_id", "kind", "data", "width", "height", "duration_ms"]
+            ]
+
+    return meta.mapInPandas(encode_batches, MEDIA_SCHEMA)
+
+
+def decode_image_features(media: DataFrame) -> DataFrame:
+    """image rows → integer pixel statistics via real PGM decode.
+
+    All outputs are integers (sums/extremes over uint8 pixels), so the
+    oracle can reproduce them exactly — no float discipline needed.
+    ``width``/``height`` come from the DECODED header, not the metadata
+    columns, proving the bytes were parsed.
+    """
     out_schema = (
-        "media_id long, n_bytes long, mean_px double, std_px double, "
-        f"feature array<double>"
+        "media_id long, n_bytes long, width int, height int, n_px long, "
+        "sum_px long, min_px int, max_px int"
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -81,16 +123,17 @@ def decode_image_features(
             rows = []
             for _, r in pdf.iterrows():
                 blob = bytes(r["data"])
-                px = _fake_pixels(blob, int(r["width"]), int(r["height"]))
-                hist, _ = np.histogram(px, bins=IMAGE_FEATURE_DIM, range=(0, 256))
-                feat = (hist / max(px.size, 1)).astype(float)
+                px = pgm_decode(blob)
                 rows.append(
                     {
                         "media_id": r["media_id"],
                         "n_bytes": len(blob),
-                        "mean_px": float(px.mean()),
-                        "std_px": float(px.std()),
-                        "feature": feat.tolist(),
+                        "width": px.shape[1],
+                        "height": px.shape[0],
+                        "n_px": px.size,
+                        "sum_px": int(px.astype(np.int64).sum()),
+                        "min_px": int(px.min()),
+                        "max_px": int(px.max()),
                     }
                 )
             yield pd.DataFrame(rows)
@@ -98,51 +141,36 @@ def decode_image_features(
     return media.where(F.col("kind") == "image").mapInPandas(batches, out_schema)
 
 
-def decode_audio_features(
-    media: DataFrame,
-    chunk_ms: int = 1_000,
-    sample_rate: int = 16_000,
-    deterministic_fake: bool = False,
-) -> DataFrame:
-    """audio rows → per-chunk loudness features via mapInPandas.
+def decode_audio_features(media: DataFrame, chunk_ms: int = 500) -> DataFrame:
+    """audio rows → per-chunk features via real WAV decode (one-to-many).
 
-    Real deployment would decode PCM with soundfile/ffmpeg inside the
-    same Arrow batch loop; here the waveform is a seeded stand-in. Per
-    blob: synthesize duration_ms worth of samples, split into chunk_ms
-    windows, emit one row per chunk with RMS + zero-crossing count —
-    the UDTF-shaped (one-to-many) audio analogue of frame sampling.
+    Integer features per chunk: ``sum_sq`` (int64 energy — exact),
+    ``zero_crossings`` (sign changes, 0 counts as non-negative), sample
+    count. The sample rate comes from the DECODED fmt chunk.
     """
-    if not deterministic_fake:
-        raise NotImplementedError(
-            "no audio codec in this environment — pass deterministic_fake=True "
-            "for the seeded stand-in decoder"
-        )
-
     out_schema = (
-        "media_id long, chunk_idx int, n_samples int, rms double, "
-        "zero_crossings int"
+        "media_id long, sample_rate int, chunk_idx int, n_samples int, "
+        "sum_sq long, zero_crossings int"
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        chunk_len = sample_rate * chunk_ms // 1000
         for pdf in it:
             rows = []
             for _, r in pdf.iterrows():
-                blob = bytes(r["data"])
-                seed = zlib.crc32(blob) & 0xFFFFFFFF
-                rng = np.random.default_rng(seed)
-                n = sample_rate * int(r["duration_ms"]) // 1000
-                wave = rng.standard_normal(n).astype(np.float32)
-                for ci in range(0, max((n + chunk_len - 1) // chunk_len, 1)):
-                    chunk = wave[ci * chunk_len : (ci + 1) * chunk_len]
+                rate, samples = wav_decode(bytes(r["data"]))
+                chunk_len = max(rate * chunk_ms // 1000, 1)
+                s64 = samples.astype(np.int64)
+                for ci in range(max((len(s64) + chunk_len - 1) // chunk_len, 1)):
+                    chunk = s64[ci * chunk_len : (ci + 1) * chunk_len]
                     if chunk.size == 0:
                         continue
                     rows.append(
                         {
                             "media_id": r["media_id"],
+                            "sample_rate": rate,
                             "chunk_idx": ci,
                             "n_samples": int(chunk.size),
-                            "rms": float(np.sqrt(np.mean(chunk**2))),
+                            "sum_sq": int((chunk * chunk).sum()),
                             "zero_crossings": int(
                                 np.count_nonzero(np.diff(np.signbit(chunk)))
                             ),
@@ -154,12 +182,13 @@ def decode_audio_features(
 
 
 def sample_video_frames(
-    media: DataFrame, every_ms: int = 10_000, deterministic_fake: bool = False
+    media: DataFrame, every_ms: int = 500, deterministic_fake: bool = False
 ) -> DataFrame:
     """video rows → one row per sampled frame timestamp (UDTF-shaped op).
 
-    Frame *extraction* is stubbed; the timestamp grid, explode shape and
-    per-frame fingerprint plumbing are real.
+    Frame *extraction* is STUBBED — a real video codec cannot be
+    implemented in-container; the timestamp grid, explode shape and
+    per-frame fingerprint plumbing are real and tested.
     """
     if not deterministic_fake:
         raise NotImplementedError(
@@ -184,36 +213,33 @@ def sample_video_frames(
 
 
 def resize_images(
-    media: DataFrame,
-    target_w: int = 64,
-    target_h: int = 64,
-    deterministic_fake: bool = False,
+    media: DataFrame, target_w: int = 64, target_h: int = 64
 ) -> DataFrame:
-    """image rows → resized pixel buffers via mapInPandas.
+    """image rows → nearest-neighbor resize over real decoded pixels.
 
-    Nearest-neighbor index math is real (the same grid a PIL/cv2 resize
-    would sample); only the source pixels come from the seeded stand-in
-    decoder. Output carries the resized buffer as binary plus a checksum
-    so downstream stages (feature extraction, dedup) can chain on it.
+    Decodes the PGM blob, samples the same integer grid a PIL/cv2
+    nearest-neighbor resize uses, re-encodes the result as PGM and
+    carries a checksum so downstream stages (feature extraction, dedup)
+    can chain on it.
     """
-    if not deterministic_fake:
-        raise NotImplementedError(
-            "no image codec in this environment — pass deterministic_fake=True"
-        )
-
     out_schema = (
-        "media_id long, width int, height int, resized binary, resized_crc32 long"
+        "media_id long, width int, height int, resized binary, "
+        "resized_crc32 long, sum_px long, min_px int, max_px int"
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for _, r in pdf.iterrows():
-                px = _fake_pixels(bytes(r["data"]), int(r["width"]), int(r["height"]))
-                ys = (np.arange(target_h) * px.shape[0] // target_h).clip(0, px.shape[0] - 1)
-                xs = (np.arange(target_w) * px.shape[1] // target_w).clip(0, px.shape[1] - 1)
-                resized = px[np.ix_(ys, xs)]
-                buf = resized.tobytes()
+                px = pgm_decode(bytes(r["data"]))
+                ys = (np.arange(target_h) * px.shape[0] // target_h).clip(
+                    0, px.shape[0] - 1
+                )
+                xs = (np.arange(target_w) * px.shape[1] // target_w).clip(
+                    0, px.shape[1] - 1
+                )
+                out = px[np.ix_(ys, xs)]
+                buf = pgm_encode(out)
                 rows.append(
                     {
                         "media_id": r["media_id"],
@@ -221,6 +247,9 @@ def resize_images(
                         "height": target_h,
                         "resized": buf,
                         "resized_crc32": zlib.crc32(buf) & 0xFFFFFFFF,
+                        "sum_px": int(out.astype(np.int64).sum()),
+                        "min_px": int(out.min()),
+                        "max_px": int(out.max()),
                     }
                 )
             yield pd.DataFrame(rows)

@@ -108,7 +108,14 @@ def lsh_buckets(
         if len(col) == 0:
             return pd.Series([], dtype=object)
         m = np.array(col.tolist(), dtype=np.float64)  # N x dim
-        signs = (m @ planes >= 0).astype(np.int64)  # N x (tables*bits)
+        # sequential accumulation over dims (not one BLAS matmul): the
+        # identical IEEE-754 sequence as a SQL left fold, so the DuckDB
+        # oracle reproduces every sign bit-exactly — a pairwise-summed
+        # matmul could flip a sign on a near-zero projection
+        proj = np.zeros((len(m), planes.shape[1]))
+        for d in range(m.shape[1]):
+            proj = proj + np.outer(m[:, d], planes[d, :])
+        signs = (proj >= 0).astype(np.int64)  # N x (tables*bits)
         b = signs.reshape(len(m), tables, bits) @ weights  # N x tables
         return pd.Series(list(b))
 

@@ -1,9 +1,9 @@
 """Dedup queries over ``documents`` (LLM-pipeline operators, SURVEY.md §7 M5).
 
-The exact n-gram Jaccard pairs and MinHash signatures are oracle-matched
-(pure deterministic arithmetic on both engines); the LSH clustering is the
-Spark scale path with a rows-only driver check + unit-test recall vs the
-exact pairs.
+Every query here is oracle-matched — including the banded/bucketed LSH
+scale paths, whose candidate generation is deterministic (fixed linear
+permutations / fixed hyperplanes) and therefore SQL-reproducible; recall
+against the exact pairs remains a separate unit-tested property.
 """
 
 from __future__ import annotations
@@ -183,9 +183,59 @@ def _minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_near_dups(load_table(spark, sf_dir, "documents"), k=3, threshold=0.7)
 
 
-# rows-only: banding recall is probabilistic by design; unit tests compare
-# against near_dup_pairs_jaccard on the planted duplicates.
-register("minhash_near_dups", _minhash_near_dups, None)
+def _minhash_near_dups_sql() -> str:
+    """Full oracle for the banded path: the banding is DETERMINISTIC given
+    the signatures (fixed linear permutations), so the candidate set — and
+    therefore the verified output — is SQL-reproducible, not just
+    recall-testable. Bands mirror operators/dedup.py lsh_candidate_pairs."""
+    rows = D.N_PERMUTATIONS // D.LSH_BANDS
+    sig_cols = []
+    for i in range(D.N_PERMUTATIONS):
+        a, b = D.minhash_coeffs(i + 1)
+        sig_cols.append(
+            f"list_min(list_transform(hs, x -> ({a} * x + {b}) % {D.MINHASH_P})) AS sig_{i}"
+        )
+    bands = " UNION ALL ".join(
+        f"""SELECT doc_id, {bi} AS band_idx,
+            concat_ws(':', {", ".join(f"sig_{bi * rows + r}" for r in range(rows))}) AS band_key
+            FROM sig WHERE sig_0 IS NOT NULL"""
+        for bi in range(D.LSH_BANDS)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES} AS shingles FROM documents
+),
+hashed AS (
+  SELECT doc_id, list_transform(shingles, s -> {_ROLL}) AS hs FROM sh
+),
+sig AS (SELECT doc_id, {", ".join(sig_cols)} FROM hashed),
+banded AS ({bands}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+  FROM banded a
+  JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+),
+dsh AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
+kept AS (SELECT doc_id, unnest(s) AS shingle FROM dsh),
+sizes AS (SELECT doc_id, len(s) AS n FROM dsh),
+shared AS (
+  SELECT c.doc_i, c.doc_j, count(*) AS shared
+  FROM cands c
+  JOIN kept a ON a.doc_id = c.doc_i
+  JOIN kept b ON b.doc_id = c.doc_j AND b.shingle = a.shingle
+  GROUP BY c.doc_i, c.doc_j
+)
+SELECT doc_i, doc_j,
+       round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_i
+JOIN sizes sb ON sb.doc_id = doc_j
+WHERE round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) >= 0.7
+"""
+
+
+register("minhash_near_dups", _minhash_near_dups, _minhash_near_dups_sql())
 
 
 EMB_NEAR_DUP_THRESHOLD = 0.4  # fixture embeddings are weakly clustered
@@ -231,9 +281,46 @@ def _embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# rows-only: bucket recall is probabilistic by design; unit tests measure
-# recall against embedding_near_dup_pairs.
-register("embedding_near_dups_lsh", _embedding_near_dups_lsh, None)
+def _embedding_near_dups_lsh_sql() -> str:
+    """Full oracle: sign-LSH buckets are deterministic (fixed hyperplanes,
+    sequential-fold projections — see queries/similarity.py), so the bucket
+    self-join candidates and the exact verify are SQL-reproducible. Recall
+    vs the exact pairs stays a separate unit-tested property."""
+    from kafka_topic_analyzer_spark.queries.similarity import (
+        _dot_sql,
+        lsh_buckets_cte,
+    )
+
+    return f"""
+WITH buckets AS ({lsh_buckets_cte(bits=4, tables=16)}),
+cands AS (
+  SELECT DISTINCT a.vec_id AS vec_i, b.vec_id AS vec_j
+  FROM buckets a
+  JOIN buckets b ON a.table_id = b.table_id AND a.bucket = b.bucket
+               AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT vec_i, vec_j,
+    round(
+      CASE WHEN sqrt({_dot_sql("va.embedding", "va.embedding")}) > 0
+            AND sqrt({_dot_sql("vb.embedding", "vb.embedding")}) > 0
+           THEN {_dot_sql("va.embedding", "vb.embedding")}
+                / (sqrt({_dot_sql("va.embedding", "va.embedding")})
+                   * sqrt({_dot_sql("vb.embedding", "vb.embedding")}))
+      END, 6) AS cosine
+  FROM cands
+  JOIN embeddings va ON va.vec_id = vec_i
+  JOIN embeddings vb ON vb.vec_id = vec_j
+)
+SELECT vec_i, vec_j, cosine FROM scored WHERE cosine >= {EMB_NEAR_DUP_THRESHOLD}
+"""
+
+
+register(
+    "embedding_near_dups_lsh",
+    _embedding_near_dups_lsh,
+    _embedding_near_dups_lsh_sql(),
+)
 
 
 def _simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:

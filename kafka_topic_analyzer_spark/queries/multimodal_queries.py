@@ -1,51 +1,149 @@
-"""Multimodal pipeline queries (rows-only: stub decoders aren't SQL)."""
+"""Multimodal pipeline queries.
+
+Image and audio stats now have REAL decode paths (PGM / WAV parsers,
+functions/codecs.py) and exact DuckDB oracles: the fixture derives
+pixel/sample streams from document text bytes (operators/multimodal.py),
+so the oracle re-derives the same integers from ``text`` alone — byte
+values come from ``to_hex`` nibble lookups, pixel/sample indices from
+``unnest(range(...))``. Video frame extraction stays rows-only (the
+in-container stub is documented on the operator).
+"""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from kafka_topic_analyzer_spark.operators.multimodal import (
+    AUDIO_RATE,
+    DUR_BASE,
+    DUR_MOD,
+    IMG_H_BASE,
+    IMG_H_MOD,
+    IMG_W_BASE,
+    IMG_W_MOD,
+)
 from kafka_topic_analyzer_spark.registry import register
 from kafka_topic_analyzer_spark.sources.tables import load_table
 
+# byte j (0-based) of a blob's hex dump (DuckDB to_hex is UPPERCASE), 0..255
+_HEX = "0123456789ABCDEF"
+
+
+def _byte_at(j: str) -> str:
+    return (
+        f"(strpos('{_HEX}', substr(hx, 2*CAST({j} AS INTEGER)+1, 1))-1)*16"
+        f" + (strpos('{_HEX}', substr(hx, 2*CAST({j} AS INTEGER)+2, 1))-1)"
+    )
+
 
 def _image_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents → fake media blobs → mapInPandas feature extraction →
-    aggregate; exercises the full multimodal plumbing distributed."""
+    """documents → real PGM blobs → real decode → integer pixel stats."""
     from kafka_topic_analyzer_spark.operators.multimodal import (
         decode_image_features,
         documents_as_media,
     )
 
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
-    feats = decode_image_features(media, deterministic_fake=True)
-    return feats.agg(
-        F.count(F.lit(1)).alias("n_images"),
-        F.round(F.sum(F.col("mean_px").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)), 4).alias("mean_of_means"),
-        F.min("n_bytes").alias("min_bytes"),
-        F.max("n_bytes").alias("max_bytes"),
-    )
+    return decode_image_features(media).orderBy("media_id")
 
 
-register("image_feature_stats", _image_feature_stats, None)
+def _image_feature_sql() -> str:
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(doc_id % {IMG_W_MOD} + {IMG_W_BASE} AS INTEGER) AS width,
+         CAST(doc_id % {IMG_H_MOD} + {IMG_H_BASE} AS INTEGER) AS height,
+         to_hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS L
+  FROM documents WHERE doc_id % 3 = 0
+),
+px AS (
+  SELECT media_id, width, height, L, hx,
+         unnest(range(width * height)) AS i
+  FROM m
+),
+vals AS (
+  SELECT media_id, width, height,
+         CASE WHEN L = 0 THEN 0 ELSE {_byte_at("i % L")} END AS b
+  FROM px
+)
+SELECT media_id,
+       -- 'P5\\n' + w digits + ' ' + h digits + '\\n255\\n' + pixels
+       CAST(3 + length(CAST(width AS VARCHAR)) + 1
+              + length(CAST(height AS VARCHAR)) + 5
+              + width * height AS BIGINT) AS n_bytes,
+       width, height,
+       CAST(count(*) AS BIGINT) AS n_px,
+       CAST(sum(b) AS BIGINT) AS sum_px,
+       CAST(min(b) AS INTEGER) AS min_px,
+       CAST(max(b) AS INTEGER) AS max_px
+FROM vals
+GROUP BY media_id, width, height
+ORDER BY media_id
+"""
+
+
+register("image_feature_stats", _image_feature_stats, _image_feature_sql())
+
+
+AUDIO_CHUNK_MS = 500
+_CHUNK_LEN = AUDIO_RATE * AUDIO_CHUNK_MS // 1000
 
 
 def _audio_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → real WAV blobs → real decode → per-chunk energy rows."""
     from kafka_topic_analyzer_spark.operators.multimodal import (
         decode_audio_features,
         documents_as_media,
     )
 
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
-    chunks = decode_audio_features(media, chunk_ms=1_000, deterministic_fake=True)
-    return chunks.groupBy("media_id").agg(
-        F.count(F.lit(1)).alias("n_chunks"),
-        F.sum("n_samples").alias("total_samples"),
-        F.round(F.max("rms"), 4).alias("peak_rms"),
-        F.sum("zero_crossings").alias("total_zero_crossings"),
-    ).orderBy("media_id")
+    return decode_audio_features(media, chunk_ms=AUDIO_CHUNK_MS).orderBy(
+        "media_id", "chunk_idx"
+    )
 
 
-register("audio_chunk_stats", _audio_chunk_stats, None)
+def _audio_chunk_sql() -> str:
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(doc_id % {DUR_MOD} + {DUR_BASE} AS INTEGER) AS duration_ms,
+         to_hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS L
+  FROM documents WHERE doc_id % 3 = 1
+),
+s AS (
+  SELECT media_id, L, hx,
+         unnest(range(({AUDIO_RATE} * duration_ms) // 1000)) AS k
+  FROM m
+),
+samp AS (
+  SELECT media_id, k, CAST(k // {_CHUNK_LEN} AS INTEGER) AS chunk_idx,
+         CAST(((CASE WHEN L = 0 THEN 0 ELSE {_byte_at("k % L")} END) - 128) * 256
+              AS BIGINT) AS v
+  FROM s
+),
+flagged AS (
+  SELECT media_id, chunk_idx, v,
+         CASE WHEN v < 0 THEN 1 ELSE 0 END AS neg,
+         lag(CASE WHEN v < 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY media_id, chunk_idx ORDER BY k) AS prev_neg
+  FROM samp
+)
+SELECT media_id,
+       CAST({AUDIO_RATE} AS INTEGER) AS sample_rate,
+       chunk_idx,
+       CAST(count(*) AS INTEGER) AS n_samples,
+       CAST(sum(v * v) AS BIGINT) AS sum_sq,
+       CAST(sum(CASE WHEN prev_neg IS NOT NULL AND neg <> prev_neg
+                THEN 1 ELSE 0 END) AS INTEGER) AS zero_crossings
+FROM flagged
+GROUP BY media_id, chunk_idx
+ORDER BY media_id, chunk_idx
+"""
+
+
+register("audio_chunk_stats", _audio_chunk_stats, _audio_chunk_sql())
 
 
 def _video_frame_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -55,14 +153,32 @@ def _video_frame_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
-    frames = sample_video_frames(media, every_ms=10_000, deterministic_fake=True)
+    frames = sample_video_frames(media, every_ms=500, deterministic_fake=True)
     return frames.groupBy("media_id").agg(
         F.count(F.lit(1)).alias("n_frames"),
         F.countDistinct("frame_sha1").alias("n_distinct_frames"),
     ).orderBy("media_id")
 
 
-register("video_frame_inventory", _video_frame_inventory, None)
+# Inventory-level oracle: the frame grid is pure arithmetic (one frame per
+# every_ms step below duration), and the per-frame sha1 fingerprints are
+# distinct by construction (distinct ts salts — pinned by unit test), so
+# n_distinct == n_frames. The sha1 itself stays unit-test-only (the
+# extraction stub is the one documented fake).
+register(
+    "video_frame_inventory",
+    _video_frame_inventory,
+    f"""
+SELECT doc_id AS media_id,
+       CAST(((doc_id % {DUR_MOD} + {DUR_BASE}) + 499) // 500 AS BIGINT) AS n_frames,
+       CAST(((doc_id % {DUR_MOD} + {DUR_BASE}) + 499) // 500 AS BIGINT) AS n_distinct_frames
+FROM documents WHERE doc_id % 3 = 2
+ORDER BY media_id
+""",
+)
+
+
+RESIZE_W, RESIZE_H = 64, 64
 
 
 def _image_resize_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -72,11 +188,48 @@ def _image_resize_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
-    resized = resize_images(media, 64, 64, deterministic_fake=True)
+    resized = resize_images(media, RESIZE_W, RESIZE_H)
     return resized.select(
         "media_id", "width", "height",
-        F.length("resized").alias("n_bytes"), "resized_crc32",
+        F.length("resized").alias("n_bytes"),
+        "sum_px", "min_px", "max_px",
     ).orderBy("media_id")
 
 
-register("image_resize_inventory", _image_resize_inventory, None)
+def _image_resize_sql() -> str:
+    """The NN resize grid is integer arithmetic over the cycled text bytes:
+    resized[r][c] = pixel[(r*h//H)*w + (c*w//W)], so the oracle re-derives
+    the decoded-and-resized pixel stats from ``text`` alone. (The crc32 of
+    the re-encoded buffer is exercised by unit tests instead.)"""
+    src_idx = f"((r * height) // {RESIZE_H}) * width + ((c * width) // {RESIZE_W})"
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(doc_id % {IMG_W_MOD} + {IMG_W_BASE} AS INTEGER) AS width,
+         CAST(doc_id % {IMG_H_MOD} + {IMG_H_BASE} AS INTEGER) AS height,
+         to_hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS L
+  FROM documents WHERE doc_id % 3 = 0
+),
+rows_g AS (SELECT *, unnest(range({RESIZE_H})) AS r FROM m),
+grid AS (SELECT *, unnest(range({RESIZE_W})) AS c FROM rows_g),
+vals AS (
+  SELECT media_id,
+         CASE WHEN L = 0 THEN 0 ELSE {_byte_at(f"({src_idx}) % L")} END AS b
+  FROM grid
+)
+SELECT media_id,
+       CAST({RESIZE_W} AS INTEGER) AS width,
+       CAST({RESIZE_H} AS INTEGER) AS height,
+       -- 'P5\\n64 64\\n255\\n' header + pixels
+       CAST({3 + len(str(RESIZE_W)) + 1 + len(str(RESIZE_H)) + 5} + {RESIZE_W * RESIZE_H} AS INTEGER) AS n_bytes,
+       CAST(sum(b) AS BIGINT) AS sum_px,
+       CAST(min(b) AS INTEGER) AS min_px,
+       CAST(max(b) AS INTEGER) AS max_px
+FROM vals
+GROUP BY media_id
+ORDER BY media_id
+"""
+
+
+register("image_resize_inventory", _image_resize_inventory, _image_resize_sql())

@@ -1,9 +1,11 @@
 """Similarity-search queries over ``embeddings`` (LLM-pipeline operators).
 
-Brute-force cosine top-k is oracle-matched: both engines do the identical
-sequential double fold (Spark ``aggregate`` == DuckDB ``list_reduce``), so
-rounded scores hash-match. The LSH ANN variant is the scale path with a
-rows-only check + recall unit test.
+Brute-force cosine top-k AND the sign-LSH ANN variant are oracle-matched:
+both engines do the identical sequential double fold (Spark ``aggregate``
+/ sequential numpy accumulation == DuckDB ``list_reduce``), and the LSH
+hyperplanes are fixed integer hashes, so buckets, candidates and rounded
+scores all hash-match. Only IVF stays rows-only: its k-means means use
+BLAS pairwise summation that SQL folds can't reproduce bit-exactly.
 """
 
 from __future__ import annotations
@@ -62,15 +64,80 @@ SELECT query_id, rank, neighbor_id, score FROM ranked WHERE rank <= {TOP_K}
 )
 
 
+def _plane_list_sql(bit_idx: int, dim: int = 64) -> str:
+    """The deterministic hyperplane for one global bit index, as a SQL list
+    literal. ``repr`` round-trips doubles exactly, so DuckDB parses the
+    identical IEEE-754 values numpy uses."""
+    return "[" + ", ".join(repr(S._plane_component(bit_idx, d)) for d in range(dim)) + "]"
+
+
+def _bucket_expr_sql(t: int, bits: int, emb: str = "embedding") -> str:
+    """Sign-LSH bucket id for table ``t``: sum of 2^b over non-negative
+    projections. Projections fold sequentially over dims — the Spark side
+    (operators/similarity.py lsh_buckets) accumulates in the same order,
+    so every sign matches bit-exactly."""
+    terms = []
+    for b in range(bits):
+        proj = f"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform({emb}, (x, i) -> CAST(x AS DOUBLE) * ({_plane_list_sql(t * bits + b)})[i])),
+          (acc, x) -> acc + x)"""
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN {2 ** b} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def lsh_buckets_cte(bits: int, tables: int, source: str = "embeddings") -> str:
+    """UNION-ALL CTE body producing (vec_id, table_id, bucket) per table."""
+    return " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS table_id, {_bucket_expr_sql(t, bits)} AS bucket FROM {source}"
+        for t in range(tables)
+    )
+
+
 def _knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERIES)
     return S.knn_lsh(emb, queries, k=TOP_K, dim=64, bits=4, tables=8)
 
 
-# rows-only: ANN recall is probabilistic by design; unit tests measure it
-# against knn_bruteforce_cosine.
-register("knn_lsh_cosine", _knn_lsh, None)
+def _knn_lsh_sql() -> str:
+    """Full oracle: sign-LSH buckets are deterministic (fixed integer-hash
+    hyperplanes + sequential-fold projections), so candidates AND the exact
+    re-rank are SQL-reproducible — recall stays a unit-tested property, but
+    correctness is now hash-checked."""
+    return f"""
+WITH buckets AS ({lsh_buckets_cte(bits=4, tables=8)}),
+qb AS (SELECT vec_id AS query_id, table_id, bucket FROM buckets
+       WHERE vec_id < {N_QUERIES}),
+cands AS (
+  SELECT DISTINCT c.vec_id AS neighbor_id, qb.query_id
+  FROM buckets c
+  JOIN qb ON c.table_id = qb.table_id AND c.bucket = qb.bucket
+  WHERE c.vec_id <> qb.query_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+    round(
+      CASE WHEN sqrt({_dot_sql("q.embedding", "q.embedding")}) > 0
+            AND sqrt({_dot_sql("c2.embedding", "c2.embedding")}) > 0
+           THEN {_dot_sql("q.embedding", "c2.embedding")}
+                / (sqrt({_dot_sql("q.embedding", "q.embedding")})
+                   * sqrt({_dot_sql("c2.embedding", "c2.embedding")}))
+      END, 6) AS score
+  FROM cands
+  JOIN embeddings q ON q.vec_id = query_id
+  JOIN embeddings c2 ON c2.vec_id = neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, score FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+register("knn_lsh_cosine", _knn_lsh, _knn_lsh_sql())
 
 
 def _knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

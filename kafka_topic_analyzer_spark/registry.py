@@ -88,13 +88,13 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "kafka_report_global",
     "kafka_alive_keys",
     "kafka_compacted_state",
-    "kafka_alive_keys_approx",
-    "report_metrics_unpivot",
     # -- implementation changed this round: re-verify --
     "embedding_near_dup_pairs",
     "embedding_near_dups_lsh",
     "simhash_near_dups",
     "minhash_near_dups",
+    "knn_lsh_cosine",
+    "rich_customers_per_segment",
 )
 
 
