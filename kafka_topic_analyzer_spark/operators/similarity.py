@@ -114,7 +114,7 @@ def lsh_buckets(
         # matmul could flip a sign on a near-zero projection
         proj = np.zeros((len(m), planes.shape[1]))
         for d in range(m.shape[1]):
-            proj = proj + np.outer(m[:, d], planes[d, :])
+            proj += np.outer(m[:, d], planes[d, :])  # in-place: same IEEE order
         signs = (proj >= 0).astype(np.int64)  # N x (tables*bits)
         b = signs.reshape(len(m), tables, bits) @ weights  # N x tables
         return pd.Series(list(b))

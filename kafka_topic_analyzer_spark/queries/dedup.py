@@ -592,3 +592,89 @@ ORDER BY doc_i, doc_j
 
 
 register("fuzzy_match_pairs", _fuzzy_match_pairs, _fuzzy_sql())
+
+
+SEMANTIC_CLUSTER_BOUND = 1000
+
+
+def _semantic_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup: embedding-LSH near-dup pairs -> connected components
+    -> per-vector cluster assignment with canonical flag (keep the lowest
+    vec_id per cluster, drop the rest). The embedding-space counterpart of
+    ``dup_cluster_assignment`` — the last step of an embedding-based dedup
+    pipeline at scale (candidates via LSH buckets, exact verify, then one
+    vertex-keyed iterative shuffle; see operators/dedup.py
+    connected_components for the 100 TB notes)."""
+    from pyspark.sql import Window
+
+    # Bounded slice (like embedding_pair_stats): the clustering cost is
+    # iteration-latency-bound, not data-bound, so a fixed slice keeps the
+    # bench/driver cost stable across scale factors while exercising the
+    # full LSH -> verify -> components pipeline.
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < SEMANTIC_CLUSTER_BOUND
+    )
+    pairs = D.embedding_near_dups_lsh(
+        emb, threshold=EMB_NEAR_DUP_THRESHOLD, tables=16
+    )
+    edges = pairs.select(F.col("vec_i").alias("src"), F.col("vec_j").alias("dst"))
+    labels = D.connected_components(edges)
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        F.col("doc_id").alias("vec_id"),
+        "cluster_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    ).orderBy("vec_id")
+
+
+def _semantic_dup_clusters_sql() -> str:
+    """Recursive-CTE fixpoint over the (deterministic, SQL-mirrored) LSH
+    near-dup pairs — same oracle pattern as dup_cluster_assignment."""
+    from kafka_topic_analyzer_spark.queries.similarity import (
+        _dot_sql,
+        lsh_buckets_cte,
+    )
+
+    bounded = f"(SELECT * FROM embeddings WHERE vec_id < {SEMANTIC_CLUSTER_BOUND})"
+    return f"""
+WITH RECURSIVE buckets AS ({lsh_buckets_cte(bits=4, tables=16, source=bounded)}),
+cands AS (
+  SELECT DISTINCT a.vec_id AS vec_i, b.vec_id AS vec_j
+  FROM buckets a
+  JOIN buckets b ON a.table_id = b.table_id AND a.bucket = b.bucket
+               AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT vec_i, vec_j,
+    round(
+      CASE WHEN sqrt({_dot_sql("va.embedding", "va.embedding")}) > 0
+            AND sqrt({_dot_sql("vb.embedding", "vb.embedding")}) > 0
+           THEN {_dot_sql("va.embedding", "vb.embedding")}
+                / (sqrt({_dot_sql("va.embedding", "va.embedding")})
+                   * sqrt({_dot_sql("vb.embedding", "vb.embedding")}))
+      END, 6) AS cosine
+  FROM cands
+  JOIN embeddings va ON va.vec_id = vec_i
+  JOIN embeddings vb ON vb.vec_id = vec_j
+),
+nd AS (SELECT vec_i, vec_j FROM scored WHERE cosine >= {EMB_NEAR_DUP_THRESHOLD}),
+edges AS (
+  SELECT vec_i AS src, vec_j AS dst FROM nd
+  UNION SELECT vec_j, vec_i FROM nd
+),
+reach AS (
+  SELECT src AS vec_id, src AS r FROM edges
+  UNION
+  SELECT e.src AS vec_id, reach.r FROM edges e JOIN reach ON reach.vec_id = e.dst
+),
+labels AS (SELECT vec_id, min(r) AS cluster_id FROM reach GROUP BY vec_id)
+SELECT vec_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+       vec_id = cluster_id AS is_canonical
+FROM labels
+ORDER BY vec_id
+"""
+
+
+register("semantic_dup_clusters", _semantic_dup_clusters, _semantic_dup_clusters_sql())

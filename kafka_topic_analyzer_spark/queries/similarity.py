@@ -230,3 +230,54 @@ SELECT vec_id,
 FROM x ORDER BY vec_id
 """,
 )
+
+
+def _embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding QA: vector counts and norm distribution — the
+    sanity dashboard an embedding pipeline runs before dedup/ANN (zero or
+    degenerate norms break cosine paths downstream).
+
+    Float discipline for the oracle hash: each per-row norm is the same
+    sequential fold both engines compute, ROUNDED to 6 digits, then summed
+    as DECIMAL (exact, order-independent — a double sum would depend on
+    partial-aggregation order) and divided once at the end.
+    """
+    from kafka_topic_analyzer_spark.functions.vectors import norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rn = F.round(norm(F.col("embedding")), 6)
+    return (
+        emb.select("label", rn.alias("rn"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("rn").alias("min_norm"),
+            F.max("rn").alias("max_norm"),
+            F.round(
+                F.sum(F.col("rn").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+register(
+    "embedding_label_stats",
+    _embedding_label_stats,
+    f"""
+WITH n AS (
+  SELECT label, round(sqrt({_dot_sql("embedding", "embedding")}), 6) AS rn
+  FROM embeddings
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       min(rn) AS min_norm,
+       max(rn) AS max_norm,
+       round(CAST(sum(CAST(rn AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_norm
+FROM n
+GROUP BY label
+ORDER BY label
+""",
+)

@@ -79,7 +79,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "corpus_summary",
     "mixed_sample_audit",
     "top_terms_per_source",
-    "event_value_quantiles_approx",
+    # new this round (hash-backed); event_value_quantiles_approx (rows-only
+    # check, weaker signal) and semantic_dup_clusters (expensive oracle)
+    # rotate into a later round's window instead
+    "embedding_label_stats",
     "term_postings",
     "keyword_search",
     "benchmark_contamination",
