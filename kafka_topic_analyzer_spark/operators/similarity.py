@@ -119,8 +119,12 @@ def lsh_buckets(
         b = signs.reshape(len(m), tables, bits) @ weights  # N x tables
         return pd.Series(list(b))
 
+    # asNondeterministic: the values ARE deterministic (SQL-mirrored), but
+    # the marker stops Catalyst from duplicating the UDF into the pushed
+    # size()>0 filter under posexplode — measured 2x Python eval otherwise
+    buckets_udf = _buckets.asNondeterministic()
     return df.select(
-        "*", _buckets(as_double(F.col("embedding"))).alias("_tb")
+        "*", buckets_udf(as_double(F.col("embedding"))).alias("_tb")
     ).select(
         *df.columns, F.posexplode("_tb").alias("table_id", "bucket")
     )
@@ -261,8 +265,11 @@ def ivf_assign(
         order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
         return pd.Series(list(order.astype(np.int32)))
 
+    # asNondeterministic for the same reason as lsh_buckets: stop Catalyst
+    # duplicating the UDF into the explode's pushed emptiness filter
+    cells_udf = cells.asNondeterministic()
     return df.select(
-        "*", F.explode(cells(as_double(F.col("embedding")))).alias("cell")
+        "*", F.explode(cells_udf(as_double(F.col("embedding")))).alias("cell")
     )
 
 

@@ -47,6 +47,34 @@ def prepare_session(spark: SparkSession) -> SparkSession:
     return spark
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def scoped_shuffle_partitions(spark: SparkSession, n: int):
+    """Temporarily pin ``spark.sql.shuffle.partitions`` (restored on exit).
+
+    Bounded streaming twins use this to right-size STATE STORE count: a
+    stateful operator creates one state store per shuffle partition, and on
+    the small bounded inputs the per-store bring-up (checkpoint dirs,
+    snapshot files) dominates wall time — 32 stores for a few thousand
+    rows is pure overhead. Results are partition-count-independent (hash
+    partitioning by key; watermarks/windows don't observe layout), so
+    correctness and oracle parity are unaffected. On a real unbounded
+    deployment the default (cores-sized) setting stands.
+    """
+    try:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+    except Exception:
+        prev = None
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def get_spark(app_name: str = "kafka_topic_analyzer_spark") -> SparkSession:
     """Build (or reuse) a SparkSession with engine defaults."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)

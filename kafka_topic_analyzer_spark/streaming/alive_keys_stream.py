@@ -14,8 +14,6 @@ one process's RAM.
 
 from __future__ import annotations
 
-import tempfile
-import uuid
 from collections.abc import Iterable
 
 import pandas as pd
@@ -24,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from kafka_topic_analyzer_spark.schema import KEY, OFFSET, PARTITION, VALUE
+from kafka_topic_analyzer_spark.streaming.runner import run_bounded_memory_stream
 
 OUTPUT_SCHEMA = T.StructType(
     [
@@ -81,20 +80,7 @@ def streaming_compacted_state(kdf_stream: DataFrame, spark: SparkSession) -> Dat
             GroupStateTimeout.NoTimeout,
         )
     )
-    name = f"compacted_{uuid.uuid4().hex[:12]}"
-    query = (
-        updates.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_alive_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        query.awaitTermination()
-    finally:
-        if query.isActive:
-            query.stop()
+    name = run_bounded_memory_stream(updates, spark, "update", "ckpt_alive_")
     # the memory table holds one update row per key per batch that touched
     # it; the final state per key is the latest (partition, offset)
     t = spark.table(name)

@@ -19,13 +19,12 @@ runs here don't need a watermark.
 
 from __future__ import annotations
 
-import tempfile
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from kafka_topic_analyzer_spark.functions.text import md5_fingerprint
 from kafka_topic_analyzer_spark.session import prepare_session
+from kafka_topic_analyzer_spark.streaming.runner import run_bounded_memory_stream
 
 DOCUMENTS_SCHEMA = T.StructType(
     [
@@ -63,20 +62,7 @@ def streaming_distinct_fingerprints(spark: SparkSession, sf_dir: str) -> DataFra
         ["fp"]
     )
 
-    name = f"dedup_{uuid.uuid4().hex[:12]}"
-    query = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_dedup_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        query.awaitTermination()
-    finally:
-        if query.isActive:
-            query.stop()
+    name = run_bounded_memory_stream(deduped, spark, "append", "ckpt_dedup_")
 
     return spark.table(name).orderBy("fp")
 
@@ -106,20 +92,7 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
     doubled = a.unionAll(b).withWatermark("event_ts", "1 hour")
     deduped = doubled.dropDuplicatesWithinWatermark(["event_id"])
 
-    name = f"wmdedup_{uuid.uuid4().hex[:12]}"
-    query = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_wmdedup_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        query.awaitTermination()
-    finally:
-        if query.isActive:
-            query.stop()
+    name = run_bounded_memory_stream(deduped, spark, "append", "ckpt_wmdedup_")
 
     return (
         spark.table(name)

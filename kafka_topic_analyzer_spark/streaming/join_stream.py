@@ -14,13 +14,11 @@ determinism argument as windowed_stream.py.
 
 from __future__ import annotations
 
-import tempfile
-import uuid
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from kafka_topic_analyzer_spark.session import prepare_session
 from kafka_topic_analyzer_spark.streaming.report_stream import events_stream
+from kafka_topic_analyzer_spark.streaming.runner import run_bounded_memory_stream
 
 
 def streaming_purchase_click_join(
@@ -58,18 +56,5 @@ def streaming_purchase_click_join(
         (F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")).alias("gap_sec"),
     )
 
-    name = f"ssjoin_{uuid.uuid4().hex[:12]}"
-    query = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_ssjoin_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        query.awaitTermination()
-    finally:
-        if query.isActive:
-            query.stop()
+    name = run_bounded_memory_stream(joined, spark, "append", "ckpt_ssjoin_")
     return spark.table(name).orderBy("purchase_id", "click_id")

@@ -15,8 +15,6 @@ is the per-partition groupBy — the global row comes from the batch path.
 from __future__ import annotations
 
 import os
-import tempfile
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -58,20 +56,9 @@ def streaming_partition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     kdf = kafka_frame_from_events_df(stream)
     agg = kdf.groupBy(PARTITION).agg(*partition_metric_aggs())
 
-    name = f"report_{uuid.uuid4().hex[:12]}"
-    query = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_report_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        query.awaitTermination()
-    finally:
-        if query.isActive:
-            query.stop()
+    from kafka_topic_analyzer_spark.streaming.runner import run_bounded_memory_stream
+
+    name = run_bounded_memory_stream(agg, spark, "complete", "ckpt_report_")
 
     from kafka_topic_analyzer_spark.operators.report import PARTITION_REPORT_COLUMNS
 

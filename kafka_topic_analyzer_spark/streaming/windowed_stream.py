@@ -14,13 +14,11 @@ design, matching what a live pipeline would have emitted so far.
 
 from __future__ import annotations
 
-import tempfile
-import uuid
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from kafka_topic_analyzer_spark.session import prepare_session
 from kafka_topic_analyzer_spark.streaming.report_stream import events_stream
+from kafka_topic_analyzer_spark.streaming.runner import run_bounded_memory_stream
 
 
 def streaming_windowed_counts(
@@ -42,20 +40,7 @@ def streaming_windowed_counts(
         .groupBy(F.window("ev_ts", f"{window_sec} seconds"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    name = f"windowed_{uuid.uuid4().hex[:12]}"
-    query = (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_window_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        query.awaitTermination()
-    finally:
-        if query.isActive:
-            query.stop()
+    name = run_bounded_memory_stream(agg, spark, "append", "ckpt_window_")
     return (
         spark.table(name)
         .select(
@@ -96,20 +81,7 @@ def streaming_session_stats(
         .groupBy(F.session_window("ev_ts", f"{gap_sec} seconds"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    name = f"sessions_{uuid.uuid4().hex[:12]}"
-    query = (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_sess_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        query.awaitTermination()
-    finally:
-        if query.isActive:
-            query.stop()
+    name = run_bounded_memory_stream(agg, spark, "append", "ckpt_sess_")
     return (
         spark.table(name)
         .select(
