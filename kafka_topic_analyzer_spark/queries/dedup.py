@@ -183,11 +183,13 @@ def _minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_near_dups(load_table(spark, sf_dir, "documents"), k=3, threshold=0.7)
 
 
-def _minhash_near_dups_sql() -> str:
-    """Full oracle for the banded path: the banding is DETERMINISTIC given
-    the signatures (fixed linear permutations), so the candidate set — and
+def _minhash_nd_ctes() -> str:
+    """CTE chain ending in ``mnd(doc_i, doc_j, jaccard)`` — the banded
+    MinHash near-dup relation. The banding is DETERMINISTIC given the
+    signatures (fixed linear permutations), so the candidate set — and
     therefore the verified output — is SQL-reproducible, not just
-    recall-testable. Bands mirror operators/dedup.py lsh_candidate_pairs."""
+    recall-testable. Bands mirror operators/dedup.py lsh_candidate_pairs.
+    Shared by the minhash_near_dups and incremental_dedup_status oracles."""
     rows = D.N_PERMUTATIONS // D.LSH_BANDS
     sig_cols = []
     for i in range(D.N_PERMUTATIONS):
@@ -201,8 +203,7 @@ def _minhash_near_dups_sql() -> str:
             FROM sig WHERE sig_0 IS NOT NULL"""
         for bi in range(D.LSH_BANDS)
     )
-    return f"""
-WITH sh AS (
+    return f"""sh AS (
   SELECT doc_id, {_SHINGLES} AS shingles FROM documents
 ),
 hashed AS (
@@ -225,17 +226,22 @@ shared AS (
   JOIN kept a ON a.doc_id = c.doc_i
   JOIN kept b ON b.doc_id = c.doc_j AND b.shingle = a.shingle
   GROUP BY c.doc_i, c.doc_j
+),
+mnd AS (
+  SELECT doc_i, doc_j,
+         round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) AS jaccard
+  FROM shared
+  JOIN sizes sa ON sa.doc_id = doc_i
+  JOIN sizes sb ON sb.doc_id = doc_j
+  WHERE round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) >= 0.7
+)"""
+
+
+register(
+    "minhash_near_dups",
+    _minhash_near_dups,
+    f"WITH {_minhash_nd_ctes()}\nSELECT doc_i, doc_j, jaccard FROM mnd",
 )
-SELECT doc_i, doc_j,
-       round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) AS jaccard
-FROM shared
-JOIN sizes sa ON sa.doc_id = doc_i
-JOIN sizes sb ON sb.doc_id = doc_j
-WHERE round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) >= 0.7
-"""
-
-
-register("minhash_near_dups", _minhash_near_dups, _minhash_near_dups_sql())
 
 
 EMB_NEAR_DUP_THRESHOLD = 0.4  # fixture embeddings are weakly clustered
@@ -678,3 +684,85 @@ ORDER BY vec_id
 
 
 register("semantic_dup_clusters", _semantic_dup_clusters, _semantic_dup_clusters_sql())
+
+
+NEW_BATCH_MOD = 5  # doc_id % 5 == 0 -> the arriving batch (~20% of docs)
+
+
+def _incremental_dedup_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: classify an ARRIVING batch against the existing
+    reference corpus — the shape a continuously-fed training pipeline runs
+    on every ingest (dedup new data against everything already kept, never
+    re-dedup the reference against itself).
+
+    Status per new doc, priority-ordered: ``exact_dup`` (md5 fingerprint
+    already in the reference), else ``near_dup`` (banded-MinHash pair
+    crossing the batch/reference split at jaccard >= 0.7), else ``kept``.
+    Scale shape: the exact check is a fingerprint-keyed LEFT SEMI join
+    (broadcastable — fingerprints only); the near check reuses the banded
+    candidate machinery, so cost tracks the duplicate rate, not
+    |new| x |reference|.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from kafka_topic_analyzer_spark.functions.text import md5_fingerprint
+
+    is_new = (F.col("doc_id") % NEW_BATCH_MOD) == 0
+    fps = docs.select(
+        "doc_id", md5_fingerprint(F.col("text")).alias("fp"), is_new.alias("is_new")
+    )
+    new_docs = fps.where(F.col("is_new"))
+    ref_fps = fps.where(~F.col("is_new")).select("fp").distinct()
+    exact = new_docs.join(ref_fps, "fp", "left_semi").select(
+        "doc_id", F.lit(True).alias("is_exact")
+    )
+
+    pairs = D.minhash_near_dups(docs, k=3, threshold=0.7)
+    i_new = (F.col("doc_i") % NEW_BATCH_MOD) == 0
+    j_new = (F.col("doc_j") % NEW_BATCH_MOD) == 0
+    cross = pairs.where(i_new != j_new).select(
+        F.when(i_new, F.col("doc_i")).otherwise(F.col("doc_j")).alias("doc_id")
+    )
+    near = cross.distinct().select("doc_id", F.lit(True).alias("is_near"))
+
+    return (
+        new_docs.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_exact"), F.lit("exact_dup"))
+            .when(F.col("is_near"), F.lit("near_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "incremental_dedup_status",
+    _incremental_dedup_status,
+    f"""
+WITH {_minhash_nd_ctes()},
+fps AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+         doc_id % {NEW_BATCH_MOD} = 0 AS is_new
+  FROM documents
+),
+new_docs AS (SELECT doc_id, fp FROM fps WHERE is_new),
+ref_fps AS (SELECT DISTINCT fp FROM fps WHERE NOT is_new),
+exact AS (SELECT doc_id FROM new_docs WHERE fp IN (SELECT fp FROM ref_fps)),
+near AS (
+  SELECT DISTINCT CASE WHEN doc_i % {NEW_BATCH_MOD} = 0 THEN doc_i ELSE doc_j END AS doc_id
+  FROM mnd
+  WHERE (doc_i % {NEW_BATCH_MOD} = 0) <> (doc_j % {NEW_BATCH_MOD} = 0)
+)
+SELECT n.doc_id,
+       CASE WHEN n.doc_id IN (SELECT doc_id FROM exact) THEN 'exact_dup'
+            WHEN n.doc_id IN (SELECT doc_id FROM near) THEN 'near_dup'
+            ELSE 'kept' END AS status
+FROM new_docs n
+ORDER BY n.doc_id
+""",
+)

@@ -397,3 +397,89 @@ def _compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("compression_quality", _compression_quality, None)
+
+
+def _bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-familiarity quality signal: how common a document's bigrams
+    are across the corpus — the integer-count cousin of an n-gram LM
+    perplexity score (natural text reuses common collocations; gibberish
+    and boilerplate sit at the extremes). Per doc over its DISTINCT
+    bigrams: document-frequency sum, mean df (familiarity), and the count
+    of corpus-unique bigrams (df == 1).
+
+    Scale shape: distinct (doc, bigram) explode -> one groupBy(bigram) for
+    df (map-side combinable) -> join back on bigram -> one groupBy(doc).
+    Everything integer until the final rounded division, so the oracle
+    hash-matches exactly.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", TX.tokens(F.lower(F.col("text"))).alias("t")
+    ).withColumn(
+        "bgs",
+        F.expr(
+            "CASE WHEN size(t) < 2 THEN array() "
+            "ELSE transform(sequence(1, size(t) - 1), "
+            "i -> concat(element_at(t, CAST(i AS INT)), ' ', element_at(t, CAST(i + 1 AS INT)))) END"
+        ),
+    )
+    doc_bg = base.select(
+        "doc_id", F.explode(F.array_distinct("bgs")).alias("bg")
+    )
+    df_tbl = doc_bg.groupBy("bg").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    per_doc = (
+        doc_bg.join(df_tbl, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_bigrams"),
+            F.sum("df").cast("long").alias("df_sum"),
+            F.sum((F.col("df") == 1).cast("long")).cast("long").alias("n_corpus_unique"),
+        )
+    )
+    fam = F.round(
+        F.col("df_sum").cast("double") / F.col("n_distinct_bigrams"), 6
+    )
+    return (
+        base.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_distinct_bigrams", F.lit(0)).alias("n_distinct_bigrams"),
+            F.coalesce("df_sum", F.lit(0)).alias("df_sum"),
+            F.coalesce("n_corpus_unique", F.lit(0)).alias("n_corpus_unique"),
+            F.coalesce(fam, F.lit(0.0)).alias("familiarity"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "bigram_familiarity",
+    _bigram_familiarity,
+    f"""
+WITH t AS (SELECT doc_id, {_LTOKS} AS toks FROM documents),
+b AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) < 2 THEN []
+         ELSE [concat(toks[i], ' ', toks[i + 1]) FOR i IN range(1, len(toks))] END AS bgs
+  FROM t
+),
+doc_bg AS (SELECT doc_id, unnest(list_distinct(bgs)) AS bg FROM b),
+df_tbl AS (SELECT bg, CAST(count(*) AS BIGINT) AS df FROM doc_bg GROUP BY bg),
+per_doc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+         CAST(sum(df) AS BIGINT) AS df_sum,
+         CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_corpus_unique
+  FROM doc_bg JOIN df_tbl USING (bg)
+  GROUP BY doc_id
+)
+SELECT b.doc_id,
+       COALESCE(n_distinct_bigrams, 0) AS n_distinct_bigrams,
+       COALESCE(df_sum, 0) AS df_sum,
+       COALESCE(n_corpus_unique, 0) AS n_corpus_unique,
+       COALESCE(round(CAST(df_sum AS DOUBLE) / n_distinct_bigrams, 6), 0.0) AS familiarity
+FROM b LEFT JOIN per_doc ON b.doc_id = per_doc.doc_id
+ORDER BY b.doc_id
+""",
+)
