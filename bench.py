@@ -87,7 +87,11 @@ def main() -> None:
     big_dir = tempfile.mkdtemp(prefix="bench_biglog_")
     big_path = os.path.join(big_dir, "log")
     try:
-        big.write.mode("overwrite").parquet(big_path)
+        # Production file layout: many files so the scan parallelizes.
+        # Without this the explode writes ~3 files and a 32-core scan
+        # runs 3 tasks (measured 2.9s vs 0.69s for the same data).
+        n_files = spark.sparkContext.defaultParallelism * 2
+        big.repartition(n_files).write.mode("overwrite").parquet(big_path)
         stored = spark.read.parquet(big_path)
         t0 = time.perf_counter()
         full_report(stored).collect()
