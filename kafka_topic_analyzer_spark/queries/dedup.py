@@ -766,3 +766,73 @@ FROM new_docs n
 ORDER BY n.doc_id
 """,
 )
+
+
+SPAN_W, SPAN_STRIDE, SPAN_MAX_DF = 64, 16, 20
+
+
+def _substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication (the long-span dedup of "Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2022 — but
+    windowed, not suffix-array): fixed-width character windows on a
+    stride; documents sharing a window share a duplicated span. Reports
+    per doc pair (i < j) the number of shared distinct windows — the
+    evidence a span-level deduper acts on (exact-dup pairs dominate the
+    top; partial boilerplate overlap shows up at lower counts).
+
+    Scale shape: windows are pure JVM expressions (sequence + substring
+    explode — no UDF anywhere); the window join is capped at
+    ``SPAN_MAX_DF`` docs per window (same hot-key cap as the jaccard
+    inverted index) so boilerplate headers can't go quadratic; the pair
+    aggregation is map-side combinable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    txt = F.lower(F.trim(F.col("text")))
+    wins = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN length(lower(trim(text))) < {SPAN_W} THEN array() "
+                f"ELSE transform(sequence(0, CAST((length(lower(trim(text))) - {SPAN_W}) / {SPAN_STRIDE} AS INT)), "
+                f"k -> substring(lower(trim(text)), k * {SPAN_STRIDE} + 1, {SPAN_W})) END"
+            )
+        ).alias("win"),
+    ).distinct()
+    rare = wins.groupBy("win").agg(F.count(F.lit(1)).alias("df")).where(
+        F.col("df") <= SPAN_MAX_DF
+    )
+    kept = wins.join(rare.select("win"), "win")
+    a = kept.select(F.col("doc_id").alias("doc_i"), "win")
+    b = kept.select(F.col("doc_id").alias("doc_j"), "win")
+    return (
+        a.join(b, "win")
+        .where(F.col("doc_i") < F.col("doc_j"))
+        .groupBy("doc_i", "doc_j")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_windows"))
+        .orderBy("doc_i", "doc_j")
+    )
+
+
+register(
+    "substring_dup_spans",
+    _substring_dup_spans,
+    f"""
+WITH w AS (
+  SELECT DISTINCT doc_id, win FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN length(lower(trim(text))) < {SPAN_W} THEN []
+                  ELSE [substr(lower(trim(text)), k * {SPAN_STRIDE} + 1, {SPAN_W})
+                        FOR k IN range(0, CAST(floor((length(lower(trim(text))) - {SPAN_W}) / {SPAN_STRIDE}) AS INTEGER) + 1)]
+                  END) AS win
+    FROM documents
+  )
+),
+rare AS (SELECT win FROM w GROUP BY win HAVING count(*) <= {SPAN_MAX_DF}),
+kept AS (SELECT doc_id, win FROM w WHERE win IN (SELECT win FROM rare))
+SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+       CAST(count(*) AS BIGINT) AS shared_windows
+FROM kept a JOIN kept b ON a.win = b.win AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+ORDER BY doc_i, doc_j
+""",
+)
