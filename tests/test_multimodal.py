@@ -182,3 +182,41 @@ def test_resize_grid_exact_twin(media):
         ys = (np.arange(16) * px.shape[0] // 16).clip(0, px.shape[0] - 1)
         xs = (np.arange(32) * px.shape[1] // 32).clip(0, px.shape[1] - 1)
         assert np.array_equal(pgm_decode(blob), px[np.ix_(ys, xs)])
+
+
+# ---- property-based codec fuzz (hypothesis) ----
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    @given(
+        w=st.integers(min_value=1, max_value=40),
+        h=st.integers(min_value=1, max_value=40),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_pgm_roundtrip_fuzz(w, h, seed):
+        from kafka_topic_analyzer_spark.functions.codecs import pgm_decode, pgm_encode
+
+        px = np.random.default_rng(seed).integers(0, 256, size=(h, w), dtype=np.uint8)
+        assert np.array_equal(pgm_decode(pgm_encode(px)), px)
+
+    @given(
+        n=st.integers(min_value=0, max_value=5000),
+        rate=st.sampled_from([2000, 8000, 16000, 44100]),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_wav_roundtrip_fuzz(n, rate, seed):
+        from kafka_topic_analyzer_spark.functions.codecs import wav_decode, wav_encode
+
+        samples = (
+            np.random.default_rng(seed)
+            .integers(-32768, 32768, size=n)
+            .astype(np.int16)
+        )
+        got_rate, back = wav_decode(wav_encode(samples, rate))
+        assert got_rate == rate and np.array_equal(back, samples)
+
+except ImportError:  # pragma: no cover - hypothesis is baked in per TESTDATA
+    pass

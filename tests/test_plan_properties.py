@@ -154,6 +154,26 @@ def test_embedding_blocked_exact_has_no_driver_collect(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_substring_spans_join_stays_keyed(spark):
+    """The shared-window self-join must stay keyed on the window string —
+    a cartesian regression would be quadratic in the corpus."""
+    import __spark_entry__ as E
+
+    plan = _executed(E.queries()["substring_dup_spans"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # windows come from pure JVM expressions — no Python anywhere
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_incremental_dedup_no_cartesian(spark):
+    import __spark_entry__ as E
+
+    plan = _executed(E.queries()["incremental_dedup_status"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_shard_pipeline_single_dedup_shuffle(spark):
     """The pipeline's selection (dedup window + filters) must not shuffle
     more than once before packing: fp window -> quality/sample filters
