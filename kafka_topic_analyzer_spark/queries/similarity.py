@@ -281,3 +281,63 @@ GROUP BY label
 ORDER BY label
 """,
 )
+
+
+def _embedding_coverage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table pipeline validation: does every document have an
+    embedding vector, and are there orphan vectors? Per source: doc count,
+    embedded count, orphan count (global, repeated per row for a flat
+    schema), coverage ratio. The anti-join shape is the standard QA gate
+    between a text corpus and its vectorization run — both joins are
+    id-keyed (broadcastable dimension: the embedding ID SET, not the
+    vectors)."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec_ids = emb.select(F.col("vec_id").alias("doc_id")).distinct()
+    with_vec = docs.join(vec_ids, "doc_id", "left_semi").groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_embedded")
+    )
+    # 1-row aggregate broadcast onto every source row — declarative, no
+    # driver round-trip (same pattern as rich_customers_per_segment)
+    orphans = (
+        vec_ids.join(docs.select("doc_id"), "doc_id", "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orphan_vecs"))
+    )
+    per_source = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(with_vec, "source", "left")
+        .crossJoin(F.broadcast(orphans))
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_embedded", F.lit(0)).alias("n_embedded"),
+            "n_orphan_vecs",
+            F.round(
+                F.coalesce("n_embedded", F.lit(0)).cast("double") / F.col("n_docs"), 6
+            ).alias("coverage"),
+        )
+        .orderBy("source")
+    )
+    return per_source
+
+
+register(
+    "embedding_coverage_check",
+    _embedding_coverage_check,
+    """
+WITH vec_ids AS (SELECT DISTINCT vec_id AS doc_id FROM embeddings),
+orph AS (
+  SELECT CAST(count(*) AS BIGINT) AS n
+  FROM vec_ids WHERE doc_id NOT IN (SELECT doc_id FROM documents)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM vec_ids) THEN 1 ELSE 0 END) AS BIGINT) AS n_embedded,
+       (SELECT n FROM orph) AS n_orphan_vecs,
+       round(CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM vec_ids) THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS coverage
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
