@@ -124,7 +124,7 @@ p AS (
   FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 ),
-nd AS (
+nd AS MATERIALIZED (
   SELECT doc_i, doc_j FROM p
   JOIN sizes sa ON sa.doc_id = doc_i
   JOIN sizes sb ON sb.doc_id = doc_j
@@ -520,7 +520,7 @@ p AS (
   FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 ),
-nd AS (
+nd AS MATERIALIZED (
   SELECT doc_i, doc_j FROM p
   JOIN sizes sa ON sa.doc_id = doc_i
   JOIN sizes sb ON sb.doc_id = doc_j
@@ -664,7 +664,7 @@ scored AS (
   JOIN embeddings va ON va.vec_id = vec_i
   JOIN embeddings vb ON vb.vec_id = vec_j
 ),
-nd AS (SELECT vec_i, vec_j FROM scored WHERE cosine >= {EMB_NEAR_DUP_THRESHOLD}),
+nd AS MATERIALIZED (SELECT vec_i, vec_j FROM scored WHERE cosine >= {EMB_NEAR_DUP_THRESHOLD}),
 edges AS (
   SELECT vec_i AS src, vec_j AS dst FROM nd
   UNION SELECT vec_j, vec_i FROM nd
