@@ -550,3 +550,61 @@ GROUP BY source
 ORDER BY source
 """,
 )
+
+
+# train/val/test boundaries on the md5 16-bit prefix: [0, 0xF000) train,
+# [0xF000, 0xF800) val, [0xF800, 0x10000) test  (93.75 / 3.125 / 3.125)
+_SPLIT_VAL, _SPLIT_TEST = "f000", "f800"
+
+
+def _dataset_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test holdout split audit — the assignment
+    machinery every training corpus needs: content-hash bucketing means a
+    document lands in the SAME split on every re-run and in every
+    pipeline (and exact duplicates land in the same split, so no
+    train/test leakage through dups). Per (source, split): counts and
+    token mass.
+
+    Scale: the split expression is a scan-side codegen projection; the
+    audit is a ~60-group aggregation with map-side combine. The real
+    pipeline uses the same predicate as a partition column on write.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pfx = _md5_prefix(F.col("text"))
+    split = (
+        F.when(pfx < F.lit(_SPLIT_VAL), F.lit("train"))
+        .when(pfx < F.lit(_SPLIT_TEST), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select("source", split.alias("split"), TX.token_count(F.col("text")).alias("n_tok"))
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+register(
+    "dataset_split_summary",
+    _dataset_split_summary,
+    f"""
+WITH s AS (
+  SELECT source,
+         CASE WHEN {_MD5_PREFIX_SQL} < '{_SPLIT_VAL}' THEN 'train'
+              WHEN {_MD5_PREFIX_SQL} < '{_SPLIT_TEST}' THEN 'val'
+              ELSE 'test' END AS split,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok
+  FROM documents
+)
+SELECT source, split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+FROM s
+GROUP BY source, split
+ORDER BY source, split
+""",
+)
