@@ -559,11 +559,14 @@ def _embedding_pairs_blockwise(
             for c in range(blocks)
         ]
     )
-    replicated = (
-        base.select("vec_id", "embedding", "blk", F.explode(assignments).alias("g"))
-        .select("vec_id", "embedding", "blk", "g.p", "g.q")
-        .dropDuplicates(["vec_id", "p", "q"])  # (b,b) appears once per vector
-    )
+    # assignments are duplicate-free by construction: for block b the array
+    # holds (min(b,c), max(b,c)) for c in 0..B-1 — B distinct structs, with
+    # (b,b) appearing exactly once (c == b) — so no dedup shuffle is needed
+    # on the replicated (vector-carrying) rows, the largest intermediate of
+    # this strategy.
+    replicated = base.select(
+        "vec_id", "embedding", "blk", F.explode(assignments).alias("g")
+    ).select("vec_id", "embedding", "blk", "g.p", "g.q")
 
     out_schema = "vec_i long, vec_j long, raw_cosine double"
 

@@ -787,7 +787,6 @@ def _substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation is map-side combinable.
     """
     docs = load_table(spark, sf_dir, "documents")
-    txt = F.lower(F.trim(F.col("text")))
     wins = docs.select(
         "doc_id",
         F.explode(

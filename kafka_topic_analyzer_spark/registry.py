@@ -34,9 +34,10 @@ def register(name: str, spark_fn: Callable[[SparkSession, str], DataFrame], orac
 
 
 # The verify driver checks queries in iteration order and stops after ~50.
-# With 90 registered queries, iteration order decides which get a driver
-# correctness row each round — so we rotate: queries that have never received
-# a row (rounds 1-2 stopped at the same first 50) go first, then the
+# With more registered queries than that (97 as of round 3), iteration order
+# decides which get a driver correctness row each round — so we rotate:
+# queries that have never received a row (rounds 1-2 stopped at the same
+# first 50) go first, then the
 # kafka-core family (broken by the round-2 testdata ts-type change; the fix
 # needs a green row), then queries whose implementation changed this round.
 # Everything not listed follows in registration order and gets its turn in a

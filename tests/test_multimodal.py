@@ -171,11 +171,11 @@ def test_resize_grid_exact_twin(media):
 
     src = {
         r["media_id"]: bytes(r["data"])
-        for r in media.where("kind = 'image'").limit(5).collect()
+        for r in media.where("kind = 'image'").orderBy("media_id").limit(5).collect()
     }
     out = {
         r["media_id"]: bytes(r["resized"])
-        for r in resize_images(media, 32, 16).limit(5).collect()
+        for r in resize_images(media, 32, 16).orderBy("media_id").limit(5).collect()
     }
     for mid, blob in out.items():
         px = pgm_decode(src[mid])
