@@ -835,3 +835,65 @@ GROUP BY a.doc_id, b.doc_id
 ORDER BY doc_i, doc_j
 """,
 )
+
+
+def _near_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication lineage: near-dup pair counts by source
+    pair — the governance view that tells a corpus owner WHERE duplication
+    comes from (within one crawl vs mirrored across sources), which drives
+    whether dedup should run per-source or globally. Reuses the exact
+    n-gram Jaccard pairs; the per-pair source lookup is two id-keyed joins
+    on a pair set that is tiny relative to the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.near_dup_pairs_jaccard(docs, k=3, threshold=0.7, max_df=50)
+    src = docs.select("doc_id", "source")
+    lab = (
+        pairs.join(src.select(F.col("doc_id").alias("doc_i"), F.col("source").alias("s_i")), "doc_i")
+        .join(src.select(F.col("doc_id").alias("doc_j"), F.col("source").alias("s_j")), "doc_j")
+        .select(
+            F.least("s_i", "s_j").alias("source_a"),
+            F.greatest("s_i", "s_j").alias("source_b"),
+        )
+    )
+    return (
+        lab.groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+register(
+    "near_dup_source_matrix",
+    _near_dup_source_matrix,
+    f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS shingle FROM documents
+),
+kept AS (
+  SELECT doc_id, shingle FROM sh
+  WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 50)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+p AS (
+  SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, count(*) AS shared
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+nd AS (
+  SELECT doc_i, doc_j FROM p
+  JOIN sizes sa ON sa.doc_id = doc_i
+  JOIN sizes sb ON sb.doc_id = doc_j
+  WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.7
+),
+lab AS (
+  SELECT least(di.source, dj.source) AS source_a,
+         greatest(di.source, dj.source) AS source_b
+  FROM nd
+  JOIN documents di ON di.doc_id = doc_i
+  JOIN documents dj ON dj.doc_id = doc_j
+)
+SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+FROM lab GROUP BY source_a, source_b
+ORDER BY source_a, source_b
+""",
+)
