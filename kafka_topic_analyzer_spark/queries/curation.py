@@ -608,3 +608,61 @@ GROUP BY source, split
 ORDER BY source, split
 """,
 )
+
+
+def _quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft quality sampling audit: each doc is kept with probability equal
+    to its quality score — the "soft filter" alternative to a hard quality
+    gate (low-quality text is downsampled, not eliminated, preserving
+    distributional coverage). Deterministic: keep iff the doc's md5 16-bit
+    bucket falls below floor(quality * 65536), so re-runs keep the same
+    rows and the audit is oracle-reproducible. Per source: doc count, kept
+    count, realized keep rate, mean quality (decimal-exact sum).
+
+    Scale: the keep predicate is a scan-side codegen projection (md5 +
+    conv + compare); the audit is a tiny per-source aggregation.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    q = TX.quality_score(F.col("text"))
+    bucket = F.conv(_md5_prefix(F.col("text")), 16, 10).cast("long")
+    kept = (bucket < F.floor(q * F.lit(65536.0)).cast("long")).cast("long")
+    return (
+        d.select("source", q.alias("q"), kept.alias("kept"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept").cast("long").alias("n_kept"),
+            F.round(F.sum("kept").cast("double") / F.count(F.lit(1)), 6).alias(
+                "keep_rate"
+            ),
+            F.round(
+                F.sum(F.col("q").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+register(
+    "quality_weighted_sample",
+    _quality_weighted_sample,
+    f"""
+WITH s AS (
+  SELECT source, {_QSCORE} AS q,
+         CASE WHEN CAST('0x' || {_MD5_PREFIX_SQL} AS BIGINT)
+                   < CAST(floor({_QSCORE} * 65536.0) AS BIGINT)
+              THEN 1 ELSE 0 END AS kept
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(kept) AS BIGINT) AS n_kept,
+       round(CAST(sum(kept) AS DOUBLE) / count(*), 6) AS keep_rate,
+       round(CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_quality
+FROM s
+GROUP BY source
+ORDER BY source
+""",
+)
