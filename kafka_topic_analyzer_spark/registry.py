@@ -43,62 +43,58 @@ def register(name: str, spark_fn: Callable[[SparkSession, str], DataFrame], orac
 # Everything not listed follows in registration order and gets its turn in a
 # later round's rotation.
 CHECK_PRIORITY: tuple[str, ...] = (
-    # -- never verified by the driver (rounds 1-2) --
+    # -- round 4 rotation (tools/rotate_priority.py): never-verified first --
+    "bigram_familiarity",
+    "embedding_coverage_check",
+    "semantic_dup_clusters",
+    "incremental_dedup_status",
+    "substring_dup_spans",
+    "near_dup_source_matrix",
+    "dataset_split_summary",
+    "quality_weighted_sample",
+    "event_value_quantiles_approx",
+    # -- stalest rows (last green r2 or earlier) --
+    "kafka_alive_keys_approx",
+    "report_metrics_unpivot",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_regional_revenue",
+    "top3_customers_per_segment",
+    "orders_rollup",
+    "customers_without_recent_orders",
+    "priority_with_discounted_lines",
+    "large_parts_in_lineitem",
+    "order_status_pivot",
+    "supplier_running_revenue",
+    "customer_retention_sets",
+    "orders_cube",
+    "balance_deciles",
+    "monthly_order_growth",
+    "q6_forecast_revenue",
+    "q12_returnflag_priority",
+    "q14_promo_share",
+    "doc_token_stats",
+    "source_quality_summary",
+    "lang_id_confusion",
+    "text_cleaning",
+    "pii_redaction",
+    "doc_repetition_stats",
+    "doc_fingerprints",
+    "sentence_stats",
+    "compression_quality",
+    "exact_dup_summary",
+    "near_dup_pairs_jaccard",
+    "dup_cluster_assignment",
+    "minhash_signatures",
+    "knn_bruteforce_cosine",
+    "knn_ivf_cosine",
+    "embedding_pair_stats",
+    "embedding_quantization",
+    "simhash_fingerprints",
+    "consensus_near_dups",
+    "dup_graph_pagerank",
+    "fuzzy_match_pairs",
     "hourly_event_counts",
-    "sliding_window_counts",
-    "user_session_stats",
-    "props_key_distribution",
-    "purchase_attribution_asof",
-    "value_percentiles",
-    "peak_window_event_counts",
-    "hourly_spike_detection",
-    "event_funnel",
-    "weekly_retention_cohorts",
-    "user_state_history",
-    "events_quality_checks",
-    "kafka_report_partition_streaming",
-    "kafka_compacted_state_streaming",
-    "windowed_counts_streaming",
-    "purchase_click_join_streaming",
-    "exact_dedup_streaming",
-    "dedup_within_watermark_streaming",
-    "session_windows_streaming",
-    "image_feature_stats",
-    "audio_chunk_stats",
-    "video_frame_inventory",
-    "image_resize_inventory",
-    "stratified_sample_summary",
-    "per_group_sample",
-    "event_value_histogram",
-    "quality_percentile_gate",
-    "sequence_packing",
-    "training_shard_manifest",
-    "doc_chunking",
-    "source_char_dispersion",
-    "per_lang_length_norm",
-    "source_mixing_weights",
-    "corpus_summary",
-    "mixed_sample_audit",
-    "top_terms_per_source",
-    # new this round (hash-backed); event_value_quantiles_approx (rows-only
-    # check, weaker signal) and semantic_dup_clusters (expensive oracle)
-    # rotate into a later round's window instead
-    "embedding_label_stats",
-    "term_postings",
-    "keyword_search",
-    "benchmark_contamination",
-    # -- kafka core: re-verify the events.ts normalization fix --
-    "kafka_report_partition",
-    "kafka_report_global",
-    "kafka_alive_keys",
-    "kafka_compacted_state",
-    # -- implementation changed this round: re-verify --
-    "embedding_near_dup_pairs",
-    "embedding_near_dups_lsh",
-    "simhash_near_dups",
-    "minhash_near_dups",
-    "knn_lsh_cosine",
-    "rich_customers_per_segment",
 )
 
 
