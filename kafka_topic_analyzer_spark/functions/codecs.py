@@ -8,6 +8,12 @@ multimodal pipeline's decode step from a stub into real byte parsing:
   height, maxval, ``#`` comments allowed) followed by raw 8-bit pixels.
 * WAV — RIFF container with a PCM ``fmt `` chunk and a ``data`` chunk of
   little-endian int16 samples (mono, any rate).
+* Y4M (``YUV4MPEG2``) — the mjpegtools raw-video interchange format:
+  one ASCII stream header with space-separated tagged parameters
+  (``W<width> H<height> F<num>:<den> [I?] [A?:?] [C<colorspace>] [X…]``),
+  then per frame a ``FRAME[ tags]\\n`` line followed by raw planar YUV.
+  The encoder writes ``Cmono`` (luma-only) streams; the decoder handles
+  mono/420*/422/444 plane layouts and arbitrary tag order.
 
 Encoders emit canonical minimal files; decoders parse the general format
 (chunk-walking for WAV, comment/whitespace handling for PGM), so they
@@ -108,3 +114,86 @@ def wav_decode(blob: bytes) -> tuple[int, np.ndarray]:
     if n_channels > 1:
         samples = samples[::n_channels]
     return sample_rate, samples
+
+
+# ---- Y4M (YUV4MPEG2) ----
+
+# bytes per frame = width*height * num / den for each colorspace family
+_Y4M_PLANE_RATIO: dict[str, tuple[int, int]] = {
+    "mono": (1, 1),
+    "420": (3, 2), "420jpeg": (3, 2), "420mpeg2": (3, 2), "420paldv": (3, 2),
+    "422": (2, 1),
+    "444": (3, 1),
+}
+
+
+def y4m_encode(
+    frames: np.ndarray, fps: tuple[int, int] = (2, 1)
+) -> bytes:
+    """uint8 luma frames (n, h, w) → YUV4MPEG2 ``Cmono`` stream bytes."""
+    if frames.ndim != 3:
+        raise ValueError("y4m_encode expects a 3-D (n, h, w) uint8 array")
+    n, h, w = frames.shape
+    num, den = fps
+    out = [f"YUV4MPEG2 W{w} H{h} F{num}:{den} Ip A1:1 Cmono\n".encode("ascii")]
+    data = np.ascontiguousarray(frames, dtype=np.uint8)
+    for i in range(n):
+        out.append(b"FRAME\n")
+        out.append(data[i].tobytes())
+    return b"".join(out)
+
+
+def y4m_decode(blob: bytes) -> tuple[dict, list[np.ndarray]]:
+    """YUV4MPEG2 bytes → (header meta, list of uint8 luma planes (h, w)).
+
+    Parses the public mjpegtools grammar: tagged stream-header params in
+    any order, per-frame ``FRAME`` lines with optional tags, and the raw
+    planar payload sized by the ``C`` colorspace (mono, 4:2:0 variants,
+    4:2:2, 4:4:4). Chroma planes are parsed past but only the luma plane
+    is returned — the analytics pipeline is grayscale-first, same as the
+    PGM path.
+    """
+    nl = blob.find(b"\n")
+    if nl < 0 or not blob[:9] == b"YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    meta: dict = {"colorspace": "420jpeg", "interlace": "p", "aspect": (1, 1)}
+    for tag in blob[9:nl].split(b" "):
+        if not tag:
+            continue
+        key, val = chr(tag[0]), tag[1:].decode("ascii")
+        if key == "W":
+            meta["width"] = int(val)
+        elif key == "H":
+            meta["height"] = int(val)
+        elif key == "F":
+            num, den = val.split(":")
+            meta["fps"] = (int(num), int(den))
+        elif key == "I":
+            meta["interlace"] = val
+        elif key == "A":
+            num, den = val.split(":")
+            meta["aspect"] = (int(num), int(den))
+        elif key == "C":
+            meta["colorspace"] = val
+        # X<comment> and unknown tags are skipped per spec
+    if "width" not in meta or "height" not in meta:
+        raise ValueError("Y4M header missing W/H")
+    w, h = meta["width"], meta["height"]
+    cs = meta["colorspace"]
+    if cs not in _Y4M_PLANE_RATIO:
+        raise ValueError(f"unsupported Y4M colorspace: {cs}")
+    num, den = _Y4M_PLANE_RATIO[cs]
+    frame_bytes = w * h * num // den
+    frames: list[np.ndarray] = []
+    pos = nl + 1
+    while pos < len(blob):
+        fnl = blob.find(b"\n", pos)
+        if fnl < 0 or blob[pos : pos + 5] != b"FRAME":
+            raise ValueError("malformed FRAME header")
+        body = fnl + 1
+        if body + frame_bytes > len(blob):
+            raise ValueError("truncated Y4M frame payload")
+        luma = np.frombuffer(blob, dtype=np.uint8, count=w * h, offset=body)
+        frames.append(luma.reshape(h, w))
+        pos = body + frame_bytes
+    return meta, frames

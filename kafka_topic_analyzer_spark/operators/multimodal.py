@@ -1,11 +1,10 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-Image and audio paths are REAL end-to-end: blobs are genuine PGM (P5)
-and RIFF/WAV PCM16 files (functions/codecs.py — pure-numpy codecs for
-two public formats), and the decode steps parse those bytes back. Only
-video frame *extraction* remains stubbed (a real video codec is not
-implementable in-container), clearly marked on
-:func:`sample_video_frames`.
+All three media paths are REAL end-to-end: blobs are genuine PGM (P5),
+RIFF/WAV PCM16 and YUV4MPEG2 (Y4M ``Cmono``) files (functions/codecs.py —
+pure-numpy codecs for three public formats), and every decode step parses
+those bytes back — frame geometry, sample rate and frame cadence all come
+from the decoded headers, not the metadata columns.
 
 The test fixture derives media content deterministically from document
 text bytes (pixels/samples cycle through the UTF-8 bytes), which keeps
@@ -35,6 +34,8 @@ from kafka_topic_analyzer_spark.functions.codecs import (
     pgm_encode,
     wav_decode,
     wav_encode,
+    y4m_decode,
+    y4m_encode,
 )
 
 # Fixture geometry — small enough that the DuckDB oracle can re-derive
@@ -43,6 +44,7 @@ IMG_W_MOD, IMG_W_BASE = 48, 8
 IMG_H_MOD, IMG_H_BASE = 32, 8
 AUDIO_RATE = 2_000  # Hz — fixture rate; the codec handles any rate
 DUR_MOD, DUR_BASE = 2_000, 500  # duration_ms in [500, 2499]
+VIDEO_FPS = (2, 1)  # 2 fps → one frame per 500 ms; frames = ceil(dur/500)
 
 MEDIA_SCHEMA = (
     "media_id long, kind string, data binary, width int, height int, "
@@ -66,7 +68,9 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
 
     * image: ``width x height`` grayscale PGM, pixel[i] = byte[i mod L]
     * audio: mono 16-bit WAV at AUDIO_RATE, sample[k] = (byte[k mod L] - 128) * 256
-    * video: raw text bytes (extraction is stubbed; see module docstring)
+    * video: ``Cmono`` Y4M at VIDEO_FPS with ``ceil(duration_ms / 500)``
+      frames of ``width x height`` luma; frame f pixel i = byte[(f*w*h + i) mod L]
+      (one contiguous cycled stream across frames)
     """
     meta = docs.select(
         F.col("doc_id").alias("media_id"),
@@ -95,7 +99,12 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
                     ).astype(np.int16)
                     blobs.append(wav_encode(samples, AUDIO_RATE))
                 else:
-                    blobs.append(raw)
+                    w, h = int(r["width"]), int(r["height"])
+                    n_frames = (int(r["duration_ms"]) + 499) // 500
+                    frames = _cycle_bytes(raw, n_frames * w * h).reshape(
+                        n_frames, h, w
+                    )
+                    blobs.append(y4m_encode(frames, fps=VIDEO_FPS))
             out = pdf.drop(columns=["raw"])
             out["data"] = blobs
             yield out[
@@ -181,31 +190,40 @@ def decode_audio_features(media: DataFrame, chunk_ms: int = 500) -> DataFrame:
     return media.where(F.col("kind") == "audio").mapInPandas(batches, out_schema)
 
 
-def sample_video_frames(
-    media: DataFrame, every_ms: int = 500, deterministic_fake: bool = False
-) -> DataFrame:
-    """video rows → one row per sampled frame timestamp (UDTF-shaped op).
+def sample_video_frames(media: DataFrame) -> DataFrame:
+    """video rows → one row per decoded frame (UDTF-shaped op).
 
-    Frame *extraction* is STUBBED — a real video codec cannot be
-    implemented in-container; the timestamp grid, explode shape and
-    per-frame fingerprint plumbing are real and tested.
+    REAL decode: parses the Y4M stream (functions/codecs.py), emitting
+    one row per frame with integer luma statistics and a fingerprint of
+    the raw frame bytes. The frame cadence (``frame_ts_ms``) comes from
+    the DECODED ``F`` header rate, not the metadata columns, proving the
+    bytes were parsed. Reference analogue: opaque-bytes metric columns,
+    ``src/metric.rs:233-245`` — this goes beyond it (the reference has
+    no media decode at all).
     """
-    if not deterministic_fake:
-        raise NotImplementedError(
-            "no video codec in this environment — pass deterministic_fake=True"
-        )
-
-    out_schema = "media_id long, frame_ts_ms int, frame_sha1 string"
+    out_schema = (
+        "media_id long, frame_idx int, frame_ts_ms int, n_px long, "
+        "sum_px long, min_px int, max_px int, frame_sha1 string"
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for _, r in pdf.iterrows():
-                blob = bytes(r["data"])
-                for ts in range(0, int(r["duration_ms"]), every_ms):
-                    h = hashlib.sha1(blob + ts.to_bytes(8, "little")).hexdigest()
+                meta, frames = y4m_decode(bytes(r["data"]))
+                num, den = meta["fps"]
+                for idx, luma in enumerate(frames):
                     rows.append(
-                        {"media_id": r["media_id"], "frame_ts_ms": ts, "frame_sha1": h}
+                        {
+                            "media_id": r["media_id"],
+                            "frame_idx": idx,
+                            "frame_ts_ms": idx * 1000 * den // num,
+                            "n_px": luma.size,
+                            "sum_px": int(luma.astype(np.int64).sum()),
+                            "min_px": int(luma.min()),
+                            "max_px": int(luma.max()),
+                            "frame_sha1": hashlib.sha1(luma.tobytes()).hexdigest(),
+                        }
                     )
             yield pd.DataFrame(rows)
 

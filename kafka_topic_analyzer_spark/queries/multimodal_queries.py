@@ -1,12 +1,14 @@
 """Multimodal pipeline queries.
 
-Image and audio stats now have REAL decode paths (PGM / WAV parsers,
-functions/codecs.py) and exact DuckDB oracles: the fixture derives
-pixel/sample streams from document text bytes (operators/multimodal.py),
-so the oracle re-derives the same integers from ``text`` alone — byte
-values come from ``to_hex`` nibble lookups, pixel/sample indices from
-``unnest(range(...))``. Video frame extraction stays rows-only (the
-in-container stub is documented on the operator).
+Image, audio AND video stats all have REAL decode paths (PGM / WAV / Y4M
+parsers, functions/codecs.py) and exact DuckDB oracles: the fixture
+derives pixel/sample streams from document text bytes
+(operators/multimodal.py), so the oracle re-derives the same integers
+from ``text`` alone — byte values come from ``to_hex`` nibble lookups,
+pixel/sample indices from ``unnest(range(...))``. NULL ``text`` is
+normalized to the empty blob on both sides (Spark maps NULL raw bytes to
+b''; the SQL coalesces) so driver-regenerated testdata with NULLs cannot
+diverge.
 """
 
 from __future__ import annotations
@@ -53,8 +55,8 @@ WITH m AS (
   SELECT doc_id AS media_id,
          CAST(doc_id % {IMG_W_MOD} + {IMG_W_BASE} AS INTEGER) AS width,
          CAST(doc_id % {IMG_H_MOD} + {IMG_H_BASE} AS INTEGER) AS height,
-         to_hex(encode(text)) AS hx,
-         octet_length(encode(text)) AS L
+         to_hex(COALESCE(encode(text), ''::BLOB)) AS hx,
+         COALESCE(octet_length(encode(text)), 0) AS L
   FROM documents WHERE doc_id % 3 = 0
 ),
 px AS (
@@ -108,8 +110,8 @@ def _audio_chunk_sql() -> str:
 WITH m AS (
   SELECT doc_id AS media_id,
          CAST(doc_id % {DUR_MOD} + {DUR_BASE} AS INTEGER) AS duration_ms,
-         to_hex(encode(text)) AS hx,
-         octet_length(encode(text)) AS L
+         to_hex(COALESCE(encode(text), ''::BLOB)) AS hx,
+         COALESCE(octet_length(encode(text)), 0) AS L
   FROM documents WHERE doc_id % 3 = 1
 ),
 s AS (
@@ -147,35 +149,62 @@ register("audio_chunk_stats", _audio_chunk_stats, _audio_chunk_sql())
 
 
 def _video_frame_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → real Y4M blobs → real frame decode → luma stats."""
     from kafka_topic_analyzer_spark.operators.multimodal import (
         documents_as_media,
         sample_video_frames,
     )
 
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
-    frames = sample_video_frames(media, every_ms=500, deterministic_fake=True)
+    frames = sample_video_frames(media)
     return frames.groupBy("media_id").agg(
         F.count(F.lit(1)).alias("n_frames"),
-        F.countDistinct("frame_sha1").alias("n_distinct_frames"),
+        F.sum("n_px").alias("n_px"),
+        F.sum("sum_px").alias("sum_px"),
+        F.min("min_px").alias("min_px"),
+        F.max("max_px").alias("max_px"),
     ).orderBy("media_id")
 
 
-# Inventory-level oracle: the frame grid is pure arithmetic (one frame per
-# every_ms step below duration), and the per-frame sha1 fingerprints are
-# distinct by construction (distinct ts salts — pinned by unit test), so
-# n_distinct == n_frames. The sha1 itself stays unit-test-only (the
-# extraction stub is the one documented fake).
-register(
-    "video_frame_inventory",
-    _video_frame_inventory,
-    f"""
-SELECT doc_id AS media_id,
-       CAST(((doc_id % {DUR_MOD} + {DUR_BASE}) + 499) // 500 AS BIGINT) AS n_frames,
-       CAST(((doc_id % {DUR_MOD} + {DUR_BASE}) + 499) // 500 AS BIGINT) AS n_distinct_frames
-FROM documents WHERE doc_id % 3 = 2
-ORDER BY media_id
-""",
+def _video_frame_sql() -> str:
+    """Frames are a contiguous cycled byte stream (frame f pixel i =
+    byte[(f*w*h + i) mod L]), so the oracle flattens all frames into one
+    ``range(n_frames * w * h)`` unnest and re-derives the decoded totals
+    from ``text`` alone. Per-frame sha1 stays unit-test-only (no SHA in
+    DuckDB's core)."""
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(doc_id % {IMG_W_MOD} + {IMG_W_BASE} AS INTEGER) AS width,
+         CAST(doc_id % {IMG_H_MOD} + {IMG_H_BASE} AS INTEGER) AS height,
+         ((doc_id % {DUR_MOD} + {DUR_BASE}) + 499) // 500 AS n_frames,
+         to_hex(COALESCE(encode(text), ''::BLOB)) AS hx,
+         COALESCE(octet_length(encode(text)), 0) AS L
+  FROM documents WHERE doc_id % 3 = 2
+),
+px AS (
+  SELECT media_id, n_frames, L, hx,
+         unnest(range(n_frames * width * height)) AS j
+  FROM m
+),
+vals AS (
+  SELECT media_id, n_frames,
+         CASE WHEN L = 0 THEN 0 ELSE {_byte_at("j % L")} END AS b
+  FROM px
 )
+SELECT media_id,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(count(*) AS BIGINT) AS n_px,
+       CAST(sum(b) AS BIGINT) AS sum_px,
+       CAST(min(b) AS INTEGER) AS min_px,
+       CAST(max(b) AS INTEGER) AS max_px
+FROM vals
+GROUP BY media_id, n_frames
+ORDER BY media_id
+"""
+
+
+register("video_frame_inventory", _video_frame_inventory, _video_frame_sql())
 
 
 RESIZE_W, RESIZE_H = 64, 64
@@ -207,8 +236,8 @@ WITH m AS (
   SELECT doc_id AS media_id,
          CAST(doc_id % {IMG_W_MOD} + {IMG_W_BASE} AS INTEGER) AS width,
          CAST(doc_id % {IMG_H_MOD} + {IMG_H_BASE} AS INTEGER) AS height,
-         to_hex(encode(text)) AS hx,
-         octet_length(encode(text)) AS L
+         to_hex(COALESCE(encode(text), ''::BLOB)) AS hx,
+         COALESCE(octet_length(encode(text)), 0) AS L
   FROM documents WHERE doc_id % 3 = 0
 ),
 rows_g AS (SELECT *, unnest(range({RESIZE_H})) AS r FROM m),

@@ -132,21 +132,84 @@ def test_audio_chunk_features(media):
     assert all(r["count"] >= 1 for r in one)
 
 
-def test_video_stub_raises_without_fake(media):
+def test_y4m_roundtrip():
+    from kafka_topic_analyzer_spark.functions.codecs import y4m_decode, y4m_encode
+
+    frames = np.arange(2 * 3 * 4, dtype=np.uint8).reshape(2, 3, 4)
+    blob = y4m_encode(frames, fps=(25, 1))
+    assert blob.startswith(b"YUV4MPEG2 W4 H3 F25:1 ")
+    meta, back = y4m_decode(blob)
+    assert (meta["width"], meta["height"], meta["fps"]) == (4, 3, (25, 1))
+    assert meta["colorspace"] == "mono"
+    assert len(back) == 2
+    assert all(np.array_equal(a, b) for a, b in zip(back, frames))
+
+
+def test_y4m_decodes_foreign_420_with_frame_tags():
+    # a C420 file with reordered header tags, an X comment and FRAME params
+    # — the general grammar, not just our encoder's canonical output
+    from kafka_topic_analyzer_spark.functions.codecs import y4m_decode
+
+    w, h = 4, 2
+    luma0 = np.arange(w * h, dtype=np.uint8).reshape(h, w)
+    luma1 = luma0[::-1].copy()
+    chroma = bytes(w * h // 2)  # U+V at quarter resolution each
+    blob = (
+        b"YUV4MPEG2 C420 F30:1 H2 W4 Xsome=comment\n"
+        + b"FRAME Ixyz\n" + luma0.tobytes() + chroma
+        + b"FRAME\n" + luma1.tobytes() + chroma
+    )
+    meta, frames = y4m_decode(blob)
+    assert meta["colorspace"] == "420" and meta["fps"] == (30, 1)
+    assert np.array_equal(frames[0], luma0)
+    assert np.array_equal(frames[1], luma1)
+
+
+def test_y4m_truncated_frame_raises():
+    from kafka_topic_analyzer_spark.functions.codecs import y4m_decode
+
+    with pytest.raises(ValueError):
+        y4m_decode(b"YUV4MPEG2 W4 H4 F1:1 Cmono\nFRAME\n\x00\x00")
+
+
+def test_video_frames_real_decode(media):
     from kafka_topic_analyzer_spark.operators.multimodal import sample_video_frames
 
-    with pytest.raises(NotImplementedError):
-        sample_video_frames(media)
-
-
-def test_video_frame_sampling(media):
-    from kafka_topic_analyzer_spark.operators.multimodal import sample_video_frames
-
-    frames = sample_video_frames(media, every_ms=500, deterministic_fake=True)
+    frames = sample_video_frames(media)
     sample = frames.limit(50).collect()
     assert sample
-    assert all(r["frame_ts_ms"] % 500 == 0 for r in sample)
-    assert all(len(r["frame_sha1"]) == 40 for r in sample)
+    for r in sample:
+        # cadence derives from the decoded F2:1 header → 500 ms grid
+        assert r["frame_ts_ms"] == r["frame_idx"] * 500
+        assert 0 <= r["min_px"] <= r["max_px"] <= 255
+        assert r["min_px"] * r["n_px"] <= r["sum_px"] <= r["max_px"] * r["n_px"]
+        assert len(r["frame_sha1"]) == 40
+
+
+def test_video_frames_match_text_bytes(spark, media):
+    """Exact twin: decoded luma must be the doc's UTF-8 bytes, cycled
+    contiguously across frames."""
+    from kafka_topic_analyzer_spark.operators.multimodal import sample_video_frames
+    from kafka_topic_analyzer_spark.sources.tables import load_table
+
+    rows = sample_video_frames(media).orderBy("media_id", "frame_idx").limit(20).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    for r in rows:
+        raw = (docs[r["media_id"]] or "").encode("utf-8")
+        npx = r["n_px"]
+        start = r["frame_idx"] * npx
+        if raw:
+            idx = (start + np.arange(npx)) % len(raw)
+            px = np.frombuffer(raw, dtype=np.uint8)[idx]
+        else:
+            px = np.zeros(npx, dtype=np.uint8)
+        assert r["sum_px"] == int(px.astype(np.int64).sum())
+        assert r["min_px"] == int(px.min()) and r["max_px"] == int(px.max())
 
 
 def test_image_resize(media):
@@ -200,6 +263,24 @@ try:
 
         px = np.random.default_rng(seed).integers(0, 256, size=(h, w), dtype=np.uint8)
         assert np.array_equal(pgm_decode(pgm_encode(px)), px)
+
+    @given(
+        n=st.integers(min_value=0, max_value=6),
+        w=st.integers(min_value=1, max_value=24),
+        h=st.integers(min_value=1, max_value=24),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_y4m_roundtrip_fuzz(n, w, h, seed):
+        from kafka_topic_analyzer_spark.functions.codecs import y4m_decode, y4m_encode
+
+        frames = np.random.default_rng(seed).integers(
+            0, 256, size=(n, h, w), dtype=np.uint8
+        )
+        meta, back = y4m_decode(y4m_encode(frames))
+        assert (meta["width"], meta["height"]) == (w, h)
+        assert len(back) == n
+        assert all(np.array_equal(a, b) for a, b in zip(back, frames))
 
     @given(
         n=st.integers(min_value=0, max_value=5000),
