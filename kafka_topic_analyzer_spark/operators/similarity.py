@@ -339,3 +339,132 @@ def knn_ivf(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF against a FIXED (checked-in) quantizer — the serving-time IVF shape.
+# Production IVF separates training from search: the quantizer is a
+# versioned artifact (FAISS ships it with the index), and search only ever
+# sees fixed centroids. operators/ivf_centroids_v1.py holds such an
+# artifact (generated by tools/train_ivf_centroids.py via ivf_centroids);
+# with the centroids fixed and the similarity computed as a sequential
+# fold, the whole search path is DuckDB-mirrorable — unlike the trained
+# path above, whose np.mean centroid updates use pairwise summation.
+# ---------------------------------------------------------------------------
+
+
+def centroid_norms(centroids: tuple[tuple[float, ...], ...]) -> tuple[float, ...]:
+    """Per-centroid L2 norm via the same scalar left fold both engines use
+    (acc = acc + x*x per dim; sqrt is correctly rounded per IEEE-754, so
+    Python, numpy and DuckDB agree bit-for-bit)."""
+    out = []
+    for row in centroids:
+        acc = 0.0
+        for x in row:
+            acc = acc + x * x
+        out.append(float(np.sqrt(acc)))
+    return tuple(out)
+
+
+def ivf_assign_fixed(
+    df: DataFrame,
+    centroids: tuple[tuple[float, ...], ...],
+    nprobe: int = 1,
+) -> DataFrame:
+    """Attach the nprobe nearest FIXED cells; fold-deterministic cosine.
+
+    One row per (vector, cell). Similarities accumulate sequentially over
+    dims (np.outer per dim — the identical IEEE-754 sequence as a SQL
+    left fold, same discipline as lsh_buckets), ties break on lowest cell
+    id, zero-norm vectors score 0 against every cell and land in cell 0.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    c = np.array(centroids, dtype=np.float64)  # nlist x dim
+    cn = np.array(centroid_norms(centroids), dtype=np.float64)
+
+    @pandas_udf("array<int>")
+    def _cells(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype=object)
+        m = np.array(col.tolist(), dtype=np.float64)  # N x dim
+        dots = np.zeros((len(m), c.shape[0]))
+        qacc = np.zeros(len(m))
+        for d in range(m.shape[1]):
+            dots += np.outer(m[:, d], c[:, d])  # sequential == left fold
+            qacc = qacc + m[:, d] * m[:, d]
+        qn = np.sqrt(qacc)
+        ok = (qn[:, None] > 0) & (cn[None, :] > 0)
+        sims = np.where(ok, dots / np.where(ok, qn[:, None] * cn[None, :], 1.0), 0.0)
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    # asNondeterministic for the same Catalyst-duplication reason as
+    # lsh_buckets/ivf_assign
+    cells_udf = _cells.asNondeterministic()
+    return df.select(
+        "*", F.explode(cells_udf(as_double(F.col("embedding")))).alias("cell")
+    )
+
+
+def knn_ivf_fixed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: tuple[tuple[float, ...], ...],
+    k: int = 5,
+    nprobe: int = 4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """ANN top-k via the fixed quantizer: same join/re-rank plan as
+    :func:`knn_ivf` (bare-id candidates through the cell join, broadcast
+    query side, fold-identical exact cosine re-rank) but fully
+    oracle-mirrorable. Touched fraction per query ~= nprobe/nlist."""
+    from kafka_topic_analyzer_spark.functions.vectors import norm, pair_dot_udf
+
+    cb = ivf_assign_fixed(corpus, centroids, nprobe=1).select(
+        F.col("vec_id").alias("neighbor_id"), "cell"
+    )
+    qb = ivf_assign_fixed(queries, centroids, nprobe=nprobe).select(
+        F.col("vec_id").alias("query_id"), "cell"
+    )
+    cands = (
+        cb.join(F.broadcast(qb), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    score = F.when(
+        (F.col("q_n") > 0) & (F.col("c_n") > 0),
+        pair_dot_udf(F.col("q_emb"), F.col("c_emb")) / (F.col("q_n") * F.col("c_n")),
+    )
+    scored = (
+        cands.join(
+            F.broadcast(
+                queries.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("q_emb"),
+                    norm(F.col("embedding")).alias("q_n"),
+                )
+            ),
+            "query_id",
+        )
+        .join(
+            corpus.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("c_emb"),
+                norm(F.col("embedding")).alias("c_n"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(score, round_digits).alias("score"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )

@@ -1,11 +1,14 @@
 """Similarity-search queries over ``embeddings`` (LLM-pipeline operators).
 
-Brute-force cosine top-k AND the sign-LSH ANN variant are oracle-matched:
-both engines do the identical sequential double fold (Spark ``aggregate``
-/ sequential numpy accumulation == DuckDB ``list_reduce``), and the LSH
-hyperplanes are fixed integer hashes, so buckets, candidates and rounded
-scores all hash-match. Only IVF stays rows-only: its k-means means use
-BLAS pairwise summation that SQL folds can't reproduce bit-exactly.
+Brute-force cosine top-k, sign-LSH ANN AND fixed-quantizer IVF are all
+oracle-matched: every engine does the identical sequential double fold
+(Spark ``aggregate`` / sequential numpy accumulation == DuckDB
+``list_reduce``); LSH hyperplanes are fixed integer hashes and the IVF
+coarse quantizer is a checked-in training artifact
+(operators/ivf_centroids_v1.py, FAISS-style train/serve split), so
+cells, buckets, candidates and rounded scores all hash-match. Only the
+in-training k-means itself stays non-SQL (BLAS pairwise ``np.mean``) —
+exercised by unit tests, not the registry.
 """
 
 from __future__ import annotations
@@ -140,15 +143,95 @@ SELECT query_id, rank, neighbor_id, score FROM ranked WHERE rank <= {TOP_K}
 register("knn_lsh_cosine", _knn_lsh, _knn_lsh_sql())
 
 
+IVF_NPROBE = 4
+
+
 def _knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search against the checked-in quantizer artifact (train/serve
+    split — training itself is unit-tested via operators knn_ivf)."""
+    from kafka_topic_analyzer_spark.operators.ivf_centroids_v1 import CENTROIDS
+
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERIES)
-    return S.knn_ivf(emb, queries, k=TOP_K, nlist=16, nprobe=4)
+    return S.knn_ivf_fixed(emb, queries, CENTROIDS, k=TOP_K, nprobe=IVF_NPROBE)
 
 
-# rows-only: the IVF cut (k-means cells) isn't SQL-expressible; recall is
-# unit-tested against knn_bruteforce_cosine like the LSH path.
-register("knn_ivf_cosine", _knn_ivf, None)
+def _centroid_list_sql(row: tuple[float, ...]) -> str:
+    return "[" + ", ".join(repr(float(v)) for v in row) + "]"
+
+
+def _ivf_sim_sql(ci: int) -> str:
+    """Fold-deterministic cosine of ``embedding`` against fixed centroid
+    ``ci`` (qn precomputed in the base CTE; centroid norm inlined via the
+    identical scalar fold — operators/similarity.centroid_norms)."""
+    from kafka_topic_analyzer_spark.operators.ivf_centroids_v1 import CENTROIDS
+    from kafka_topic_analyzer_spark.operators.similarity import centroid_norms
+
+    cn = centroid_norms(CENTROIDS)[ci]
+    if not cn > 0:  # degenerate centroid scores 0 everywhere (numpy `ok`)
+        return "CAST(0 AS DOUBLE)"
+    dot = f"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * ({_centroid_list_sql(CENTROIDS[ci])})[i])),
+      (acc, x) -> acc + x)"""
+    return f"CASE WHEN qn > 0 THEN {dot} / (qn * {repr(cn)}) ELSE CAST(0 AS DOUBLE) END"
+
+
+def _knn_ivf_sql() -> str:
+    """Full oracle: the fixed quantizer makes cell assignment pure SQL —
+    16 fold-computed sims per vector, top-nprobe by (sim DESC, cell ASC)
+    — then the candidate join and exact re-rank mirror the LSH oracle."""
+    from kafka_topic_analyzer_spark.operators.ivf_centroids_v1 import NLIST
+
+    structs = ", ".join(
+        f"{{'cell': {ci}, 'sim': {_ivf_sim_sql(ci)}}}" for ci in range(NLIST)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding,
+         sqrt({_dot_sql("embedding", "embedding")}) AS qn
+  FROM embeddings
+),
+exploded AS (
+  SELECT vec_id, unnest([{structs}]) AS u FROM base
+),
+cells AS (
+  SELECT vec_id, u.cell AS cell,
+         row_number() OVER (PARTITION BY vec_id
+              ORDER BY u.sim DESC, u.cell ASC) AS rk
+  FROM exploded
+),
+cb AS (SELECT vec_id AS neighbor_id, cell FROM cells WHERE rk <= 1),
+qb AS (SELECT vec_id AS query_id, cell FROM cells
+       WHERE rk <= {IVF_NPROBE} AND vec_id < {N_QUERIES}),
+cands AS (
+  SELECT DISTINCT neighbor_id, query_id
+  FROM cb JOIN qb USING (cell)
+  WHERE neighbor_id <> query_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+    round(
+      CASE WHEN sqrt({_dot_sql("q.embedding", "q.embedding")}) > 0
+            AND sqrt({_dot_sql("c2.embedding", "c2.embedding")}) > 0
+           THEN {_dot_sql("q.embedding", "c2.embedding")}
+                / (sqrt({_dot_sql("q.embedding", "q.embedding")})
+                   * sqrt({_dot_sql("c2.embedding", "c2.embedding")}))
+      END, 6) AS score
+  FROM cands
+  JOIN embeddings q ON q.vec_id = query_id
+  JOIN embeddings c2 ON c2.vec_id = neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, score FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+register("knn_ivf_cosine", _knn_ivf, _knn_ivf_sql())
 
 
 def _embedding_self_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -481,6 +481,51 @@ def test_knn_ivf_recall(spark):
     assert ivf == again, "IVF must be deterministic (fixed seeds, stable ties)"
 
 
+def test_knn_ivf_fixed_recall_and_artifact(spark):
+    """Serving-time IVF (checked-in quantizer): recall vs exact, and the
+    artifact's norms must be strictly positive (degenerate centroids would
+    silently zero a cell's similarities)."""
+    from kafka_topic_analyzer_spark.operators.ivf_centroids_v1 import (
+        CENTROIDS,
+        DIM,
+        NLIST,
+    )
+    from kafka_topic_analyzer_spark.operators.similarity import (
+        centroid_norms,
+        knn_bruteforce,
+        knn_ivf_fixed,
+    )
+    from kafka_topic_analyzer_spark.sources.tables import load_table
+
+    assert len(CENTROIDS) == NLIST and all(len(c) == DIM for c in CENTROIDS)
+    assert all(n > 0 for n in centroid_norms(CENTROIDS))
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_bruteforce(emb, queries, k=5).collect()
+    }
+    fixed = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_ivf_fixed(emb, queries, CENTROIDS, k=5, nprobe=4).collect()
+    }
+    recall = len(exact & fixed) / len(exact)
+    # the quantizer is trained on the sf0.01 corpus, so serving the smoke
+    # corpus is genuinely out-of-distribution — the bar is lower than the
+    # in-distribution trained path above
+    assert recall >= 0.4, f"fixed-quantizer IVF recall {recall}"
+    # nprobe is THE recall knob: probing every cell must reach exact recall
+    all_cells = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_ivf_fixed(
+            emb, queries, CENTROIDS, k=5, nprobe=NLIST
+        ).collect()
+    }
+    full_recall = len(exact & all_cells) / len(exact)
+    assert full_recall >= recall
+    assert full_recall == 1.0, f"nprobe=nlist must be exact, got {full_recall}"
+
+
 def test_asof_join_semantics(spark):
     """Inclusive <=, latest-wins, NULL when no prior right row."""
     from kafka_topic_analyzer_spark.operators.asof import asof_join_backward
