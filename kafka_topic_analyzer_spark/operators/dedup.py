@@ -69,16 +69,18 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
     iteration order, so the result is deterministic and oracle-checkable
     (DuckDB expresses the same fixpoint as a recursive CTE).
 
-    Iteration strategy: each round joins current labels onto the
-    symmetric edge list and takes the min over the neighborhood
-    (including self). Rounds needed = graph diameter; near-dup graphs are
-    overwhelmingly tiny cliques (diameter 1-2), so convergence is fast.
-    Scale notes for the 100 TB run: every round is one shuffle keyed on
-    vertex id; ``localCheckpoint`` truncates the growing lineage so round
-    N doesn't replay rounds 1..N-1; the convergence test is a cheap
-    count over changed labels only. For adversarially long chains,
-    switch to the large-star/small-star variant (O(log n) rounds) — same
-    output by uniqueness of the fixpoint.
+    Iteration strategy: each Spark job BATCHES TWO propagation hops —
+    the two neighborhood-min joins compose before the ``localCheckpoint``
+    — so job count (and per-job launch latency, the dominant cost on
+    iterative queries) is halved versus one hop per job. Hops needed =
+    graph diameter; near-dup graphs are overwhelmingly tiny cliques
+    (diameter 1-2), so one batched job usually converges. Scale notes
+    for the 100 TB run: every hop is one shuffle keyed on vertex id;
+    ``localCheckpoint`` truncates the growing lineage so job N doesn't
+    replay jobs 1..N-1; the convergence probe is a cheap limit(1) count
+    over changed labels only. For adversarially long chains, use
+    :func:`connected_components_star` (large-star/small-star, O(log n)
+    rounds) — identical output by uniqueness of the fixpoint.
     """
     sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     sym = sym.localCheckpoint(eager=True)
@@ -88,38 +90,122 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
         .select("doc_id", F.col("doc_id").alias("cluster_id"))
         .localCheckpoint(eager=True)
     )
-    for i in range(max_iterations):
+
+    def one_hop(lbl: DataFrame) -> DataFrame:
         neighbor_min = (
-            sym.join(labels, sym.src == labels.doc_id)
+            sym.join(lbl, sym.src == lbl.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        # one join carries both the new label and the convergence flag
+        return lbl.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+            ).alias("cluster_id"),
+        )
+
+    for i in range(0, max_iterations, 2):
+        # two hops composed into one checkpointed job; the convergence
+        # flag compares against the label BEFORE the batch (idempotent
+        # past the fixpoint, so over-stepping is harmless)
+        before = labels.select("doc_id", F.col("cluster_id").alias("old_cluster_id"))
         stepped = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.col("cluster_id").alias("old_cluster_id"),
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
-                ).alias("cluster_id"),
-            )
+            one_hop(one_hop(labels))
+            .join(before, "doc_id")
             .localCheckpoint(eager=True)
         )
         labels = stepped.select("doc_id", "cluster_id")
-        # convergence probe every OTHER round: the probe is a full job, and
-        # min-label propagation is idempotent past the fixpoint, so the
-        # worst case is one redundant (cheap) iteration — near-dup graphs
-        # converge in 2-4 rounds, so this halves the probe jobs
-        if i % 2 == 1 or i == max_iterations - 1:
-            changed = (
-                stepped.where(F.col("cluster_id") != F.col("old_cluster_id"))
-                .limit(1)
-                .count()
-            )
-            if changed == 0:
-                break
+        changed = (
+            stepped.where(F.col("cluster_id") != F.col("old_cluster_id"))
+            .limit(1)
+            .count()
+        )
+        if changed == 0:
+            break
     return labels
+
+
+def connected_components_star(edges: DataFrame, max_rounds: int = 12) -> DataFrame:
+    """Connected components via alternating large-star/small-star rounds.
+
+    The adversarial-diameter option promised on
+    :func:`connected_components`: where min-label propagation needs
+    diameter-many hops (a 1M-long chain = 1M shuffles), this converges
+    in O(log n) rounds regardless of diameter (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14 — public
+    algorithm). Identical ``(doc_id, cluster_id=component min)`` output
+    by uniqueness of the fixpoint; equality is pinned by unit test.
+
+    Per round: large-star hangs every node's strictly-larger neighbors
+    off the neighborhood min, small-star re-parents the smaller ones —
+    each is one groupBy shuffle plus an id-keyed join, edges stay bare
+    id pairs, and ``localCheckpoint`` truncates lineage per round.
+    Convergence = edge-multiset checksum unchanged (count + wrapped hash
+    sums — deterministic, no full edge-set comparison job).
+    """
+    e = (
+        edges.select(F.col("src").cast("long").alias("u"), F.col("dst").cast("long").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select("u").union(e.select(F.col("v").alias("u"))).distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def large_star(ed: DataFrame) -> DataFrame:
+        sym = ed.union(ed.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least("mn", F.col("u")).alias("m"))
+        return (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(ed: DataFrame) -> DataFrame:
+        orient = ed.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = orient.groupBy("u").agg(F.min("v").alias("m"))  # m < u always
+        re_par = orient.join(mins, "u").select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        self_edge = mins.select(F.col("u"), F.col("m").alias("v"))
+        return (
+            re_par.union(self_edge)
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def checksum(ed: DataFrame):
+        # count + XOR of per-edge hashes: order-independent, no overflow
+        # (ANSI mode rejects wrapping sums), exact on a distinct edge set
+        row = ed.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    prev = checksum(e)
+    for _ in range(max_rounds):
+        e = small_star(large_star(e)).localCheckpoint(eager=True)
+        sig = checksum(e)
+        if sig == prev:
+            break
+        prev = sig
+    # at the fixpoint the edge set is a star forest: (node → component min)
+    label_map = e.groupBy("u").agg(F.min("v").alias("cluster_id"))
+    return (
+        nodes.join(label_map, "u", "left")
+        .select(
+            F.col("u").alias("doc_id"),
+            F.coalesce("cluster_id", F.col("u")).alias("cluster_id"),
+        )
+    )
 
 
 def shingle_index(docs: DataFrame, k: int = 3, max_df: int = 50) -> DataFrame:

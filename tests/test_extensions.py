@@ -80,6 +80,43 @@ def test_connected_components_chain_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_star_matches_min_label(spark):
+    """Large-star/small-star must produce the identical fixpoint as
+    min-label propagation (uniqueness of component minima)."""
+    import random
+
+    from kafka_topic_analyzer_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    # a clique, two chains, an island pair, plus random cross edges
+    edges = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 13), (20, 21)]
+    edges += [(100 + i, 100 + i + 1) for i in range(12)]
+    edges += [(rng.randrange(200, 240), rng.randrange(200, 240)) for _ in range(30)]
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "src long, dst long"
+    )
+    base = {r["doc_id"]: r["cluster_id"] for r in connected_components(df, 40).collect()}
+    star = {r["doc_id"]: r["cluster_id"] for r in connected_components_star(df).collect()}
+    assert star == base
+
+
+def test_connected_components_star_log_rounds_on_long_chain(spark):
+    """The adversarial case the variant exists for: a 200-diameter chain
+    resolves within 12 star rounds (min-label would need ~200 hops)."""
+    from kafka_topic_analyzer_spark.operators.dedup import connected_components_star
+
+    n = 200
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "src long, dst long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in connected_components_star(df, max_rounds=12).collect()}
+    assert len(got) == n + 1
+    assert set(got.values()) == {0}, "every chain node must reach component min 0"
+
+
 def test_minhash_lsh_recall_on_testdata(spark):
     """LSH candidates must recover every exact near-dup pair at sf0.001."""
     from kafka_topic_analyzer_spark.operators.dedup import (
