@@ -248,3 +248,26 @@ def compression_ratio_udf(text: Column) -> Column:
         return s.map(one)
 
     return _ratio(text)
+
+
+def compression_roundtrip_udf(text: Column) -> Column:
+    """True iff ``zlib.decompress(zlib.compress(utf8)) == utf8`` — the
+    lossless-codec invariant the compression_quality signal rests on.
+    Exists for the driver-hashable audit query (a codec/encoding
+    regression flips the boolean and the audit's value-hash goes red).
+    NULL/empty text trivially passes."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def _rt(s: pd.Series) -> pd.Series:
+        def one(t: str | None) -> bool:
+            if not t:
+                return True
+            raw = t.encode("utf-8")
+            return zlib.decompress(zlib.compress(raw, 6)) == raw
+
+        return s.map(one)
+
+    return _rt(text)

@@ -139,6 +139,42 @@ def _kafka_alive_keys_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("kafka_alive_keys_approx", _kafka_alive_keys_approx, None)
 
 
+def _kafka_alive_keys_hll_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hashable audit of the HLL path: the exact alive-key count
+    (hash-checked against the oracle) plus a boolean asserting the HLL++
+    estimate lands within 3×rsd of it. A sketch regression flips the
+    boolean and the value-hash goes red — the approx path now carries a
+    real driver signal instead of a rows-only row."""
+    from pyspark.sql import functions as F
+
+    kdf = kafka_frame_from_events(spark, sf_dir)
+    rsd = 0.01
+    exact = alive_key_count(kdf)  # 1 row: alive_keys
+    approx = alive_key_count_approx(kdf, rsd=rsd)  # 1 row: alive_keys_approx
+    return exact.crossJoin(F.broadcast(approx)).select(
+        "alive_keys",
+        (
+            F.abs(F.col("alive_keys_approx") - F.col("alive_keys"))
+            <= 3 * rsd * F.col("alive_keys")
+        ).alias("within_3rsd"),
+    )
+
+
+register(
+    "kafka_alive_keys_hll_audit",
+    _kafka_alive_keys_hll_audit,
+    kafka_oracle("""
+, latest AS (
+  SELECT "key", "value" IS NOT NULL AS alive,
+         row_number() OVER (PARTITION BY "key" ORDER BY "partition" DESC, "offset" DESC) AS rn
+  FROM kafka_messages WHERE "key" IS NOT NULL
+)
+SELECT CAST(count(*) AS BIGINT) AS alive_keys, true AS within_3rsd
+FROM latest WHERE rn = 1 AND alive
+"""),
+)
+
+
 def _report_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot (long-form) of the per-partition report — the inverse of
     order_status_pivot's wide-form: one (partition, metric, value) row

@@ -109,6 +109,51 @@ def _event_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame
 register("event_value_quantiles_approx", _event_value_quantiles_approx, None)
 
 
+def _event_value_quantiles_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hashable audit of the GK sketch: per event type, the exact
+    row count (hash-checked) plus booleans asserting each approximate
+    quantile's TRUE rank sits within the sketch's error bound
+    (rank(answer) ∈ q ± (0.01 + 2/n) — same bound the unit test pins).
+    A sketch regression flips a boolean and the value-hash goes red."""
+    e = load_table(spark, sf_dir, "events")
+    acc = 10_000
+    approx = e.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], acc).alias("q")
+    )
+    joined = e.join(F.broadcast(approx), "event_type")
+
+    def rank_of(idx: int):
+        return F.sum(
+            (F.col("value") <= F.col("q")[idx]).cast("long")
+        ) / F.count(F.lit(1))
+
+    tol = F.lit(0.01) + F.lit(2.0) / F.count(F.lit(1))
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            (F.abs(rank_of(0) - 0.5) <= tol).alias("p50_ok"),
+            (F.abs(rank_of(1) - 0.9) <= tol).alias("p90_ok"),
+            (F.abs(rank_of(2) - 0.99) <= tol).alias("p99_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    "event_value_quantiles_audit",
+    _event_value_quantiles_audit,
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_values,
+       true AS p50_ok, true AS p90_ok, true AS p99_ok
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+
+
 MIN_DOC_FREQ = 25  # postings emitted only for reasonably common terms
 POSTINGS_CAP = 20  # first K doc_ids per term (CSV for hash stability)
 

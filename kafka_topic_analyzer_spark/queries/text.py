@@ -399,6 +399,41 @@ def _compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("compression_quality", _compression_quality, None)
 
 
+def _compression_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hashable audit of the zlib path: per source, the exact doc
+    count (hash-checked) plus booleans asserting (a) every document
+    survives a compress→decompress roundtrip and (b) every ratio stays in
+    the sane (0, 2] band. zlib itself has no SQL twin; this pins its
+    invariants with a value the driver CAN hash."""
+    d = load_table(spark, sf_dir, "documents")
+    rt = TX.compression_roundtrip_udf(F.col("text"))
+    r = TX.compression_ratio_udf(F.col("text"))
+    return (
+        d.select("source", rt.alias("rt"), r.alias("ratio"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("bool_and(rt)").alias("all_roundtrip"),
+            F.expr("bool_and(ratio > 0 AND ratio <= 2.0)").alias("all_ratio_sane"),
+        )
+        .orderBy("source")
+    )
+
+
+register(
+    "compression_roundtrip_audit",
+    _compression_roundtrip_audit,
+    """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       true AS all_roundtrip, true AS all_ratio_sane
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
+
+
 def _bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-familiarity quality signal: how common a document's bigrams
     are across the corpus — the integer-count cousin of an n-gram LM
