@@ -442,6 +442,7 @@ def simhash_near_dup_pairs(
     bits: int = 48,
     fingerprints: DataFrame | None = None,
     materialize_threshold: int = 100_000,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs (doc_i < doc_j, hamming <= max_hamming).
 
@@ -466,6 +467,11 @@ def simhash_near_dup_pairs(
     keep a persisted fingerprint table (which a real pipeline maintains
     as an artifact anyway) pass ``fingerprints=`` and skip both the
     count probe and the recompute.
+
+    Probe cost: the auto-materialize ``count()`` is a cheap column-less
+    scan only when ``docs`` is a plain table; on a DERIVED frame it
+    re-executes the upstream subtree — pass ``n_docs=`` (or
+    ``fingerprints=``) to skip it.
     """
     if max_hamming >= bands:
         raise ValueError("banded candidates are exact only for max_hamming < bands")
@@ -476,7 +482,8 @@ def simhash_near_dup_pairs(
         fp = fingerprints
     else:
         fp = simhash_fingerprints_wide(docs, bits)
-        if docs.count() > materialize_threshold:
+        n = n_docs if n_docs is not None else docs.count()
+        if n > materialize_threshold:
             fp = fp.localCheckpoint(eager=True)
     banded = fp.select(
         "doc_id",
@@ -517,13 +524,14 @@ def embedding_near_dup_pairs(
     round_digits: int = 6,
     strategy: str = "auto",
     max_broadcast_rows: int = 1_000_000,
-    blocks: int = 16,
+    blocks: int | None = None,
+    n_rows: int | None = None,
+    dim_hint: int = 64,
+    group_target_bytes: int = 256 << 20,
 ) -> DataFrame:
     """Exact embedding-cosine near-dup pairs (i < j, cosine >= threshold).
 
-    Two exact physical strategies, picked by corpus size (``auto`` counts
-    once — a column-less parquet scan — and compares to
-    ``max_broadcast_rows``):
+    Two exact physical strategies, picked by corpus size:
 
     * ``broadcast`` (small corpus): the corpus matrix is broadcast once;
       each task scores its partition's block against it, emitting only
@@ -538,8 +546,19 @@ def embedding_near_dup_pairs(
       group cross-scores its two blocks with ``applyInPandas``. No
       driver materialization at any size; shuffle volume is
       ``blocks`` x corpus (the inherent replication of a distributed
-      exact all-pairs scan). Size ``blocks`` so 2n/B vectors fit one
-      task's memory.
+      exact all-pairs scan). ``blocks=None`` derives B so one group's
+      VECTORS (~2n/B x dim_hint doubles) fit ``group_target_bytes``;
+      the quadratic pair-matrix term is NOT part of that bound — the
+      scorer chunks pairs to a fixed budget internally, so per-task peak
+      memory stays O(vectors + chunk) at any block size.
+
+    Probe cost: ``auto`` (and ``blocked`` without an explicit
+    ``blocks``) needs the corpus row count. That ``count()`` is a cheap
+    column-less scan for a plain parquet table, but for a DERIVED frame
+    (filters/joins/unions upstream) it executes the whole upstream
+    subtree as an extra job — callers holding a derived frame or looping
+    should pass ``n_rows=`` (and/or an explicit ``blocks``/``strategy``)
+    to skip the probe entirely.
 
     Both paths accumulate numpy dot products SEQUENTIALLY over dims
     (``acc += x_d*y_d`` per dim — the identical IEEE-754 sequence as the
@@ -548,11 +567,15 @@ def embedding_near_dup_pairs(
     :func:`embedding_near_dups_lsh`, which prunes the pair space instead
     of enumerating it.
     """
+    n = None
+    if strategy == "auto" or (strategy == "blocked" and blocks is None):
+        n = n_rows if n_rows is not None else emb.count()
     if strategy == "auto":
-        strategy = (
-            "broadcast" if emb.count() <= max_broadcast_rows else "blocked"
-        )
+        strategy = "broadcast" if n <= max_broadcast_rows else "blocked"
     if strategy == "blocked":
+        if blocks is None:
+            # B >= 2*n*dim*8 / target  =>  one group's vectors fit the target
+            blocks = int(max(2, min(4096, -(-2 * n * dim_hint * 8 // group_target_bytes))))
         return _embedding_pairs_blockwise(emb, threshold, round_digits, blocks)
     if strategy != "broadcast":
         raise ValueError(f"unknown strategy: {strategy}")
@@ -620,6 +643,15 @@ def embedding_near_dup_pairs(
     )
 
 
+# Peak-memory bound for one blocked-scoring chunk: the pair matrices are
+# O(budget) doubles (~34 MB each for acc/score at the default), NEVER
+# O(|block_p| x |block_q|) — without this cap, a 1M-row corpus at
+# blocks=16 would build ~3.9e9-pair matrices per task and OOM at exactly
+# the scale the blocked path exists for. Module-level so tests can shrink
+# it to force multi-chunk scoring on small fixtures.
+_BLOCKWISE_PAIR_BUDGET = 1 << 22
+
+
 def _embedding_pairs_blockwise(
     emb: DataFrame, threshold: float, round_digits: int, blocks: int
 ) -> DataFrame:
@@ -656,6 +688,8 @@ def _embedding_pairs_blockwise(
 
     out_schema = "vec_i long, vec_j long, raw_cosine double"
 
+    pair_budget = _BLOCKWISE_PAIR_BUDGET
+
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         p, q = int(pdf["p"].iat[0]), int(pdf["q"].iat[0])
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
@@ -666,29 +700,49 @@ def _embedding_pairs_blockwise(
             nsq = nsq + mat[:, d] * mat[:, d]
         norms = np.sqrt(nsq)
         if p == q:
-            li, ri = np.triu_indices(len(ids), k=1)
+            lsel = rsel = np.arange(len(ids))
         else:
             lsel, rsel = np.flatnonzero(blk == p), np.flatnonzero(blk == q)
-            gi, gj = np.meshgrid(
-                np.arange(len(lsel)), np.arange(len(rsel)), indexing="ij"
-            )
-            li, ri = lsel[gi.ravel()], rsel[gj.ravel()]
-        a, b = mat[li], mat[ri]
-        acc = np.zeros(len(a))
-        for d in range(mat.shape[1]):  # sequential over dims == fold
-            acc = acc + a[:, d] * b[:, d]
-        ni, nj = norms[li], norms[ri]
-        with np.errstate(divide="ignore", invalid="ignore"):
-            score = acc / (ni * nj)
-        keep = (ni > 0) & (nj > 0) & (score >= pre_cut)
-        ii, jj = ids[li][keep], ids[ri][keep]
-        return pd.DataFrame(
+        empty = pd.DataFrame(
             {
-                "vec_i": np.minimum(ii, jj),
-                "vec_j": np.maximum(ii, jj),
-                "raw_cosine": score[keep],
+                "vec_i": np.array([], dtype=np.int64),
+                "vec_j": np.array([], dtype=np.int64),
+                "raw_cosine": np.array([], dtype=np.float64),
             }
         )
+        if len(lsel) == 0 or len(rsel) == 0:
+            return empty
+        rmat, rnorm, rids = mat[rsel], norms[rsel], ids[rsel]
+        step = max(1, pair_budget // len(rsel))
+        outs = []
+        for s in range(0, len(lsel), step):
+            ls = lsel[s : s + step]
+            a = mat[ls]  # chunk x dim
+            acc = np.zeros((len(ls), len(rsel)))
+            for d in range(mat.shape[1]):  # sequential over dims == fold
+                acc = acc + np.outer(a[:, d], rmat[:, d])
+            lnorm = norms[ls]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                score = acc / np.outer(lnorm, rnorm)
+            keep = np.outer(lnorm > 0, rnorm > 0) & (score >= pre_cut)
+            if p == q:
+                # strict upper triangle by row position: each unordered
+                # pair scored exactly once (same cut triu_indices gave)
+                keep &= ls[:, None] < rsel[None, :]
+            bi, cj = np.nonzero(keep)
+            if len(bi) == 0:
+                continue
+            ii, jj = ids[ls][bi], rids[cj]
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "vec_i": np.minimum(ii, jj),
+                        "vec_j": np.maximum(ii, jj),
+                        "raw_cosine": score[bi, cj],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True) if outs else empty
 
     return (
         replicated.groupBy("p", "q")
@@ -755,6 +809,14 @@ def score_id_pairs_joined(
     (``acc += x_d*y_d``), the identical IEEE-754 sequence as the SQL
     left fold and :func:`embedding_near_dup_pairs`, so scores are
     bit-equal across all paths.
+
+    Contract: the vector attachment is an INNER join — a pair whose
+    ``vec_i`` or ``vec_j`` has no row in ``emb`` is silently dropped,
+    not an error. That is correct for the in-repo callers (candidates
+    are generated FROM ``emb``, so ids always resolve), but callers
+    verifying an externally-sourced pair list should pre-validate (e.g.
+    anti-join the pair ids against ``emb`` and assert emptiness) if
+    missing ids should be loud.
     """
     from collections.abc import Iterator
 

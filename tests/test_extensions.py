@@ -397,6 +397,31 @@ def test_embedding_near_dup_exact(spark):
     assert got[(1, 2)] > 0.99
 
 
+def test_embedding_blocked_chunked_matches_broadcast(spark, monkeypatch):
+    """Blocked path with a TINY pair budget (forcing many scoring chunks
+    per group) must emit the identical pair set and bit-identical scores
+    as the broadcast path — chunking is a memory shape, not a semantics
+    change. Also pins the auto-derived block count path (blocks=None)."""
+    from kafka_topic_analyzer_spark.operators import dedup as D
+    from kafka_topic_analyzer_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    base = {
+        (r["vec_i"], r["vec_j"]): r["cosine"]
+        for r in D.embedding_near_dup_pairs(
+            emb, threshold=0.4, strategy="broadcast"
+        ).collect()
+    }
+    monkeypatch.setattr(D, "_BLOCKWISE_PAIR_BUDGET", 64)  # many chunks/group
+    blocked = {
+        (r["vec_i"], r["vec_j"]): r["cosine"]
+        for r in D.embedding_near_dup_pairs(
+            emb, threshold=0.4, strategy="blocked"
+        ).collect()
+    }
+    assert base and blocked == base
+
+
 def test_embedding_lsh_recall_vs_exact(spark):
     """LSH-pruned near-dups must recover most exact pairs at sf0.001."""
     from kafka_topic_analyzer_spark.operators.dedup import (
