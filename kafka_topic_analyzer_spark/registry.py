@@ -53,6 +53,15 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "dataset_split_summary",
     "quality_weighted_sample",
     "event_value_quantiles_approx",
+    # -- registered this round, never checked: exact-twin audits --
+    "kafka_alive_keys_hll_audit",
+    "compression_roundtrip_audit",
+    "event_value_quantiles_audit",
+    # -- implementation changed this round (real Y4M decode replaced the
+    #    deterministic fake); its only green row verified the fake --
+    "video_frame_inventory",
+    # -- iterative-graph implementation changed this round; last green r2 --
+    "dup_graph_pagerank",
     # -- stalest rows (last green r2 or earlier) --
     "kafka_alive_keys_approx",
     "report_metrics_unpivot",
@@ -92,7 +101,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "embedding_quantization",
     "simhash_fingerprints",
     "consensus_near_dups",
-    "dup_graph_pagerank",
     "fuzzy_match_pairs",
     "hourly_event_counts",
 )
