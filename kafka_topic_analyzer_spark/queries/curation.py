@@ -666,3 +666,94 @@ GROUP BY source
 ORDER BY source
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout audit — multi-dimensional data clustering
+
+
+ZORDER_BITS = 8  # 8 bits per dimension -> 16-bit z-values, 2^16 cells
+ZORDER_BUCKETS = 16  # audit granularity: z-range div 4096
+
+
+def _z_interleave_terms(ux: str, tx: str) -> str:
+    """Bit-interleave SQL terms shared verbatim by Spark and DuckDB: both
+    engines evaluate `&`, `<<` and integer `+` identically on BIGINT (Spark
+    lacks a `>>` operator before 4.x only in ANSI-off corner cases — use
+    shiftright() there via the caller)."""
+    return " + ".join(
+        f"(((({ux}) >> {i}) & 1) << {2 * i}) + (((({tx}) >> {i}) & 1) << {2 * i + 1})"
+        for i in range(ZORDER_BITS)
+    )
+
+
+def _zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-code (Z-order) clustering audit over ``events``.
+
+    The 100 TB story is data layout, not compute: sorting a write by the
+    interleaved key z(user_bucket, hour_bucket) co-locates rows that are
+    close in BOTH dimensions, so parquet min/max footer stats prune files
+    for predicates on either column — the same trick Delta/Iceberg
+    OPTIMIZE ZORDER applies. This audit computes the key and reports how
+    rows distribute over z-ranges (the file-boundary proxy): per bucket,
+    row count plus the user/hour spans a file holding that bucket would
+    advertise in its footer.
+
+    Plan: z is a pure-projection codegen expression next to the scan; the
+    audit aggregate is one 16-group partial-agg shuffle. Writing the
+    layout itself is ``df.repartitionByRange(n, "z").sortWithinPartitions
+    ("z").write`` — range partition on z, no extra shuffle beyond the
+    writer's own.
+    """
+    e = load_table(spark, sf_dir, "events")
+    tsec = F.floor(F.col("ts") / F.lit(1_000_000_000)).cast("long")
+    z = (
+        e.withColumn("ux", F.pmod(F.col("user_id"), F.lit(256)))
+        .withColumn("tx", F.pmod(F.floor(tsec / F.lit(3600)), F.lit(256)).cast("long"))
+        .withColumn("z", F.expr(_z_interleave_terms("ux", "tx")))
+    )
+    return (
+        z.groupBy(F.expr(f"z div 4096").alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("z").alias("min_z"),
+            F.max("z").alias("max_z"),
+            F.min("ux").alias("min_user_bucket"),
+            F.max("ux").alias("max_user_bucket"),
+            F.min("tx").alias("min_hour_bucket"),
+            F.max("tx").alias("max_hour_bucket"),
+        )
+        .orderBy("z_bucket")
+    )
+
+
+_Z_TS = "CAST(floor(epoch(ts)) AS BIGINT)"
+
+register(
+    "zorder_layout_audit",
+    _zorder_layout_audit,
+    f"""
+WITH base AS (
+  SELECT user_id,
+         ((user_id % 256) + 256) % 256 AS ux,
+         ((({_Z_TS} // 3600) % 256) + 256) % 256 AS tx
+  FROM events
+),
+zed AS (
+  SELECT user_id, ux, tx, {_z_interleave_terms("ux", "tx")} AS z FROM base
+)
+SELECT CAST(z // 4096 AS BIGINT) AS z_bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(min(z) AS BIGINT) AS min_z,
+       CAST(max(z) AS BIGINT) AS max_z,
+       CAST(min(ux) AS BIGINT) AS min_user_bucket,
+       CAST(max(ux) AS BIGINT) AS max_user_bucket,
+       CAST(min(tx) AS BIGINT) AS min_hour_bucket,
+       CAST(max(tx) AS BIGINT) AS max_hour_bucket
+FROM zed
+GROUP BY 1
+ORDER BY 1
+""",
+)

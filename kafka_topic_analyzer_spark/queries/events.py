@@ -556,3 +556,57 @@ WITH agg AS (
 ORDER BY "check"
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Skew-mitigated enrichment join (operators/skew.salted_equi_join end-to-end)
+
+
+def _salted_user_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events enriched with the customer dimension through the SALTED
+    equi-join, then rolled up per market segment — the end-to-end proof
+    that salting is semantics-preserving (the oracle is the plain join).
+
+    Scale rationale: ``events.user_id`` is the canonical hot key (a few
+    power users own most rows); when the dim side is too large to
+    broadcast, a shuffled join puts every hot user's rows in ONE task.
+    ``salted_equi_join`` spreads each key over ``salt`` partitions at the
+    cost of replicating the (small but not broadcastable) dim ``salt``
+    times. At this fixture's size Spark will broadcast the dim anyway —
+    correctness is what the driver can check; the skewed-shuffle plan
+    shape is pinned in tests/test_extensions.py and
+    tests/test_plan_properties.py.
+    """
+    from kafka_topic_analyzer_spark.operators.skew import salted_equi_join
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", dec("value").alias("v")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    j = salted_equi_join(e, c, "user_id", salt=8)
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("v"), 2).cast("double").alias("total_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+register(
+    "salted_user_enrichment",
+    _salted_user_enrichment,
+    """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)

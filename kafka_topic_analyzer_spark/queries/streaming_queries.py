@@ -157,6 +157,54 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def _streaming_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joined to the (batch)
+    customer dimension, rolled up per segment — the canonical "enrich a
+    firehose against a slowly-changing dim" pattern. The static side is
+    broadcast per micro-batch (stateless join: no watermark, no state
+    store); the aggregation holds the only state. At 100 TB/day the dim
+    side stays a broadcast as long as it fits executors — past that this
+    becomes the salted shuffled join (salted_user_enrichment's operator).
+    """
+    from pyspark.sql import functions as F
+
+    from kafka_topic_analyzer_spark.queries.relational import dec
+    from kafka_topic_analyzer_spark.sources.tables import load_table
+    from kafka_topic_analyzer_spark.streaming.report_stream import events_stream
+    from kafka_topic_analyzer_spark.streaming.runner import (
+        run_bounded_memory_stream,
+    )
+
+    ev = events_stream(spark, sf_dir)
+    dim = F.broadcast(
+        load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        )
+    )
+    agg = (
+        ev.join(dim, "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(dec("value")), 2).cast("double").alias("total_value"),
+        )
+    )
+    name = run_bounded_memory_stream(agg, spark, "complete", "enrich_")
+    return spark.table(name).orderBy("c_mktsegment", "event_type")
+
+
+# Stateless stream-static join + complete-mode agg on bounded input ==
+# the plain batch join-aggregate.
+_ENRICH_ORACLE = """
+SELECT c_mktsegment, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def _register() -> None:
     # reuse the batch oracles verbatim — streaming must agree with them
     from kafka_topic_analyzer_spark.queries import kafka_core  # noqa: F401
@@ -196,6 +244,11 @@ def _register() -> None:
         "session_windows_streaming",
         _streaming_sessions,
         _SESSION_ORACLE,
+    )
+    register(
+        "enriched_segment_stats_streaming",
+        _streaming_enrichment,
+        _ENRICH_ORACLE,
     )
 
 

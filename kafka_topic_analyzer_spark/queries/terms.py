@@ -261,3 +261,110 @@ QUALIFY rank <= {SEARCH_TOP_K}
 ORDER BY rank
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranking — length-normalized retrieval (Robertson & Walker, Okapi BM25)
+
+
+# k1=1.2, b=0.75 as exact rationals: tf*(k1+1) / (tf + k1*(1-b) + k1*b*dl/avgdl)
+# with avgdl = T/N multiplies through (by 10*T) to the all-integer form
+#   22*T*tf / (10*T*tf + 3*T + 9*dl*N).
+# Both scaled ratios stay in int64 up to ~1e17 token-occurrences of corpus
+# mass (22 * BM25_SCALE_TFN * T * tf < 2^63); past that, swap the two `div`
+# expressions to DECIMAL(38,0) — same plan shape, still codegen.
+BM25_SCALE_IDF = 1_000_000
+BM25_SCALE_TFN = 100_000
+
+
+def _bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi-BM25-in-spirit ranking for the fixed query-term set, under the
+    module's libm-free integer-score discipline (no ``ln`` — the idf ratio
+    ``(N-df+1)/(df+1)`` is kept as a scaled integer, preserving BM25's
+    rare-term ordering; the length normalization is the exact k1/b rational
+    form above).
+
+    Plan: one tokenize+explode map stage feeds (a) per-doc length — a
+    doc_id-keyed partial-agg groupBy — and (b) the query-term hits (the IN
+    filter prunes before any shuffle). N/T corpus scalars arrive via a
+    1-row broadcast crossJoin; per-term df is a |query|-row broadcast. The
+    global top-k is orderBy+limit — TakeOrderedAndProject, a per-partition
+    heap + driver merge of k rows, never a single-partition global sort —
+    and the rank window runs on the k surviving rows only.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = d.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        tok.agg(F.count(F.lit(1)).alias("t_tokens"))
+    )
+    hit = tok.where(F.col("term").isin(*QUERY_TERMS))
+    df_ = hit.groupBy("term").agg(F.countDistinct("doc_id").alias("doc_freq"))
+    tf = hit.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf_s",
+            F.expr(f"({BM25_SCALE_IDF}L * (n_docs - doc_freq + 1)) div (doc_freq + 1)"),
+        )
+        .withColumn(
+            "tfn_s",
+            F.expr(
+                f"({BM25_SCALE_TFN}L * 22 * t_tokens * tf)"
+                " div (10 * t_tokens * tf + 3 * t_tokens + 9 * dl * n_docs)"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("idf_s") * F.col("tfn_s")).alias("score"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            F.first("dl").alias("doc_len"),
+        )
+    )
+    topk = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(
+        SEARCH_TOP_K
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        topk.withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("rank", "doc_id", "score", "n_terms_hit", "doc_len")
+        .orderBy("rank")
+    )
+
+
+register(
+    "bm25_doc_ranking",
+    _bm25_doc_ranking,
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT count(*) FROM tok) AS t_tokens
+),
+hit AS (SELECT doc_id, term FROM tok WHERE term IN {_QTERMS_SQL}),
+df AS (SELECT term, count(DISTINCT doc_id) AS doc_freq FROM hit GROUP BY term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM hit GROUP BY doc_id, term),
+scored AS (
+  SELECT doc_id,
+         CAST(sum((({BM25_SCALE_IDF}::BIGINT * (n_docs - doc_freq + 1)) // (doc_freq + 1))
+                  * (({BM25_SCALE_TFN}::BIGINT * 22 * t_tokens * tf)
+                     // (10 * t_tokens * tf + 3 * t_tokens + 9 * dl * n_docs))) AS BIGINT) AS score,
+         CAST(count(*) AS BIGINT) AS n_terms_hit,
+         CAST(any_value(dl) AS BIGINT) AS doc_len
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, score, n_terms_hit, doc_len
+FROM scored
+QUALIFY rank <= {SEARCH_TOP_K}
+ORDER BY rank
+""",
+)

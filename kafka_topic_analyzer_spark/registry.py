@@ -57,6 +57,11 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "kafka_alive_keys_hll_audit",
     "compression_roundtrip_audit",
     "event_value_quantiles_audit",
+    # -- registered this round, never checked: round-4 operator additions --
+    "bm25_doc_ranking",
+    "zorder_layout_audit",
+    "salted_user_enrichment",
+    "enriched_segment_stats_streaming",
     # -- implementation changed this round (real Y4M decode replaced the
     #    deterministic fake); its only green row verified the fake --
     "video_frame_inventory",

@@ -185,3 +185,39 @@ def test_shard_pipeline_single_dedup_shuffle(spark):
     # exchanges: documented scan-spread repartition (tables.py) + the fp
     # window shuffle — and nothing else
     assert plan.count("Exchange") <= 2, "selection grew an extra shuffle"
+
+
+def test_bm25_topk_avoids_global_sort(spark):
+    import __spark_entry__ as E
+
+    plan = _executed(E.queries()["bm25_doc_ranking"](spark, SF_SMOKE))
+    # top-k must be a per-partition heap + driver merge, not a global sort
+    assert "TakeOrderedAndProject" in plan, "bm25 top-k lost TakeOrderedAndProject"
+    # corpus scalars and per-term df arrive broadcast, never shuffled
+    assert "SortMergeJoin" not in plan, "bm25 joins should broadcast"
+
+
+def test_zorder_key_is_scan_side_projection(spark):
+    import __spark_entry__ as E
+
+    plan = _executed(E.queries()["zorder_layout_audit"](spark, SF_SMOKE))
+    # pure-projection z key + one 16-group aggregate: no join, <=2 data
+    # exchanges (partial agg -> final agg -> the tiny ordered output)
+    assert "Join" not in plan, "z-value must not induce a join"
+    assert plan.count("HashAggregate") >= 2, "z audit should partial-aggregate"
+
+
+def test_salted_join_spreads_key(spark):
+    from pyspark.sql import functions as F
+
+    from kafka_topic_analyzer_spark.operators.skew import salted_equi_join
+
+    big = spark.range(0, 1000).select(
+        (F.col("id") % 3).alias("key"), F.col("id").alias("v")
+    )
+    small = spark.range(0, 3).select(F.col("id").alias("key"), F.lit("d").alias("tag"))
+    plan = _executed(salted_equi_join(big, small, "key", salt=8))
+    # the composite (key, _salt) join key must survive into the physical
+    # plan: the small side explodes, the big side hashes the salt
+    assert "_salt" in plan, "salt column missing from physical join"
+    assert "Generate explode" in plan or "Expand" in plan or "explode" in plan
