@@ -897,3 +897,50 @@ FROM lab GROUP BY source_a, source_b
 ORDER BY source_a, source_b
 """,
 )
+
+
+def _tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.tfidf_cosine_pairs(
+        load_table(spark, sf_dir, "documents"),
+        k=3,
+        threshold=(4, 5),
+        max_df=50,
+    )
+
+
+# HUGEINT arithmetic mirrors Spark's DECIMAL(38,0): dot^2 exceeds int64 at
+# these weight scales, so BOTH engines do the threshold comparison in
+# 128-bit integers — exact, no sqrt, no division.
+register(
+    "tfidf_cosine_pairs",
+    _tfidf_cosine_pairs,
+    f"""
+WITH tok AS (SELECT doc_id, unnest({_SHINGLES}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+w AS (SELECT doc_id, tf.term, tf * (10000 // df) AS w FROM tf JOIN df USING (term)),
+norms AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY 1),
+capped AS (SELECT term FROM df WHERE df BETWEEN 2 AND 50),
+cand AS (
+  SELECT a.doc_id AS i, b.doc_id AS j
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+  JOIN capped c ON a.term = c.term
+  GROUP BY 1, 2
+  HAVING count(*) >= 3
+),
+dots AS (
+  SELECT cand.i, cand.j,
+         CAST(sum(wa.w * wb.w) AS BIGINT) AS dot,
+         CAST(count(*) AS BIGINT) AS shared_terms
+  FROM cand JOIN w wa ON wa.doc_id = cand.i
+            JOIN w wb ON wb.doc_id = cand.j AND wb.term = wa.term
+  GROUP BY 1, 2
+)
+SELECT i, j, dot, shared_terms,
+       CAST(na.n2 AS BIGINT) AS norm2_i, CAST(nb.n2 AS BIGINT) AS norm2_j
+FROM dots JOIN norms na ON na.doc_id = dots.i JOIN norms nb ON nb.doc_id = dots.j
+WHERE 25::HUGEINT * dot::HUGEINT * dot::HUGEINT
+      >= 16::HUGEINT * na.n2::HUGEINT * nb.n2::HUGEINT
+ORDER BY i, j
+""",
+)

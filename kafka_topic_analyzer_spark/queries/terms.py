@@ -293,14 +293,22 @@ def _bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the rank window runs on the k surviving rows only.
     """
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select(
+    # dl and the corpus scalars come from array LENGTH, not an explode:
+    # len(tokens) == exploded-row count per doc, so three of the four
+    # plan branches become narrow projections over the text column and
+    # only the query-term hits pay the explode (Catalyst does not CSE
+    # shared subtrees across join branches — each branch re-executes).
+    per_doc = d.select(
+        "doc_id",
+        F.coalesce(F.size(tokens(F.lower(F.col("text")))), F.lit(0)).alias("dl"),
+    )
+    dl = per_doc
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("t_tokens")
+    )
+    hit = d.select(
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
-    )
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = d.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
-        tok.agg(F.count(F.lit(1)).alias("t_tokens"))
-    )
-    hit = tok.where(F.col("term").isin(*QUERY_TERMS))
+    ).where(F.col("term").isin(*QUERY_TERMS))
     df_ = hit.groupBy("term").agg(F.countDistinct("doc_id").alias("doc_freq"))
     tf = hit.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     scored = (

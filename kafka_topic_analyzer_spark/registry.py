@@ -62,6 +62,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "zorder_layout_audit",
     "salted_user_enrichment",
     "enriched_segment_stats_streaming",
+    "tfidf_cosine_pairs",
     # -- implementation changed this round (real Y4M decode replaced the
     #    deterministic fake); its only green row verified the fake --
     "video_frame_inventory",

@@ -221,3 +221,17 @@ def test_salted_join_spreads_key(spark):
     # plan: the small side explodes, the big side hashes the salt
     assert "_salt" in plan, "salt column missing from physical join"
     assert "Generate explode" in plan or "Expand" in plan or "explode" in plan
+
+
+def test_tfidf_pairs_no_cartesian_and_materialized_index(spark):
+    import __spark_entry__ as E
+
+    df = E.queries()["tfidf_cosine_pairs"](spark, SF_SMOKE)
+    plan = _executed(df)
+    # candidate generation joins postings keyed on term — never corpus^2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the weighted index is checkpointed: consumers scan the materialized
+    # RDD, not four re-plans of the tokenize/explode subtree
+    assert "Scan ExistingRDD" in plan, "tf-idf index lost its materialization"
+    assert plan.count("Generate explode") == 0, "explode re-planned downstream"
