@@ -944,3 +944,99 @@ WHERE 25::HUGEINT * dot::HUGEINT * dot::HUGEINT
 ORDER BY i, j
 """,
 )
+
+
+def _dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-dup graph — how clique-like duplication
+    is (near-dup evidence that closes into triangles is high-confidence;
+    long open chains are the transitive-merge risk CC has to absorb).
+    Emits one row of exact integers: vertices, edges, triangles, open
+    triads (sum of deg-choose-2) — global clustering coefficient =
+    3*n_triangles / n_triads, left to the caller so the report stays
+    libm/division-free.
+
+    Scale shape: the classic degree-oriented join (edges point from the
+    (deg, id)-smaller endpoint) bounds every vertex's out-degree by
+    ~sqrt(2m), so the wedge self-join is O(m^1.5) worst-case instead of
+    sum(deg^2) — the hub-vertex blowup a naive id-oriented join hits on
+    skewed graphs. Wedges close via a semi-join against the canonical
+    id-ordered edge set (bare id pairs on every shuffle); the edge list
+    materializes once and feeds all three consumers.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.near_dup_pairs_jaccard(docs, k=3, threshold=0.7, max_df=50)
+    edges = (
+        pairs.select(F.col("doc_i").alias("u"), F.col("doc_j").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    lower_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    o = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    a = o.select(F.col("src"), F.col("dst").alias("x"))
+    b = o.select(F.col("src"), F.col("dst").alias("y"))
+    wedges = a.join(b, "src").where(F.col("x") < F.col("y"))
+    closed = wedges.join(
+        edges,
+        (F.least("x", "y") == F.col("u")) & (F.greatest("x", "y") == F.col("v")),
+        "left_semi",
+    )
+    n_tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_vert = deg.agg(F.count(F.lit(1)).alias("n_vertices"))
+    n_edge = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_triad = deg.agg(
+        F.sum(F.expr("deg * (deg - 1) div 2")).alias("n_triads")
+    )
+    return (
+        n_vert.crossJoin(n_edge).crossJoin(n_tri).crossJoin(n_triad)
+        .select("n_vertices", "n_edges", "n_triangles", "n_triads")
+    )
+
+
+register(
+    "dup_graph_triangles",
+    _dup_graph_triangles,
+    f"""
+WITH jac AS ({_JACCARD_SQL}),
+edges AS (SELECT doc_i AS u, doc_j AS v FROM jac),
+deg AS (
+  SELECT node, count(*) AS deg
+  FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+  GROUP BY node
+),
+o AS (
+  SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+              THEN e.u ELSE e.v END AS src,
+         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+              THEN e.v ELSE e.u END AS dst
+  FROM edges e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+),
+wedges AS (
+  SELECT a.dst AS x, b.dst AS y FROM o a JOIN o b ON a.src = b.src AND a.dst < b.dst
+),
+closed AS (
+  SELECT * FROM wedges w
+  WHERE EXISTS (SELECT 1 FROM edges e
+                WHERE e.u = least(w.x, w.y) AND e.v = greatest(w.x, w.y))
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_vertices,
+       (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+       (SELECT CAST(count(*) AS BIGINT) FROM closed) AS n_triangles,
+       (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) FROM deg) AS n_triads
+""",
+)

@@ -1,0 +1,52 @@
+"""Driver-session hostility: queries must be correct no matter what session
+state the caller hands us.
+
+The grading driver builds its OWN vanilla session — any timezone, default
+confs. `prepare_session` (called inside every query wrapper) is the only
+defense; these tests sabotage the session the way a foreign driver might
+and assert the oracle still matches.
+"""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMOKE
+from tests.oracle_util import assert_parity
+
+# ts-sensitive queries: epoch math, windows, asof — where a session TZ or a
+# shuffle-width change would show first
+PROBES = (
+    "hourly_event_counts",
+    "kafka_report_partition",
+    "purchase_attribution_asof",
+    "user_session_stats",
+)
+
+
+def _check(spark, duck, name):
+    from kafka_topic_analyzer_spark.registry import all_queries
+
+    spec = all_queries()[name]
+    duck.register_sf(SF_SMOKE)
+    assert_parity(spec.spark(spark, SF_SMOKE), duck.execute(spec.oracle).df(), name)
+
+
+def test_queries_survive_foreign_timezone(spark, duck):
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try:
+        for name in PROBES:
+            _check(spark, duck, name)
+        # the wrapper must have re-pinned UTC, not just worked around it
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_queries_survive_vanilla_shuffle_default(spark, duck):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "200")
+    try:
+        for name in PROBES[:2]:
+            _check(spark, duck, name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -1,0 +1,132 @@
+"""Regenerate PLANS.md — live executedPlan dumps of the headline queries.
+
+Keeps the plan documentation honest: run after planner-affecting changes
+(`python tools/gen_plans_md.py`). Notes are maintained here; plans are
+always regenerated from the current code at sf0.001 on local[8].
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+WIDTH = 160
+
+# (section title, registry name or None, "what to notice")
+SECTIONS: list[tuple[str, str | None, str]] = [
+    (
+        "q5_regional_revenue",
+        "q5_regional_revenue",
+        "All five dim joins are BroadcastHashJoin (no SortMergeJoin): only the two fact scans shuffle, and only for the final aggregate.",
+    ),
+    (
+        "kafka_report_partition",
+        "kafka_report_partition",
+        "The whole 15-column report is ONE HashAggregate pair (partial+final) over the scan — shuffle volume is O(partitions).",
+    ),
+    (
+        "benchmark_contamination",
+        "benchmark_contamination",
+        "Eval grams build a BroadcastExchange; the corpus gram stream joins map-side — no corpus-sized shuffle before the per-doc count.",
+    ),
+    (
+        "simhash_near_dups",
+        "simhash_near_dups",
+        "Banded self-join keyed on (band, band_bits): no CartesianProduct / BroadcastNestedLoopJoin anywhere in the plan.",
+    ),
+    (
+        "q1_pricing_summary",
+        "q1_pricing_summary",
+        "PushedFilters and a 7-column ReadSchema at the parquet scan: predicate and projection both reach the reader.",
+    ),
+    (
+        "q6_forecast_revenue",
+        "q6_forecast_revenue",
+        "Written through spark.sql — the SQL entry point produces the same scan-pushdown + single partial-agged aggregate as the DataFrame path.",
+    ),
+    (
+        "training_shard_manifest",
+        "training_shard_manifest",
+        "Dedup window + quality/sample filters + manifest aggregate in a single plan; selection adds exactly one data shuffle (the fp window).",
+    ),
+    (
+        "dup_graph_pagerank",
+        "dup_graph_pagerank",
+        "Ten iterations of vertex-keyed join+aggregate (exact int64); localCheckpoint truncates lineage mid-run, so the final plan shows only the tail iterations over the checkpointed scan.",
+    ),
+    (
+        "embedding_near_dups_lsh",
+        "embedding_near_dups_lsh",
+        "ONE ArrowEvalPython per join side (the bucket UDF is no longer duplicated into the explode's emptiness filter), candidate pairs shuffle as bare id/bucket ints, and the verify re-attaches vectors via two id-keyed joins feeding a single MapInPandas — no driver-side collect anywhere in the plan.",
+    ),
+    (
+        "embedding_near_dup_pairs (blocked strategy)",
+        None,  # custom builder below
+        "the distributed exact all-pairs path — every vector replicated to its B block-pair groups by pure column expressions (explode of least/greatest structs), ONE hash-partition exchange on (p, q), and the cross-scoring inside applyInPandas. No driver materialization at any corpus size; this is the plan that takes over past the broadcast threshold.",
+    ),
+    (
+        "bm25_doc_ranking",
+        "bm25_doc_ranking",
+        "TakeOrderedAndProject (per-partition heap + k-row driver merge) for the global top-k — never a single-partition Sort; corpus scalars and per-term df arrive as BroadcastExchanges; only the query-term hits pay the explode (doc length comes from array size, a narrow projection).",
+    ),
+    (
+        "tfidf_cosine_pairs",
+        "tfidf_cosine_pairs",
+        "Every consumer reads 'Scan ExistingRDD' — the weighted shingle index is materialized ONCE (no re-planned explode); candidate generation is keyed on term, the dot product re-attaches vectors by id/term-keyed joins, and the cosine threshold is a DECIMAL(38,0) comparison (no sqrt).",
+    ),
+    (
+        "dup_graph_triangles",
+        "dup_graph_triangles",
+        "Degree-oriented wedge self-join (out-degree bounded ~sqrt(2m)) + LeftSemi closure against the canonical edge set; the near-dup edge subtree shows as one materialized scan feeding all consumers.",
+    ),
+]
+
+
+def _blocked_builder(spark):
+    from pyspark.sql import functions as F
+
+    from kafka_topic_analyzer_spark.operators.dedup import embedding_near_dup_pairs
+    from kafka_topic_analyzer_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return embedding_near_dup_pairs(emb, threshold=0.4, strategy="blocked")
+
+
+def main() -> None:
+    from kafka_topic_analyzer_spark.registry import all_queries
+    from kafka_topic_analyzer_spark.session import get_spark, prepare_session
+
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    spark = prepare_session(get_spark("gen-plans"))
+    qs = all_queries()
+    out = [
+        "# PLANS — physical plans of headline queries (sf0.001, local[8])",
+        "",
+        "Generated by `tools/gen_plans_md.py` from live `executedPlan` output",
+        "(expression ids stripped, long lines truncated). Regenerate after",
+        "planner-affecting changes; the structural properties below are also",
+        "pinned as assertions in `tests/test_plan_properties.py`.",
+        "",
+    ]
+    for title, name, note in SECTIONS:
+        df = _blocked_builder(spark) if name is None else qs[name].spark(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        plan = re.sub(r"#\d+L?", "", plan)
+        lines = [ln[:WIDTH] for ln in plan.rstrip().splitlines()]
+        out += [f"## {title}", "", f"**What to notice:** {note}", "", "```"]
+        out += lines
+        out += ["```", ""]
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
+    with open(path, "w") as f:
+        f.write("\n".join(out))
+    print(f"wrote {path}: {len(SECTIONS)} sections")
+
+
+if __name__ == "__main__":
+    main()
