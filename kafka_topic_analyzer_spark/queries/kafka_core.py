@@ -215,3 +215,84 @@ SELECT "partition", metric, value FROM (
 ORDER BY "partition", metric
 """),
 )
+
+
+def _event_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness profile of the topic, per partition — the
+    operational input to watermark sizing: ``withWatermark(delay)`` must
+    cover the disorder the data actually exhibits, and this measures it
+    (messages in OFFSET order vs their event timestamps; the reference
+    only surfaces min/max ts, src/metric.rs:39-47 — this extends that to
+    the full lateness distribution the streaming operators care about).
+
+    A message is "late by d" if a higher event-time message preceded it
+    in the same partition's offset order (d = running-max - ts). The
+    zero sentinel the log uses for missing timestamps is excluded from
+    the running max and counted separately.
+
+    Plan: one window pass per partition (partitionBy(partition)
+    ORDER BY offset — the shuffle is the same partition-keyed exchange
+    the report pays), then a per-partition aggregate; O(partitions)
+    output rows.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    kdf = kafka_frame_from_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("partition")
+        .orderBy("offset")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ts_ok = F.when(F.col("timestamp_ms") > 0, F.col("timestamp_ms"))
+    run_max = F.max(ts_ok).over(w)
+    lateness = F.when(
+        (F.col("timestamp_ms") > 0) & run_max.isNotNull(),
+        F.greatest(run_max - F.col("timestamp_ms"), F.lit(0)),
+    )
+    prof = kdf.select(
+        "partition",
+        F.col("timestamp_ms"),
+        lateness.alias("late_ms"),
+    )
+    return (
+        prof.groupBy("partition")
+        .agg(
+            F.count(F.lit(1)).alias("n_messages"),
+            F.sum((F.col("timestamp_ms") == 0).cast("long")).alias("n_missing_ts"),
+            F.sum((F.col("late_ms") > 0).cast("long")).alias("n_out_of_order"),
+            F.sum((F.col("late_ms") > 1_000).cast("long")).alias("n_late_1s"),
+            F.sum((F.col("late_ms") > 60_000).cast("long")).alias("n_late_60s"),
+            F.coalesce(F.max("late_ms"), F.lit(0)).alias("max_disorder_ms"),
+        )
+        .orderBy("partition")
+    )
+
+
+register(
+    "event_lateness_profile",
+    _event_lateness_profile,
+    kafka_oracle("""
+, prof AS (
+  SELECT "partition", timestamp_ms,
+         CASE WHEN timestamp_ms > 0 THEN
+           greatest(
+             max(CASE WHEN timestamp_ms > 0 THEN timestamp_ms END)
+               OVER (PARTITION BY "partition" ORDER BY "offset"
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             - timestamp_ms, 0)
+         END AS late_ms
+  FROM kafka_messages
+)
+SELECT "partition",
+       CAST(count(*) AS BIGINT) AS n_messages,
+       CAST(sum(CASE WHEN timestamp_ms = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_ts,
+       CAST(sum(CASE WHEN late_ms > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_order,
+       CAST(sum(CASE WHEN late_ms > 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_1s,
+       CAST(sum(CASE WHEN late_ms > 60000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_60s,
+       CAST(COALESCE(max(late_ms), 0) AS BIGINT) AS max_disorder_ms
+FROM prof
+GROUP BY "partition"
+ORDER BY "partition"
+"""),
+)

@@ -64,6 +64,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "enriched_segment_stats_streaming",
     "tfidf_cosine_pairs",
     "dup_graph_triangles",
+    "event_lateness_profile",
     # -- implementation changed this round (real Y4M decode replaced the
     #    deterministic fake); its only green row verified the fake --
     "video_frame_inventory",
