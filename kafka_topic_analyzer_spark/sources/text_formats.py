@@ -31,15 +31,15 @@ DOCUMENTS_SCHEMA = T.StructType(
 def read_documents_jsonl(spark: SparkSession, path: str) -> DataFrame:
     """Read a JSONL documents corpus with the fixed contract schema.
 
-    PERMISSIVE mode + ``_corrupt_record`` would silently null bad rows;
-    FAILFAST makes ingest corruption loud — the right default for a
-    training corpus where silent row loss poisons downstream stats.
+    Delegates to the generic reader (sources/files.py) in FAILFAST mode:
+    PERMISSIVE + ``_corrupt_record`` would silently null bad rows, and a
+    training corpus where silent row loss poisons downstream stats wants
+    ingest corruption loud. Callers that prefer to audit instead use
+    ``files.read_jsonl(..., mode="PERMISSIVE")`` + ``corrupt_line_stats``.
     """
-    return (
-        spark.read.schema(DOCUMENTS_SCHEMA)
-        .option("mode", "FAILFAST")
-        .json(path)
-    )
+    from kafka_topic_analyzer_spark.sources.files import read_jsonl
+
+    return read_jsonl(spark, path, DOCUMENTS_SCHEMA, mode="FAILFAST")
 
 
 def write_documents_jsonl(df: DataFrame, path: str) -> None:
