@@ -27,7 +27,7 @@ def main() -> None:
     repl = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
 
-    from pyspark.sql import functions as F
+    from pyspark.sql import Window, functions as F
 
     from kafka_topic_analyzer_spark.operators import dedup as D
     from kafka_topic_analyzer_spark.session import get_spark, prepare_session
@@ -57,9 +57,33 @@ def main() -> None:
         print(f"# {name}: {results[name]}", file=sys.stderr)
 
     run("exact_dup_clusters", lambda: D.exact_dup_clusters(docs).count())
+    # On a heavily-cloned corpus the df cap and the clone multiplicity
+    # fight: every clone inflates shingle df, so at 20x replication the
+    # df<=50 cap admits almost nothing (measured: 0 candidate pairs),
+    # while raising the cap to compensate re-opens the quadratic posting
+    # self-join the cap exists to prevent (measured: GC-thrash at
+    # max_df=1000). The production order is exact dedup FIRST — clones
+    # collapse to one canonical before any near-dup pass — so the smoke
+    # measures the inverted-index operators the way the shard pipeline
+    # runs them.
     run(
-        "tfidf_cosine_pairs",
+        "tfidf_cosine_pairs_raw_capped",
         lambda: D.tfidf_cosine_pairs(docs, k=3, threshold=(4, 5), max_df=50).count(),
+    )
+    canon = (
+        docs.withColumn("fp", F.md5(F.coalesce(F.col("text"), F.lit(""))))
+        .withColumn(
+            "keep",
+            F.row_number().over(Window.partitionBy("fp").orderBy("doc_id")),
+        )
+        .where(F.col("keep") == 1)
+        .drop("fp", "keep")
+        .localCheckpoint(eager=True)
+    )
+    results["canonical_docs"] = {"seconds": 0.0, "rows": canon.count()}
+    run(
+        "tfidf_cosine_pairs_after_dedup",
+        lambda: D.tfidf_cosine_pairs(canon, k=3, threshold=(4, 5), max_df=50).count(),
     )
     run(
         "jaccard_pairs",
