@@ -458,9 +458,13 @@ def _bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i -> concat(element_at(t, CAST(i AS INT)), ' ', element_at(t, CAST(i + 1 AS INT)))) END"
         ),
     )
+    # materialize the exploded (doc, bigram) set once: it feeds BOTH the
+    # df aggregate and the join probe side, and Catalyst re-plans the
+    # tokenize/explode subtree per consumer (same policy as the simhash /
+    # tf-idf index materialization)
     doc_bg = base.select(
         "doc_id", F.explode(F.array_distinct("bgs")).alias("bg")
-    )
+    ).localCheckpoint(eager=True)
     df_tbl = doc_bg.groupBy("bg").agg(F.count(F.lit(1)).cast("long").alias("df"))
     per_doc = (
         doc_bg.join(df_tbl, "bg")

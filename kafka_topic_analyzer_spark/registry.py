@@ -34,7 +34,7 @@ def register(name: str, spark_fn: Callable[[SparkSession, str], DataFrame], orac
 
 
 # The verify driver checks queries in iteration order and stops after ~50.
-# With more registered queries than that (97 as of round 3), iteration order
+# With more registered queries than that (109 as of round 4), iteration order
 # decides which get a driver correctness row each round — so we rotate:
 # queries that have never received a row (rounds 1-2 stopped at the same
 # first 50) go first, then the
