@@ -75,10 +75,19 @@ def build_training_shards(spark: SparkSession, sf_dir: str, out_path: str) -> in
 
     Returns the number of documents written.
     """
-    from kafka_topic_analyzer_spark.sources.sinks import write_parquet_shards
     from kafka_topic_analyzer_spark.sources.tables import load_table
 
-    packed = pack_sequences(select_training_docs(load_table(spark, sf_dir, "documents")))
+    return build_training_shards_from(
+        load_table(spark, sf_dir, "documents"), out_path
+    )
+
+
+def build_training_shards_from(docs: DataFrame, out_path: str) -> int:
+    """Pipeline over an already-loaded corpus frame (callers that replicate
+    or pre-filter — e.g. the bench's scaled run — reuse the exact plan)."""
+    from kafka_topic_analyzer_spark.sources.sinks import write_parquet_shards
+
+    packed = pack_sequences(select_training_docs(docs))
     write_parquet_shards(
         packed,
         out_path,
@@ -86,7 +95,7 @@ def build_training_shards(spark: SparkSession, sf_dir: str, out_path: str) -> in
         max_records_per_file=100_000,
         sort_within_partitions=["seq_id", "doc_id"],
     )
-    return spark.read.parquet(out_path).count()
+    return docs.sparkSession.read.parquet(out_path).count()
 
 
 def shard_manifest(docs: DataFrame) -> DataFrame:
