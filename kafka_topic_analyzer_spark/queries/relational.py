@@ -693,3 +693,127 @@ SELECT round(
 FROM lineitem JOIN part ON l_partkey = p_partkey
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Correlated-subquery shapes (TPC-H q4/q13/q22 adapted to the fixture schema)
+# — the decorrelation rewrites SURVEY.md §4 credits to Catalyst: EXISTS
+# becomes a LeftSemi join, NOT EXISTS a LeftAnti, and the scalar subquery a
+# 1-row broadcast, never a per-row re-execution.
+
+
+def _q4_late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q4 shape: orders counted per priority WHERE EXISTS a lineitem that
+    shipped after the order date (the fixture lacks commit/receipt dates —
+    ship-after-order is the same correlated-EXISTS plan)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+register(
+    "q4_late_ship_priority",
+    _q4_late_ship_priority,
+    """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+
+
+def _q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q13 shape: LEFT OUTER join customers to their orders, count per
+    customer (zero-order customers KEPT), then the histogram of counts —
+    two aggregations over one outer join, the classic distribution query."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.desc("c_count"))
+    )
+
+
+register(
+    "q13_order_count_distribution",
+    _q13_order_count_distribution,
+    """
+WITH per_cust AS (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS n_customers
+FROM per_cust
+GROUP BY c_count
+ORDER BY n_customers DESC, c_count DESC
+""",
+)
+
+
+def _q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q22 shape: customers above the positive-balance average (scalar
+    subquery → 1-row broadcast) with NO orders (NOT EXISTS → LeftAnti),
+    grouped by market segment. Decimal-exact sums keep acctbal math
+    hash-stable."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(dec("c_acctbal", 18, 2)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    rich = c.crossJoin(F.broadcast(avg_bal)).where(
+        F.col("c_acctbal").cast("double") > F.col("avg_bal")
+    )
+    idle = rich.join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+    return (
+        idle.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum(dec("c_acctbal", 18, 2)), 2)
+            .cast("double")
+            .alias("total_balance"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+register(
+    "q22_idle_rich_customers",
+    _q22_idle_rich_customers,
+    """
+WITH avg_bal AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_balance
+FROM customer, avg_bal
+WHERE CAST(c_acctbal AS DOUBLE) > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)

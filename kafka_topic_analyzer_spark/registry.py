@@ -65,6 +65,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "tfidf_cosine_pairs",
     "dup_graph_triangles",
     "event_lateness_profile",
+    "q4_late_ship_priority",
+    "q13_order_count_distribution",
+    "q22_idle_rich_customers",
     # -- implementation changed this round (real Y4M decode replaced the
     #    deterministic fake); its only green row verified the fake --
     "video_frame_inventory",

@@ -235,3 +235,16 @@ def test_tfidf_pairs_no_cartesian_and_materialized_index(spark):
     # RDD, not four re-plans of the tokenize/explode subtree
     assert "Scan ExistingRDD" in plan, "tf-idf index lost its materialization"
     assert plan.count("Generate explode") == 0, "explode re-planned downstream"
+
+
+def test_correlated_subqueries_decorrelate(spark):
+    import __spark_entry__ as E
+
+    q4 = _executed(E.queries()["q4_late_ship_priority"](spark, SF_SMOKE))
+    # EXISTS must become a semi join, never a per-row subquery
+    assert "LeftSemi" in q4
+
+    q22 = _executed(E.queries()["q22_idle_rich_customers"](spark, SF_SMOKE))
+    # NOT EXISTS -> anti join; the scalar average arrives broadcast
+    assert "LeftAnti" in q22
+    assert "BroadcastExchange" in q22
