@@ -29,10 +29,9 @@ def _kafka_report_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partition_report(kafka_frame_from_events(spark, sf_dir))
 
 
-register(
-    "kafka_report_partition",
-    _kafka_report_partition,
-    kafka_oracle("""
+# Partition metrics as a reusable CTE suffix: `kafka_report_partition`
+# selects it raw; `kafka_report_rendered` formats its cells.
+_PARTITION_REP_CTE = """
 , agg AS (
   SELECT "partition",
     CAST(min("offset") AS BIGINT) AS start_offset,
@@ -46,21 +45,27 @@ register(
     CAST(coalesce(sum(length("value")), 0) AS BIGINT) AS value_bytes
   FROM kafka_messages
   GROUP BY "partition"
+),
+rep AS (
+  SELECT
+    "partition", start_offset, end_offset, total, alive, tombstones,
+    CASE WHEN total > 0 AND tombstones > 0
+         THEN round(tombstones * 100.0 / total, 4) ELSE 0.0 END AS dirty_ratio,
+    key_null, key_non_null,
+    CAST(key_bytes + value_bytes AS BIGINT) AS p_bytes,
+    key_bytes, value_bytes,
+    CAST(CASE WHEN key_bytes > 0 AND alive > 0 THEN key_bytes // alive ELSE 0 END AS BIGINT) AS key_size_avg,
+    CAST(CASE WHEN value_bytes > 0 AND alive > 0 THEN value_bytes // alive ELSE 0 END AS BIGINT) AS value_size_avg,
+    CAST(CASE WHEN key_bytes + value_bytes > 0 AND alive > 0
+              THEN (key_bytes + value_bytes) // alive ELSE 0 END AS BIGINT) AS message_size_avg
+  FROM agg
 )
-SELECT
-  "partition", start_offset, end_offset, total, alive, tombstones,
-  CASE WHEN total > 0 AND tombstones > 0
-       THEN round(tombstones * 100.0 / total, 4) ELSE 0.0 END AS dirty_ratio,
-  key_null, key_non_null,
-  CAST(key_bytes + value_bytes AS BIGINT) AS p_bytes,
-  key_bytes, value_bytes,
-  CAST(CASE WHEN key_bytes > 0 AND alive > 0 THEN key_bytes // alive ELSE 0 END AS BIGINT) AS key_size_avg,
-  CAST(CASE WHEN value_bytes > 0 AND alive > 0 THEN value_bytes // alive ELSE 0 END AS BIGINT) AS value_size_avg,
-  CAST(CASE WHEN key_bytes + value_bytes > 0 AND alive > 0
-            THEN (key_bytes + value_bytes) // alive ELSE 0 END AS BIGINT) AS message_size_avg
-FROM agg
-ORDER BY "partition"
-"""),
+"""
+
+register(
+    "kafka_report_partition",
+    _kafka_report_partition,
+    kafka_oracle(_PARTITION_REP_CTE + 'SELECT * FROM rep ORDER BY "partition"'),
 )
 
 
@@ -294,5 +299,116 @@ SELECT "partition",
 FROM prof
 GROUP BY "partition"
 ORDER BY "partition"
+"""),
+)
+
+
+def _kafka_report_rendered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The report's TABLE CELLS exactly as render.py prints them (S5/§2.9,
+    ref src/main.rs:150-172): every metric as its rendered string —
+    ``str(int)`` for counts/bytes/averages, ``%.4f`` for the dirty ratio
+    (X4). Makes the rendering surface driver-hashable instead of
+    golden-file-only; the ascii frame/padding (pure layout) stays under
+    the golden test in tests/test_render_cli.py."""
+    from pyspark.sql import functions as F
+
+    from kafka_topic_analyzer_spark.operators.report import partition_report
+
+    rep = partition_report(kafka_frame_from_events(spark, sf_dir))
+    int_fields = [
+        "start_offset", "end_offset", "total", "alive", "tombstones",
+        "key_null", "key_non_null", "p_bytes", "key_bytes", "value_bytes",
+        "key_size_avg", "value_size_avg", "message_size_avg",
+    ]
+    return rep.select(
+        "partition",
+        F.col("partition").cast("string").alias("c_partition"),
+        *[F.col(f).cast("string").alias(f"c_{f}") for f in int_fields],
+        F.format_string("%.4f", F.col("dirty_ratio")).alias("c_dirty_ratio"),
+    ).orderBy("partition")
+
+
+register(
+    "kafka_report_rendered",
+    _kafka_report_rendered,
+    kafka_oracle(
+        _PARTITION_REP_CTE
+        + """
+SELECT "partition",
+  CAST("partition" AS VARCHAR) AS c_partition,
+  CAST(start_offset AS VARCHAR) AS c_start_offset,
+  CAST(end_offset AS VARCHAR) AS c_end_offset,
+  CAST(total AS VARCHAR) AS c_total,
+  CAST(alive AS VARCHAR) AS c_alive,
+  CAST(tombstones AS VARCHAR) AS c_tombstones,
+  CAST(key_null AS VARCHAR) AS c_key_null,
+  CAST(key_non_null AS VARCHAR) AS c_key_non_null,
+  CAST(p_bytes AS VARCHAR) AS c_p_bytes,
+  CAST(key_bytes AS VARCHAR) AS c_key_bytes,
+  CAST(value_bytes AS VARCHAR) AS c_value_bytes,
+  CAST(key_size_avg AS VARCHAR) AS c_key_size_avg,
+  CAST(value_size_avg AS VARCHAR) AS c_value_size_avg,
+  CAST(message_size_avg AS VARCHAR) AS c_message_size_avg,
+  printf('%.4f', dirty_ratio) AS c_dirty_ratio
+FROM rep ORDER BY "partition"
+"""
+    ),
+)
+
+
+def _kafka_summary_rendered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The summary block's rendered values (ref src/main.rs:125-148):
+    timestamps in the reference's `%Y-%m-%d %H:%M:%S UTC` format (X3) and
+    comma-grouped byte/message counts — the strings render.py interpolates,
+    hash-checked against DuckDB's own formatting. Timestamp arithmetic is
+    tz-free on both sides (epoch + interval), so a hostile driver session
+    timezone cannot skew it (prepare_session pins UTC for Spark's
+    date_format)."""
+    from pyspark.sql import functions as F
+
+    from kafka_topic_analyzer_spark.operators.report import global_report
+
+    g = global_report(kafka_frame_from_events(spark, sf_dir))
+
+    def ts_str(col: str):
+        return F.concat(
+            F.date_format(F.timestamp_seconds(F.col(col)), "yyyy-MM-dd HH:mm:ss"),
+            F.lit(" UTC"),
+        )
+
+    return g.select(
+        ts_str("earliest_ts_sec").alias("earliest_rendered"),
+        ts_str("latest_ts_sec").alias("latest_rendered"),
+        F.format_number(F.col("largest_message"), 0).alias("largest_rendered"),
+        F.format_number(F.col("smallest_message"), 0).alias("smallest_rendered"),
+        F.format_number(F.col("overall_size"), 0).alias("size_rendered"),
+        F.format_number(F.col("overall_count"), 0).alias("count_rendered"),
+    )
+
+
+register(
+    "kafka_summary_rendered",
+    _kafka_summary_rendered,
+    kafka_oracle("""
+, g AS (
+  SELECT
+    CAST(count(*) AS BIGINT) AS overall_count,
+    CAST(coalesce(sum(coalesce(length("key"), 0) + coalesce(length("value"), 0)), 0) AS BIGINT) AS overall_size,
+    CAST(coalesce(min(CASE WHEN "value" IS NOT NULL
+          THEN coalesce(length("key"), 0) + length("value") END), 0) AS BIGINT) AS smallest_message,
+    CAST(coalesce(max(CASE WHEN "value" IS NOT NULL
+          THEN coalesce(length("key"), 0) + length("value") END), 0) AS BIGINT) AS largest_message,
+    CAST(min(timestamp_ms // 1000) AS BIGINT) AS earliest_ts_sec,
+    CAST(max(timestamp_ms // 1000) AS BIGINT) AS latest_ts_sec
+  FROM kafka_messages
+)
+SELECT
+  strftime(TIMESTAMP '1970-01-01' + to_seconds(earliest_ts_sec), '%Y-%m-%d %H:%M:%S') || ' UTC' AS earliest_rendered,
+  strftime(TIMESTAMP '1970-01-01' + to_seconds(latest_ts_sec), '%Y-%m-%d %H:%M:%S') || ' UTC' AS latest_rendered,
+  format('{:,}', largest_message) AS largest_rendered,
+  format('{:,}', smallest_message) AS smallest_rendered,
+  format('{:,}', overall_size) AS size_rendered,
+  format('{:,}', overall_count) AS count_rendered
+FROM g
 """),
 )

@@ -68,6 +68,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q4_late_ship_priority",
     "q13_order_count_distribution",
     "q22_idle_rich_customers",
+    "kafka_report_rendered",
+    "kafka_summary_rendered",
     # -- implementation changed this round (real Y4M decode replaced the
     #    deterministic fake); its only green row verified the fake --
     "video_frame_inventory",

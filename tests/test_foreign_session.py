@@ -19,6 +19,8 @@ PROBES = (
     "kafka_report_partition",
     "purchase_attribution_asof",
     "user_session_stats",
+    # renders wall-clock timestamps — the surface a session TZ skews first
+    "kafka_summary_rendered",
 )
 
 
