@@ -757,3 +757,105 @@ GROUP BY 1
 ORDER BY 1
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Data-validation passes for the corpus tables (the events expectations
+# pattern extended to documents/embeddings: every invariant in ONE
+# conditional-aggregate scan; adding a check adds a column, never a read).
+# Each entry is (name, spark_expr, duck_expr) counting VIOLATIONS — the two
+# dialects share text where possible and diverge only where the engines name
+# a function differently (size vs len).
+
+
+_DOC_CHECKS: tuple[tuple[str, str, str], ...] = (
+    ("null_doc_id", "doc_id IS NULL", "doc_id IS NULL"),
+    ("null_text", "text IS NULL", "text IS NULL"),
+    (
+        "n_chars_mismatch",
+        "coalesce(n_chars, -1) <> coalesce(length(text), -1)",
+        "coalesce(n_chars, -1) <> coalesce(length(text), -1)",
+    ),
+    (
+        "unknown_lang",
+        "lang IS NULL OR lang NOT IN ('de','en','es','fr','zh')",
+        "lang IS NULL OR lang NOT IN ('de','en','es','fr','zh')",
+    ),
+    ("null_source", "source IS NULL", "source IS NULL"),
+    ("negative_chars", "coalesce(n_chars, 0) < 0", "coalesce(n_chars, 0) < 0"),
+)
+
+_EMB_CHECKS: tuple[tuple[str, str, str], ...] = (
+    ("null_vec_id", "vec_id IS NULL", "vec_id IS NULL"),
+    ("null_embedding", "embedding IS NULL", "embedding IS NULL"),
+    (
+        "wrong_dim",
+        "embedding IS NOT NULL AND size(embedding) <> 64",
+        "embedding IS NOT NULL AND len(embedding) <> 64",
+    ),
+    ("null_label", "label IS NULL", "label IS NULL"),
+    (
+        "label_out_of_range",
+        "coalesce(label, -1) NOT BETWEEN 0 AND 999",
+        "coalesce(label, -1) NOT BETWEEN 0 AND 999",
+    ),
+)
+
+
+def _quality_checks(table: str, id_col: str, checks):
+    """Build the (spark_fn, oracle_sql) pair for one table's expectation
+    pass; a duplicate-id check (count vs count DISTINCT — not a row
+    predicate) rides the same single aggregation."""
+
+    def spark_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        t = load_table(spark, sf_dir, table)
+        aggs = [
+            F.sum(F.when(F.expr(sp), 1).otherwise(0)).cast("long").alias(name)
+            for name, sp, _ in checks
+        ] + [
+            F.expr(f"count(*) - count(DISTINCT {id_col})")
+            .cast("long")
+            .alias(f"dup_{id_col}"),
+            F.count(F.lit(1)).alias("_n"),
+        ]
+        row = t.agg(*aggs)
+        names = [name for name, _, _ in checks] + [f"dup_{id_col}"]
+        stacked = row.selectExpr(
+            "_n",
+            "stack({}, {}) AS (check, n_violations)".format(
+                len(names), ", ".join(f"'{n}', {n}" for n in names)
+            ),
+        )
+        return stacked.select(
+            "check",
+            "n_violations",
+            F.col("_n").alias("n_rows"),
+            F.round(
+                F.col("n_violations").cast("double") / F.col("_n"), 6
+            ).alias("violation_rate"),
+        ).orderBy("check")
+
+    names = [name for name, _, _ in checks] + [f"dup_{id_col}"]
+    arms = "\nUNION ALL ".join(
+        f'SELECT \'{n}\' AS "check", {n} AS n_violations, CAST(n AS BIGINT) AS n_rows, '
+        f"round(CAST({n} AS DOUBLE) / n, 6) AS violation_rate FROM agg"
+        for n in names
+    )
+    sql = f"""
+WITH agg AS (
+  SELECT count(*) AS n,
+    {", ".join(f"CAST(sum(CASE WHEN {du} THEN 1 ELSE 0 END) AS BIGINT) AS {name}" for name, _, du in checks)},
+    CAST(count(*) - count(DISTINCT {id_col}) AS BIGINT) AS dup_{id_col}
+  FROM {table}
+)
+{arms}
+ORDER BY "check"
+"""
+    return spark_fn, sql
+
+
+_doc_checks_fn, _doc_checks_sql = _quality_checks("documents", "doc_id", _DOC_CHECKS)
+register("documents_quality_checks", _doc_checks_fn, _doc_checks_sql)
+
+_emb_checks_fn, _emb_checks_sql = _quality_checks("embeddings", "vec_id", _EMB_CHECKS)
+register("embeddings_quality_checks", _emb_checks_fn, _emb_checks_sql)

@@ -70,6 +70,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q22_idle_rich_customers",
     "kafka_report_rendered",
     "kafka_summary_rendered",
+    "documents_quality_checks",
+    "embeddings_quality_checks",
     # -- implementation changed this round (real Y4M decode replaced the
     #    deterministic fake); its only green row verified the fake --
     "video_frame_inventory",
