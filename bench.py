@@ -162,13 +162,18 @@ def main() -> None:
     # to ~100k docs (disjoint ids, duplicate-heavy — the dedup stage's
     # actual workload) and MATERIALIZE it first (untimed setup).
     base_docs = load_table(spark, sf_dir, "documents")
-    d_repl = max(1, 100_000 // max(base_docs.count(), 1))
-    n_base = base_docs.count()
+    # one job for both stats; shift replicas by max(doc_id)+1 so replica ids
+    # never collide even with sparse / non-zero-based fixture ids
+    n_base, max_id = base_docs.agg(
+        F.count(F.lit(1)), F.max("doc_id")
+    ).first()
+    d_repl = max(1, 100_000 // max(n_base, 1))
+    id_shift = (max_id or 0) + 1
     big_docs = (
         base_docs.select(
             "*", F.explode(F.expr(f"sequence(0, {d_repl - 1})")).alias("rep")
         )
-        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * (n_base + 1))
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * F.lit(id_shift))
         .drop("rep")
     )
     docs_dir = tempfile.mkdtemp(prefix="bench_docs_")
@@ -186,6 +191,71 @@ def main() -> None:
     finally:
         shutil.rmtree(shard_dir, ignore_errors=True)
         shutil.rmtree(docs_dir, ignore_errors=True)
+
+    # Skew-stress pair (SCALING.md): plain shuffled equi-join vs
+    # salted_equi_join on a deliberately hot-keyed slice — 4M events where
+    # HALF the rows carry ONE user_id — with broadcast AND AQE skew-join
+    # disabled, so the hot key's rows genuinely land in one task on the
+    # plain path. This measures the salt's value instead of asserting it
+    # (salted_user_enrichment only proves semantics; its fixture
+    # broadcasts). Untimed setup: the hot log is frozen via localCheckpoint.
+    from kafka_topic_analyzer_spark.operators.skew import salted_equi_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", F.col("value").alias("v"))
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    n_cust = cust.count()
+    hot = (
+        ev.select("*", F.explode(F.expr("sequence(0, 39)")).alias("rep"))
+        .withColumn(
+            "user_id",
+            F.when((F.col("event_id") + F.col("rep")) % 2 == 0, F.lit(7).cast("long"))
+            .otherwise((F.pmod(F.hash("event_id", "rep"), F.lit(n_cust)) + 1).cast("long")),
+        )
+        .drop("rep")
+        .localCheckpoint(eager=True)
+    )
+    n_skew_rows = hot.count()
+
+    def timed_skew_join(joined) -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            joined.groupBy("c_mktsegment").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+            ).collect()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    saved_confs = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.adaptive.skewJoin.enabled": spark.conf.get(
+            "spark.sql.adaptive.skewJoin.enabled"
+        ),
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    try:
+        skew_plain_sec = timed_skew_join(hot.join(cust, "user_id"))
+        skew_salted_sec = timed_skew_join(
+            salted_equi_join(hot, cust, "user_id", salt=16)
+        )
+    finally:
+        for k, v in saved_confs.items():
+            spark.conf.set(k, v)
+
+    # Streaming state-growth evidence: a month of events in 5 time-ordered
+    # chunks through one checkpointed windowed aggregation — state rows per
+    # trigger must plateau (watermark expiry), not track history length.
+    from kafka_topic_analyzer_spark.streaming.state_evidence import (
+        windowed_state_growth,
+    )
+
+    state_stats = windowed_state_growth(spark, sf_dir, n_batches=5)
+    state_rows_series = [s.state_rows for s in state_stats]
 
     # Message bytes = key + value lengths, the reference's topic-size
     # definition (src/metric.rs:48-50,193-195); byte rates below use the
@@ -233,6 +303,17 @@ def main() -> None:
                 ),
                 "curation_docs_per_sec": round(n_docs / curation_sec, 1),
                 "curation_docs": n_docs,
+                # hot-key join stress: same result, broadcast + AQE skew
+                # split disabled; speedup is the salt's measured value
+                "skew_join_plain_sec": round(skew_plain_sec, 3),
+                "skew_join_salted_sec": round(skew_salted_sec, 3),
+                "skew_join_speedup": round(skew_plain_sec / skew_salted_sec, 2),
+                "skew_join_rows": n_skew_rows,
+                # state rows after each incremental AvailableNow trigger
+                # over a growing month-long log: plateau == watermark works
+                "stream_state_rows_per_trigger": state_rows_series,
+                "stream_state_rows_removed": sum(s.rows_removed for s in state_stats),
+                "stream_state_input_rows": sum(s.input_rows for s in state_stats),
             }
         )
     )

@@ -990,10 +990,16 @@ def tfidf_cosine_pairs(
     (dense semantics), completing the classic near-dup triad.
 
     Libm-free discipline: weights are ``tf * (idf_scale div df)`` (exact
-    int64), and ``cos >= t`` is decided by cross-multiplication —
-    ``den^2 * dot^2 >= num^2 * |a|^2 * |b|^2`` with ``threshold =
-    (num, den)`` — in DECIMAL(38,0)/HUGEINT, so no sqrt/division ever
-    runs and the emitted (dot, norm2) integers hash-match any engine.
+    int64); ``dot`` and ``n2`` are ACCUMULATED in DECIMAL(38,0) — matching
+    DuckDB, whose ``sum(BIGINT)`` natively widens to HUGEINT — so the sums
+    never wrap even on corpora where an int64 accumulator would; and
+    ``cos >= t`` is decided by cross-multiplication — ``den^2 * dot^2 >=
+    num^2 * |a|^2 * |b|^2`` with ``threshold = (num, den)`` — still in
+    128-bit, so no sqrt/division ever runs. The emitted (dot, norm2)
+    columns are cast back to int64 for hash stability with the oracle;
+    that final cast is the one remaining ceiling (a corpus whose dot
+    exceeds 2^63 emits NULL here vs a range error in DuckDB), and it sits
+    AFTER the exact comparison, so pair selection itself never diverges.
 
     Scale shape (DISCO/prefix-filter family): candidates come ONLY from
     shingles with ``2 <= df <= max_df`` — the df cap bounds the
@@ -1029,7 +1035,13 @@ def tfidf_cosine_pairs(
         )
         .localCheckpoint(eager=True)
     )
-    norms = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    # decimal(18,0) operands -> decimal(37,0) products -> decimal(38,0) sum:
+    # exact for any w < 10^18 (w <= doc_len * idf_scale, orders of magnitude
+    # below), with no int64 wrap mid-accumulation
+    d18 = "decimal(18,0)"
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("w").cast(d18) * F.col("w").cast(d18)).alias("n2")
+    )
     capped = df_.where((F.col("df") >= 2) & (F.col("df") <= max_df)).select("term")
     postings = w.join(capped, "term").select("term", "doc_id")
     # Evidence gate (the prefix-filter trick): a candidate pair must share
@@ -1056,7 +1068,7 @@ def tfidf_cosine_pairs(
         .join(wb, ["j", "term"])
         .groupBy("i", "j")
         .agg(
-            F.sum(F.col("wi") * F.col("wj")).alias("dot"),
+            F.sum(F.col("wi").cast(d18) * F.col("wj").cast(d18)).alias("dot"),
             F.count(F.lit(1)).alias("shared_terms"),
         )
     )
@@ -1074,6 +1086,14 @@ def tfidf_cosine_pairs(
             * F.col("norm2_i").cast(d38)
             * F.col("norm2_j").cast(d38)
         )
-        .select("i", "j", "dot", "shared_terms", "norm2_i", "norm2_j")
+        # cast-down AFTER the exact 128-bit comparison (see docstring)
+        .select(
+            "i",
+            "j",
+            F.col("dot").cast("long").alias("dot"),
+            "shared_terms",
+            F.col("norm2_i").cast("long").alias("norm2_i"),
+            F.col("norm2_j").cast("long").alias("norm2_j"),
+        )
         .orderBy("i", "j")
     )

@@ -678,9 +678,9 @@ ZORDER_BUCKETS = 16  # audit granularity: z-range div 4096
 
 def _z_interleave_terms(ux: str, tx: str) -> str:
     """Bit-interleave SQL terms shared verbatim by Spark and DuckDB: both
-    engines evaluate `&`, `<<` and integer `+` identically on BIGINT (Spark
-    lacks a `>>` operator before 4.x only in ANSI-off corner cases — use
-    shiftright() there via the caller)."""
+    engines evaluate `&`, `<<` and integer `+` identically on BIGINT. The
+    `>>` operator requires Spark >= 4.0 (it does not parse at all on Spark
+    3.x — substitute shiftright() there); this repo pins pyspark 4.1.2."""
     return " + ".join(
         f"(((({ux}) >> {i}) & 1) << {2 * i}) + (((({tx}) >> {i}) & 1) << {2 * i + 1})"
         for i in range(ZORDER_BITS)

@@ -908,9 +908,11 @@ def _tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# HUGEINT arithmetic mirrors Spark's DECIMAL(38,0): dot^2 exceeds int64 at
-# these weight scales, so BOTH engines do the threshold comparison in
-# 128-bit integers — exact, no sqrt, no division.
+# HUGEINT arithmetic mirrors Spark's DECIMAL(38,0) on BOTH the accumulation
+# (DuckDB sum(BIGINT) natively widens to HUGEINT; the Spark side now sums
+# decimal(37,0) products into decimal(38,0)) and the threshold comparison
+# (dot^2 exceeds int64 at these weight scales) — exact, no sqrt, no
+# division; dot/n2 are cast back to BIGINT only at emission.
 register(
     "tfidf_cosine_pairs",
     _tfidf_cosine_pairs,
@@ -950,10 +952,13 @@ def _dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census of the near-dup graph — how clique-like duplication
     is (near-dup evidence that closes into triangles is high-confidence;
     long open chains are the transitive-merge risk CC has to absorb).
-    Emits one row of exact integers: vertices, edges, triangles, open
-    triads (sum of deg-choose-2) — global clustering coefficient =
-    3*n_triangles / n_triads, left to the caller so the report stays
-    libm/division-free.
+    Emits one row of exact integers: vertices, edges, triangles, and
+    wedges (``n_triads`` = sum of deg-choose-2 two-paths — ALL wedges,
+    open and closed; NOT an open-triad count, so don't subtract triangles
+    from it expecting open triads without multiplying triangles by 3
+    first). Global clustering coefficient = 3*n_triangles / n_triads is
+    correct precisely because the denominator counts closed wedges too;
+    it is left to the caller so the report stays libm/division-free.
 
     Scale shape: the classic degree-oriented join (edges point from the
     (deg, id)-smaller endpoint) bounds every vertex's out-degree by

@@ -33,73 +33,23 @@ def register(name: str, spark_fn: Callable[[SparkSession, str], DataFrame], orac
     _REGISTRY[name] = QuerySpec(spark_fn, oracle)
 
 
-# The verify driver checks queries in iteration order and stops after ~50.
-# With more registered queries than that (109 as of round 4), iteration order
-# decides which get a driver correctness row each round — so we rotate:
-# queries that have never received a row (rounds 1-2 stopped at the same
-# first 50) go first, then the
-# kafka-core family (broken by the round-2 testdata ts-type change; the fix
-# needs a green row), then queries whose implementation changed this round.
-# Everything not listed follows in registration order and gets its turn in a
-# later round's rotation.
+# The verify driver checks exactly the first 50 queries in iteration order
+# each round (observed: 50 rows in every CORRECTNESS_r0{1..4}.json). With 116
+# registered queries, iteration order decides which get a driver correctness
+# row — so we rotate per round (tools/rotate_priority.py): stalest evidence
+# first, bounding how old any query's newest green row can get. A full cycle
+# over 116 queries takes ceil(116/50) = 3 windows; tools/selfcheck.py runs the
+# SAME spark-vs-DuckDB hash compare over ALL registered queries locally and
+# commits SELFCHECK_r{N}.json, so every query has fresh evidence every round
+# even when outside the driver window.
 CHECK_PRIORITY: tuple[str, ...] = (
-    # -- round 4 rotation (tools/rotate_priority.py): never-verified first --
-    "bigram_familiarity",
-    "embedding_coverage_check",
-    "semantic_dup_clusters",
-    "incremental_dedup_status",
-    "substring_dup_spans",
-    "near_dup_source_matrix",
-    "dataset_split_summary",
-    "quality_weighted_sample",
-    "event_value_quantiles_approx",
-    # -- registered this round, never checked: exact-twin audits --
-    "kafka_alive_keys_hll_audit",
-    "compression_roundtrip_audit",
-    "event_value_quantiles_audit",
-    # -- registered this round, never checked: round-4 operator additions --
-    "bm25_doc_ranking",
-    "zorder_layout_audit",
-    "salted_user_enrichment",
-    "enriched_segment_stats_streaming",
-    "tfidf_cosine_pairs",
-    "dup_graph_triangles",
-    "event_lateness_profile",
-    "q4_late_ship_priority",
-    "q13_order_count_distribution",
-    "q22_idle_rich_customers",
-    "kafka_report_rendered",
-    "kafka_summary_rendered",
-    "documents_quality_checks",
-    "embeddings_quality_checks",
-    # -- implementation changed this round (real Y4M decode replaced the
-    #    deterministic fake); its only green row verified the fake --
-    "video_frame_inventory",
-    # -- iterative-graph implementation changed this round; last green r2 --
-    "dup_graph_pagerank",
-    # -- stalest rows (last green r2 or earlier) --
-    "kafka_alive_keys_approx",
-    "report_metrics_unpivot",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_regional_revenue",
-    "top3_customers_per_segment",
-    "orders_rollup",
-    "customers_without_recent_orders",
-    "priority_with_discounted_lines",
-    "large_parts_in_lineitem",
-    "order_status_pivot",
-    "supplier_running_revenue",
-    "customer_retention_sets",
-    "orders_cube",
-    "balance_deciles",
-    "monthly_order_growth",
-    "q6_forecast_revenue",
-    "q12_returnflag_priority",
-    "q14_promo_share",
-    "doc_token_stats",
-    "source_quality_summary",
-    "lang_id_confusion",
+    # -- round 5 rotation: the judge's two named targets first --
+    # knn_ivf_cosine: oracle-backed since r4 but never driver-verified.
+    "knn_ivf_cosine",
+    # dup_cluster_assignment: its r2 row predates the round-4
+    # large-star/small-star connected-components rewrite.
+    "dup_cluster_assignment",
+    # -- remaining queries whose newest row is round 2 --
     "text_cleaning",
     "pii_redaction",
     "doc_repetition_stats",
@@ -108,16 +58,47 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "compression_quality",
     "exact_dup_summary",
     "near_dup_pairs_jaccard",
-    "dup_cluster_assignment",
     "minhash_signatures",
     "knn_bruteforce_cosine",
-    "knn_ivf_cosine",
     "embedding_pair_stats",
     "embedding_quantization",
     "simhash_fingerprints",
     "consensus_near_dups",
     "fuzzy_match_pairs",
+    # -- oldest round-3 rows, registration order --
     "hourly_event_counts",
+    "kafka_report_partition",
+    "kafka_report_global",
+    "kafka_alive_keys",
+    "kafka_compacted_state",
+    "rich_customers_per_segment",
+    "minhash_near_dups",
+    "knn_lsh_cosine",
+    "embedding_label_stats",
+    "embedding_near_dup_pairs",
+    "embedding_near_dups_lsh",
+    "simhash_near_dups",
+    "sliding_window_counts",
+    "user_session_stats",
+    "props_key_distribution",
+    "purchase_attribution_asof",
+    "value_percentiles",
+    "peak_window_event_counts",
+    "hourly_spike_detection",
+    "event_funnel",
+    "weekly_retention_cohorts",
+    "user_state_history",
+    "events_quality_checks",
+    "kafka_report_partition_streaming",
+    "kafka_compacted_state_streaming",
+    "windowed_counts_streaming",
+    "purchase_click_join_streaming",
+    "exact_dedup_streaming",
+    "dedup_within_watermark_streaming",
+    "session_windows_streaming",
+    "image_feature_stats",
+    "audio_chunk_stats",
+    "image_resize_inventory",
 )
 
 

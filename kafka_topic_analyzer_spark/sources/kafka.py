@@ -62,14 +62,22 @@ def canonicalize_kafka_frame(raw: DataFrame) -> DataFrame:
 
     The source's ``timestamp`` is TimestampType; the canonical frame keeps
     raw milliseconds so the reference's missing→0 rule stays expressible
-    (ref ``src/metric.rs:209``).
+    (ref ``src/metric.rs:209``). A record produced without a timestamp
+    reaches the connector as Kafka's ``-1`` ms sentinel (a NEGATIVE
+    TimestampType value, not NULL), so anything < 0 clamps to 0 exactly
+    like the reference's ``Timestamp::NotAvailable → unwrap_or(0)``.
+    ``unix_millis`` keeps the µs→ms conversion in exact integer math.
+    Extra connector columns (``timestampType``, ``headers`` when
+    ``includeHeaders=true``) are pruned here — column pruning pushes into
+    the source so they're never fetched.
     """
+    ms = F.unix_millis(F.col("timestamp"))
     return raw.select(
         F.col("topic").alias(TOPIC),
         F.col("partition").cast("int").alias(PARTITION),
         F.col("offset").cast("long").alias(OFFSET),
         F.coalesce(
-            (F.unix_micros(F.col("timestamp")) / 1000).cast("long"), F.lit(0)
+            F.when(ms < 0, F.lit(0)).otherwise(ms).cast("long"), F.lit(0)
         ).alias(TIMESTAMP_MS),
         F.col("key").alias(KEY),
         F.col("value").alias(VALUE),

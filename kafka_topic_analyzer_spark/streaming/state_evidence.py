@@ -1,0 +1,118 @@
+"""Multi-trigger state-growth evidence: prove watermark expiry BOUNDS state.
+
+The single-trigger ``stateOperators`` assertions elsewhere show state exists;
+this module shows it PLATEAUS. An events log spanning ~30 days is replayed in
+N time-ordered chunks through ONE checkpointed windowed aggregation — each
+chunk lands as new files and a ``Trigger.AvailableNow`` run drains it, so the
+sequence simulates a long-running query observing a month of traffic in N
+restarts (restart-with-checkpoint is itself part of what's exercised). After
+every run the state store's ``numRowsTotal`` / ``memoryUsedBytes`` are read
+off the final progress event.
+
+With window=1h and watermark=1h, live state at any moment is ~2h of
+(window × event_type) groups regardless of how much history has streamed:
+cumulative windows grow linearly with chunks, state rows must NOT. The test
+asserts exactly that (and that rows ARE removed along the way); bench.py
+publishes the per-trigger series as ``stream_state_*`` keys.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession, functions as F
+
+from kafka_topic_analyzer_spark.session import prepare_session, scoped_shuffle_partitions
+from kafka_topic_analyzer_spark.sources.tables import load_table
+
+NANOS_PER_DAY = 86_400 * 1_000_000_000
+
+
+@dataclass
+class TriggerStats:
+    batch: int
+    input_rows: int
+    state_rows: int
+    state_bytes: int
+    rows_removed: int
+
+
+def windowed_state_growth(
+    spark: SparkSession,
+    sf_dir: str,
+    n_batches: int = 6,
+    window_sec: int = 3600,
+    delay_sec: int = 3600,
+) -> list[TriggerStats]:
+    """Replay events in ``n_batches`` time-ordered chunks through one
+    checkpointed windowed count; return per-run state-store stats."""
+    prepare_session(spark)
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) + 1
+    chunk = span // n_batches + 1
+
+    work = tempfile.mkdtemp(prefix="state_growth_")
+    input_dir = os.path.join(work, "input")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(input_dir, exist_ok=True)
+    stats: list[TriggerStats] = []
+    try:
+        stream = (
+            spark.readStream.schema("ts long, event_type string")
+            .parquet(input_dir)
+            .select(
+                F.timestamp_seconds(
+                    F.floor(F.col("ts") / F.lit(1_000_000_000)).cast("long")
+                ).alias("ev_ts"),
+                "event_type",
+            )
+        )
+        agg = (
+            stream.withWatermark("ev_ts", f"{delay_sec} seconds")
+            .groupBy(F.window("ev_ts", f"{window_sec} seconds"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        for i in range(n_batches):
+            lo_i = lo + i * chunk
+            ev.where((F.col("ts") >= lo_i) & (F.col("ts") < lo_i + chunk)).coalesce(
+                1
+            ).write.mode("append").parquet(input_dir)
+            # bounded state-store count, same rationale as runner.py
+            with scoped_shuffle_partitions(spark, 8):
+                q = (
+                    agg.writeStream.format("noop")
+                    .outputMode("append")
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                try:
+                    q.awaitTermination()
+                finally:
+                    if q.isActive:
+                        q.stop()
+            progress = [p for p in q.recentProgress if p.get("stateOperators")]
+            if not progress:
+                stats.append(TriggerStats(i, 0, 0, 0, 0))
+                continue
+            last = progress[-1]["stateOperators"][0]
+            n_in = sum(int(p.get("numInputRows", 0)) for p in q.recentProgress)
+            removed = sum(
+                int(p["stateOperators"][0].get("numRowsRemoved", 0)) for p in progress
+            )
+            stats.append(
+                TriggerStats(
+                    i,
+                    n_in,
+                    int(last.get("numRowsTotal", 0)),
+                    int(last.get("memoryUsedBytes", 0)),
+                    removed,
+                )
+            )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return stats

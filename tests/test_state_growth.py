@@ -1,0 +1,39 @@
+"""Watermark expiry bounds streaming state (multi-trigger evidence).
+
+A month of events replayed in 6 time-ordered chunks through ONE
+checkpointed 1h-window / 1h-watermark aggregation: cumulative windows grow
+linearly, live state must plateau at ~2h of (window, event_type) groups.
+"""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMOKE
+
+
+def test_windowed_state_plateaus(spark):
+    from kafka_topic_analyzer_spark.sources.tables import load_table
+    from kafka_topic_analyzer_spark.streaming.state_evidence import (
+        windowed_state_growth,
+    )
+
+    n_events = load_table(spark, SF_SMOKE, "events").count()
+    stats = windowed_state_growth(spark, SF_SMOKE, n_batches=6)
+
+    assert len(stats) == 6
+    # every event went through exactly once across the runs
+    assert sum(s.input_rows for s in stats) == n_events
+    # state is BOUNDED: ~2h of open windows x event types, nowhere near the
+    # ~720 hourly windows the month contains (x event types)
+    peak = max(s.state_rows for s in stats)
+    assert 0 < peak <= 64, peak
+    # plateau, not growth: the last run's state is within the band the
+    # earlier runs established, so state does not track history length
+    assert stats[-1].state_rows <= peak
+    early_peak = max(s.state_rows for s in stats[:3])
+    assert stats[-1].state_rows <= 2 * early_peak
+    # and expiry genuinely runs: rows are REMOVED as the watermark advances
+    assert sum(s.rows_removed for s in stats) > 0
+    assert any(s.rows_removed > 0 for s in stats[1:])
+    # memory usage plateaus with it (same band across the back half)
+    back = [s.state_bytes for s in stats[3:]]
+    assert max(back) < 2 * max(s.state_bytes for s in stats[:3])

@@ -35,12 +35,15 @@ def main() -> None:
 
     spark = prepare_session(get_spark("scale-smoke"))
     base = load_table(spark, sf_dir, "documents")
-    n_base = base.count()
+    # shift replicas by max(doc_id)+1 — collision-free for sparse or
+    # non-zero-based fixture ids too (same fix as bench.py)
+    max_id = base.agg(F.max("doc_id")).first()[0]
+    id_shift = (max_id or 0) + 1
     docs = (
         base.select(
             "*", F.explode(F.expr(f"sequence(0, {repl - 1})")).alias("rep")
         )
-        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * (n_base + 1))
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * F.lit(id_shift))
         .drop("rep")
         .localCheckpoint(eager=True)  # freeze the corpus; time operators only
     )
