@@ -198,7 +198,11 @@ def main() -> None:
     # disabled, so the hot key's rows genuinely land in one task on the
     # plain path. This measures the salt's value instead of asserting it
     # (salted_user_enrichment only proves semantics; its fixture
-    # broadcasts). Untimed setup: the hot log is frozen via localCheckpoint.
+    # broadcasts). The measured idle-machine ladder is 1.28x/1.91x/2.42x
+    # at 4M/16M/64M rows — the ratio grows with hot volume and is capped
+    # on one box by shared shuffle bandwidth (see SCALING.md); 4M keeps
+    # the per-round cost low. Untimed setup: hot log frozen via
+    # localCheckpoint.
     from kafka_topic_analyzer_spark.operators.skew import salted_equi_join
 
     ev = load_table(spark, sf_dir, "events").select("event_id", F.col("value").alias("v"))
@@ -246,6 +250,32 @@ def main() -> None:
     finally:
         for k, v in saved_confs.items():
             spark.conf.set(k, v)
+
+    # IVF recall curve: measured recall@10 of the IVF ANN against exact
+    # brute-force over the full embeddings table, for the nprobe values a
+    # deployment would sweep. This quantifies the knob SCALING.md only
+    # described: nprobe/nlist is the touched-corpus fraction, recall is
+    # what it buys.
+    from kafka_topic_analyzer_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_ivf,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ivf_queries = emb.orderBy("vec_id").limit(100).localCheckpoint(eager=True)
+    truth = (
+        knn_bruteforce(emb, ivf_queries, k=10)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    n_truth = truth.count()
+    ivf_recall = {}
+    for nprobe in (1, 2, 4, 8):
+        got = knn_ivf(emb, ivf_queries, k=10, nlist=16, nprobe=nprobe).select(
+            "query_id", "neighbor_id"
+        )
+        hits = truth.join(got, ["query_id", "neighbor_id"]).count()
+        ivf_recall[str(nprobe)] = round(hits / max(n_truth, 1), 4)
 
     # Streaming state-growth evidence: a month of events in 5 time-ordered
     # chunks through one checkpointed windowed aggregation — state rows per
@@ -311,6 +341,9 @@ def main() -> None:
                 "skew_join_rows": n_skew_rows,
                 # state rows after each incremental AvailableNow trigger
                 # over a growing month-long log: plateau == watermark works
+                # recall@10 vs exact brute-force by nprobe (nlist=16):
+                # the touched-fraction/recall tradeoff, measured
+                "ivf_recall_at_10": ivf_recall,
                 "stream_state_rows_per_trigger": state_rows_series,
                 "stream_state_rows_removed": sum(s.rows_removed for s in state_stats),
                 "stream_state_input_rows": sum(s.input_rows for s in state_stats),

@@ -424,3 +424,161 @@ GROUP BY source
 ORDER BY source
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval (RRF): lexical + semantic legs fused by reciprocal rank
+
+
+RRF_K = 60  # the standard RRF dampening constant
+RRF_SCALE = 1_000_000  # scaled-integer RRF: SCALE div (K + rank), exact
+HYBRID_LEG_K = 20  # depth each leg contributes
+HYBRID_TOP_K = 10  # fused results kept per query
+N_HYBRID_Q = 5  # docs with doc_id < 5 act as the query set
+
+
+def _hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style hybrid retrieval: for each query document, fuse an exact
+    cosine top-20 over its embedding (semantic leg) with a shared-3-shingle
+    top-20 over its text (lexical leg) via reciprocal-rank fusion —
+    ``score = Σ_legs SCALE div (60 + rank)`` in exact integers, so the
+    fused ordering hash-matches any engine (no float RRF drift).
+
+    Scale shape: both legs end in a per-query top-k BEFORE fusion, so the
+    full-outer fusion join touches ≤ 2k rows per query no matter the
+    corpus size. The lexical leg joins the tiny query-shingle set
+    (broadcast) against the corpus shingle postings — the same bounded
+    inverted-index shape as near_dup_pairs_jaccard; the semantic leg is
+    the exact kNN baseline here and would swap to the IVF/LSH path
+    (identical output contract) at warehouse scale.
+    """
+    from pyspark.sql import Window
+
+    from kafka_topic_analyzer_spark.functions.text import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    sem = S.knn_bruteforce(
+        emb, emb.where(F.col("vec_id") < N_HYBRID_Q), k=HYBRID_LEG_K
+    ).select("query_id", "neighbor_id", F.col("rank").alias("sem_rank"))
+
+    sh = (
+        docs.select(
+            "doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("term")
+        )
+        .distinct()  # set semantics: a repeated shingle counts once
+    )
+    q_sh = sh.where(F.col("doc_id") < N_HYBRID_Q).select(
+        F.col("doc_id").alias("query_id"), "term"
+    )
+    overlap = (
+        sh.select(F.col("doc_id").alias("neighbor_id"), "term")
+        .join(F.broadcast(q_sh), "term")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    wl = Window.partitionBy("query_id").orderBy(
+        F.desc("n_shared"), F.asc("neighbor_id")
+    )
+    lex = (
+        overlap.withColumn("lex_rank", F.row_number().over(wl).cast("int"))
+        .where(F.col("lex_rank") <= HYBRID_LEG_K)
+        .select("query_id", "neighbor_id", "lex_rank")
+    )
+
+    fused = sem.join(lex, ["query_id", "neighbor_id"], "full_outer").withColumn(
+        "rrf_score",
+        (
+            F.coalesce(
+                F.expr(f"{RRF_SCALE} div ({RRF_K} + sem_rank)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"{RRF_SCALE} div ({RRF_K} + lex_rank)"), F.lit(0)
+            )
+        ).cast("long"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("neighbor_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(wf).cast("int"))
+        .where(F.col("rank") <= HYBRID_TOP_K)
+        .select(
+            "query_id",
+            "rank",
+            F.col("neighbor_id").alias("doc_id"),
+            "rrf_score",
+            F.coalesce("sem_rank", F.lit(0)).cast("int").alias("sem_rank"),
+            F.coalesce("lex_rank", F.lit(0)).cast("int").alias("lex_rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+# DuckDB shingle mirror (same as queries/dedup.py _SHINGLES: lowercase,
+# \s+ tokens, k=3 space-joined)
+_H_TOKS = r"""CASE WHEN length(trim(lower(text))) = 0 THEN []
+            ELSE string_split_regex(trim(lower(text)), '\s+') END"""
+_H_SHINGLES = f"""CASE WHEN len({_H_TOKS}) < 3 THEN []
+    ELSE [array_to_string(({_H_TOKS})[i + 1 : i + 3], ' ')
+          FOR i IN range(0, len({_H_TOKS}) - 2)] END"""
+
+register(
+    "hybrid_retrieval_rrf",
+    _hybrid_retrieval_rrf,
+    f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < {N_HYBRID_Q}),
+c AS (SELECT vec_id AS neighbor_id, embedding AS c_emb FROM embeddings),
+sem_scored AS (
+  SELECT query_id, neighbor_id,
+    round(
+      CASE WHEN sqrt({_dot_sql("q_emb", "q_emb")}) > 0
+            AND sqrt({_dot_sql("c_emb", "c_emb")}) > 0
+           THEN {_dot_sql("q_emb", "c_emb")}
+                / (sqrt({_dot_sql("q_emb", "q_emb")}) * sqrt({_dot_sql("c_emb", "c_emb")}))
+      END, 6) AS score
+  FROM c CROSS JOIN q WHERE neighbor_id <> query_id
+),
+sem AS (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS sem_rank
+  FROM sem_scored
+  QUALIFY sem_rank <= {HYBRID_LEG_K}
+),
+sh AS (
+  SELECT DISTINCT doc_id, term
+  FROM (SELECT doc_id, unnest({_H_SHINGLES}) AS term FROM documents)
+),
+overlap AS (
+  SELECT qsh.doc_id AS query_id, sh.doc_id AS neighbor_id, count(*) AS n_shared
+  FROM sh qsh JOIN sh ON qsh.term = sh.term AND sh.doc_id <> qsh.doc_id
+  WHERE qsh.doc_id < {N_HYBRID_Q}
+  GROUP BY 1, 2
+),
+lex AS (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY n_shared DESC, neighbor_id ASC) AS INTEGER) AS lex_rank
+  FROM overlap
+  QUALIFY lex_rank <= {HYBRID_LEG_K}
+),
+fused AS (
+  SELECT query_id, neighbor_id,
+         CAST(COALESCE({RRF_SCALE} // ({RRF_K} + sem_rank), 0)
+            + COALESCE({RRF_SCALE} // ({RRF_K} + lex_rank), 0) AS BIGINT) AS rrf_score,
+         CAST(COALESCE(sem_rank, 0) AS INTEGER) AS sem_rank,
+         CAST(COALESCE(lex_rank, 0) AS INTEGER) AS lex_rank
+  FROM sem FULL OUTER JOIN lex USING (query_id, neighbor_id)
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY rrf_score DESC, neighbor_id ASC) AS INTEGER) AS rank,
+       neighbor_id AS doc_id, rrf_score, sem_rank, lex_rank
+FROM fused
+QUALIFY rank <= {HYBRID_TOP_K}
+ORDER BY query_id, rank
+""",
+)

@@ -65,6 +65,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "simhash_fingerprints",
     "consensus_near_dups",
     "fuzzy_match_pairs",
+    # -- registered this round, never checked --
+    "hybrid_retrieval_rrf",
     # -- oldest round-3 rows, registration order --
     "hourly_event_counts",
     "kafka_report_partition",

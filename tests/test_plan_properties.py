@@ -248,3 +248,16 @@ def test_correlated_subqueries_decorrelate(spark):
     # NOT EXISTS -> anti join; the scalar average arrives broadcast
     assert "LeftAnti" in q22
     assert "BroadcastExchange" in q22
+
+
+def test_hybrid_rrf_legs_prune_before_fusion(spark):
+    import __spark_entry__ as E
+
+    plan = _executed(E.queries()["hybrid_retrieval_rrf"](spark, SF_SMOKE))
+    # the lexical leg joins the tiny query-shingle set broadcast against
+    # corpus postings — never a shuffled or nested-loop pairing
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # both legs cut to top-k via rank windows BEFORE the fusion join:
+    # two rank filters must exist upstream of the final one
+    assert plan.count("row_number") >= 3
