@@ -83,6 +83,11 @@ SECTIONS: list[tuple[str, str | None, str]] = [
         "dup_graph_triangles",
         "Degree-oriented wedge self-join (out-degree bounded ~sqrt(2m)) + LeftSemi closure against the canonical edge set; the near-dup edge subtree shows as one materialized scan feeding all consumers.",
     ),
+    (
+        "hybrid_retrieval_rrf",
+        "hybrid_retrieval_rrf",
+        "Both legs end in a rank-window top-k BEFORE the full-outer fusion join, so fusion touches <= 2k rows per query; the lexical leg joins corpus postings against the BroadcastExchange'd query-shingle set — no CartesianProduct anywhere.",
+    ),
 ]
 
 
