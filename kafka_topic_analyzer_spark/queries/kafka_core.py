@@ -412,3 +412,113 @@ SELECT
 FROM g
 """),
 )
+
+
+# ---------------------------------------------------------------------------
+# Driver-hashable audits for the CLI/guard surfaces (S2, S4, X7) — these
+# were previously unit-test-only because they don't read data tables; the
+# declarative twins below let the driver hash the RULES themselves.
+
+
+_CONFIG_FIXTURE = (
+    "max.poll.records=500, fetch.min.bytes = 1024,"
+    "kafka.security.protocol=PLAINTEXT,sasl.jaas.config=user=admin"
+)
+
+
+def _kafka_consumer_config_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 + X7 as a cross-engine query: the ``key=value`` parse (split on
+    the FIRST '=' so values may contain '='; whitespace trimmed — ref
+    ``src/main.rs:84-92``, mirrored by ``cli.py parse_consumer_config``)
+    and the ``kafka.*`` option-prefix rule (``sources/kafka.py
+    kafka_options``: already-prefixed keys pass through, bare consumer
+    keys gain the prefix). Both engines parse the same fixture string
+    independently, so a drift in either rule hash-mismatches."""
+    from pyspark.sql import functions as F
+
+    pairs = spark.range(1).select(
+        F.explode(F.split(F.lit(_CONFIG_FIXTURE), ",")).alias("pair")
+    )
+    key = F.trim(F.substring_index(F.col("pair"), "=", 1))
+    value = F.trim(F.expr("substring(pair, instr(pair, '=') + 1)"))
+    return (
+        pairs.select(key.alias("key"), value.alias("value"))
+        .withColumn(
+            "option_key",
+            F.when(F.col("key").startswith("kafka."), F.col("key")).otherwise(
+                F.concat(F.lit("kafka."), F.col("key"))
+            ),
+        )
+        .orderBy("option_key")
+    )
+
+
+register(
+    "kafka_consumer_config_audit",
+    _kafka_consumer_config_audit,
+    f"""
+WITH pairs AS (
+  SELECT unnest(string_split('{_CONFIG_FIXTURE}', ',')) AS pair
+),
+parsed AS (
+  SELECT trim(substr(pair, 1, strpos(pair, '=') - 1)) AS key,
+         trim(substr(pair, strpos(pair, '=') + 1)) AS value
+  FROM pairs
+)
+SELECT key, value,
+       CASE WHEN key LIKE 'kafka.%' THEN key ELSE 'kafka.' || key END AS option_key
+FROM parsed
+ORDER BY option_key
+""",
+)
+
+
+def _kafka_empty_topic_guard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 as a hashable decision table: exit code −2 iff the bounded scan
+    is empty, 0 otherwise (ref ``src/main.rs:98-101``). The production
+    guard (``sources/kafka.py guard_empty_topic``) decides on
+    ``limit(1).isEmpty`` — this twin evaluates the same predicate
+    declaratively over the real scan AND a provably-empty scan, so the
+    driver hashes both branches of the rule."""
+    from pyspark.sql import functions as F
+
+    from kafka_topic_analyzer_spark.sources.kafka import EMPTY_TOPIC_EXIT_CODE
+
+    kdf = kafka_frame_from_events(spark, sf_dir)
+
+    def probe(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.lit(name).alias("probe"),
+                (F.col("n") == 0).alias("is_empty"),
+                F.when(F.col("n") == 0, F.lit(EMPTY_TOPIC_EXIT_CODE))
+                .otherwise(F.lit(0))
+                .cast("int")
+                .alias("exit_code"),
+            )
+        )
+
+    return (
+        probe(kdf, "scan")
+        .unionAll(probe(kdf.where(F.lit(False)), "empty_scan"))
+        .orderBy("probe")
+    )
+
+
+register(
+    "kafka_empty_topic_guard_audit",
+    _kafka_empty_topic_guard_audit,
+    kafka_oracle("""
+, s AS (SELECT count(*) AS n FROM kafka_messages),
+e AS (SELECT count(*) AS n FROM kafka_messages WHERE false)
+SELECT * FROM (
+  SELECT 'empty_scan' AS probe, n = 0 AS is_empty,
+         CAST(CASE WHEN n = 0 THEN -2 ELSE 0 END AS INTEGER) AS exit_code FROM e
+  UNION ALL
+  SELECT 'scan', n = 0,
+         CAST(CASE WHEN n = 0 THEN -2 ELSE 0 END AS INTEGER) FROM s
+)
+ORDER BY probe
+"""),
+)

@@ -67,6 +67,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "fuzzy_match_pairs",
     # -- registered this round, never checked --
     "hybrid_retrieval_rrf",
+    "kafka_consumer_config_audit",
+    "kafka_empty_topic_guard_audit",
     # -- oldest round-3 rows, registration order --
     "hourly_event_counts",
     "kafka_report_partition",
