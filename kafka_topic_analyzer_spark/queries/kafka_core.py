@@ -522,3 +522,37 @@ SELECT * FROM (
 ORDER BY probe
 """),
 )
+
+
+def _kafka_scan_observability_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 as a hashable audit: the ``observe()`` metrics attached to the
+    scan (messages, bytes, max offset — the reference's end-of-run
+    progress stats, ref ``src/main.rs`` progress reporting) must equal the
+    same aggregates computed declaratively. The Spark side routes through
+    the REAL observability plumbing — ``observe_scan`` + an action +
+    ``Observation.get`` — and emits the observed values as the result row,
+    so a drift anywhere in that path (metric expressions, listener
+    wiring) hash-mismatches the oracle's plain SQL aggregate.
+    ``partitions_seen`` is approx_count_distinct and deliberately NOT
+    emitted (the one non-deterministic metric in the set)."""
+    from kafka_topic_analyzer_spark.observability import observe_scan
+
+    observed, obs = observe_scan(kafka_frame_from_events(spark, sf_dir), "audit")
+    observed.write.format("noop").mode("overwrite").save()  # action -> metrics
+    got = obs.get
+    return spark.createDataFrame(
+        [(int(got["messages"]), int(got["bytes"]), int(got["max_offset"]))],
+        "messages long, bytes long, max_offset long",
+    )
+
+
+register(
+    "kafka_scan_observability_audit",
+    _kafka_scan_observability_audit,
+    kafka_oracle("""
+SELECT CAST(count(*) AS BIGINT) AS messages,
+       CAST(coalesce(sum(coalesce(length("key"), 0) + coalesce(length("value"), 0)), 0) AS BIGINT) AS bytes,
+       CAST(max("offset") AS BIGINT) AS max_offset
+FROM kafka_messages
+"""),
+)
