@@ -817,3 +817,229 @@ GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: the remaining architecturally-distinct TPC-H shapes
+# expressible over this testdata (no partsupp / commit-receipt dates here,
+# so q2/q20 are out of reach; q17/q18/q19 run natively and q21's
+# double-EXISTS shape is adapted to the returnflag column).
+
+
+def _q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: per-part correlated scalar average, decorrelated to
+    an aggregate join — the pattern where a naive engine re-runs the
+    subquery per probe row and Spark runs ONE partial-aggregated pass.
+    Revenue that would be lost by refusing small (<20% of the part's mean
+    quantity) orders of the target parts, divided by 7 years.
+
+    Scale shape: the part filter broadcasts; the per-part mean is a
+    map-side-combined groupBy on l_partkey (shuffle O(parts), not
+    O(lines)); the final agg is a 1-row fold.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .where((F.col("p_brand") == "Brand#1") & (F.col("p_size") < 10))
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    avg_q = li.groupBy("l_partkey").agg(
+        (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), "l_partkey")
+        .join(avg_q, "l_partkey")
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum(dec("l_extendedprice")).cast("double") / 7.0, 2).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).alias("n_small_lines"),
+        )
+    )
+
+
+register(
+    "q17_small_quantity_revenue",
+    _q17_small_quantity_revenue,
+    """
+WITH target AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1' AND p_size < 10),
+avg_q AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty
+  FROM lineitem GROUP BY 1
+)
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 2) AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_small_lines
+FROM lineitem
+JOIN target ON l_partkey = p_partkey
+JOIN avg_q USING (l_partkey)
+WHERE l_quantity < 0.2 * avg_qty
+""",
+)
+
+
+Q18_QTY_THRESHOLD = 300
+
+
+def _q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN over a grouped-HAVING subquery — Catalyst turns
+    the IN into a semi join against the aggregated order list, so the big
+    lineitem table aggregates once instead of once per order probe.
+    Emits the customers behind orders totalling > threshold units.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    big = (
+        li.groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.sum(dec("l_quantity")).alias("qsum"))
+        .where(F.col("qsum") > Q18_QTY_THRESHOLD)
+        .select("o_orderkey", F.col("qsum").cast("double").alias("total_qty"))
+    )
+    return (
+        o.join(big, "o_orderkey")
+        .join(F.broadcast(c), "o_custkey")
+        .select(
+            "c_name",
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), F.asc("orderkey"))
+        .limit(100)
+    )
+
+
+register(
+    "q18_large_volume_orders",
+    _q18_large_volume_orders,
+    f"""
+WITH big AS (
+  SELECT l_orderkey AS o_orderkey,
+         sum(CAST(l_quantity AS DECIMAL(18,4))) AS qsum
+  FROM lineitem GROUP BY 1
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > {Q18_QTY_THRESHOLD}
+)
+SELECT c_name, o_custkey AS custkey, o_orderkey AS orderkey,
+       o_totalprice AS totalprice, CAST(qsum AS DOUBLE) AS total_qty
+FROM orders
+JOIN big USING (o_orderkey)
+JOIN customer ON c_custkey = o_custkey
+ORDER BY total_qty DESC, orderkey ASC
+LIMIT 100
+""",
+)
+
+
+def _q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: an OR of brand/size/quantity conjunct groups across
+    a join — the disjunctive-predicate case where Catalyst extracts the
+    common l_partkey equi-condition so the join stays a hash join and each
+    side's local conjuncts still push to its scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(
+        F.broadcast(p), li.l_partkey == p.p_partkey
+    )
+    qty, sz, br = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    cond = (
+        ((br == "Brand#1") & sz.between(1, 5) & qty.between(1, 11))
+        | ((br == "Brand#2") & sz.between(1, 10) & qty.between(10, 20))
+        | ((br == "Brand#3") & sz.between(1, 15) & qty.between(20, 30))
+    )
+    price, disc = dec("l_extendedprice"), dec("l_discount", 6, 4)
+    return j.where(cond).agg(
+        money_sum(price * (1 - disc)).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+register(
+    "q19_disjunctive_revenue",
+    _q19_disjunctive_revenue,
+    """
+SELECT round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+              * (1 - CAST(l_discount AS DECIMAL(6,4)))), 2)::DOUBLE AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+""",
+)
+
+
+def _q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape adapted to this schema (no commit/receipt dates —
+    ``l_returnflag = 'R'`` plays the "failed the order" role): suppliers
+    with a returned line in a multi-supplier order where NO other supplier
+    had a returned line — i.e. the sole visible culprit. The signature
+    double-correlation: EXISTS (another supplier in the order) AND NOT
+    EXISTS (another supplier with a returned line), which Catalyst
+    decorrelates to a LeftSemi + LeftAnti pair of self-joins with
+    non-equi conjuncts — no per-row subquery re-execution.
+
+    Scale shape: both probe sides are the deduplicated (order, supplier)
+    pairs — shuffle O(distinct pairs); the per-supplier count is
+    map-side combinable.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    returned = (
+        li.where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    other = pairs.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    other_ret = returned.select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    culprit = (
+        returned.join(
+            other,
+            (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            other_ret,
+            (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    return (
+        culprit.join(F.broadcast(s), "l_suppkey")
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+register(
+    "q21_waiting_suppliers",
+    _q21_waiting_suppliers,
+    """
+WITH pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+ret AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM ret r
+JOIN supplier ON s_suppkey = r.l_suppkey
+WHERE EXISTS (SELECT 1 FROM pairs p
+              WHERE p.l_orderkey = r.l_orderkey AND p.l_suppkey <> r.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM ret r2
+                  WHERE r2.l_orderkey = r.l_orderkey AND r2.l_suppkey <> r.l_suppkey)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+""",
+)

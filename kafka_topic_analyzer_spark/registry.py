@@ -70,6 +70,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "kafka_consumer_config_audit",
     "kafka_empty_topic_guard_audit",
     "kafka_scan_observability_audit",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_disjunctive_revenue",
+    "q21_waiting_suppliers",
     # -- oldest round-3 rows, registration order --
     "hourly_event_counts",
     "kafka_report_partition",

@@ -261,3 +261,24 @@ def test_hybrid_rrf_legs_prune_before_fusion(spark):
     # both legs cut to top-k via rank windows BEFORE the fusion join:
     # two rank filters must exist upstream of the final one
     assert plan.count("row_number") >= 3
+
+
+def test_q21_decorrelates_to_semi_anti_pair(spark):
+    import __spark_entry__ as E
+
+    plan = _executed(E.queries()["q21_waiting_suppliers"](spark, SF_SMOKE))
+    # EXISTS -> LeftSemi, NOT EXISTS -> LeftAnti, never a per-row subquery
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q17_correlated_avg_is_single_aggregate_pass(spark):
+    import __spark_entry__ as E
+
+    plan = _executed(E.queries()["q17_small_quantity_revenue"](spark, SF_SMOKE))
+    # the per-part mean is ONE partial-aggregated groupBy feeding a join —
+    # partial+final HashAggregate pairs, and the part filter broadcasts
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan

@@ -88,6 +88,11 @@ SECTIONS: list[tuple[str, str | None, str]] = [
         "hybrid_retrieval_rrf",
         "Both legs end in a rank-window top-k BEFORE the full-outer fusion join, so fusion touches <= 2k rows per query; the lexical leg joins corpus postings against the BroadcastExchange'd query-shingle set — no CartesianProduct anywhere.",
     ),
+    (
+        "q21_waiting_suppliers",
+        "q21_waiting_suppliers",
+        "The double correlation (EXISTS another supplier / NOT EXISTS another returned supplier) decorrelates to a LeftSemi + LeftAnti self-join pair over the deduplicated (order, supplier) pairs — no per-row subquery re-execution, no CartesianProduct.",
+    ),
 ]
 
 
