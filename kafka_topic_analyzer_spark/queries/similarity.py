@@ -582,3 +582,79 @@ QUALIFY rank <= {HYBRID_TOP_K}
 ORDER BY query_id, rank
 """,
 )
+
+
+def _embedding_dim_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension first/second moments of the embedding matrix — the
+    PCA/whitening prep pass (mean-centering vector and the diagonal of the
+    covariance matrix) plus the range sanity check a feature store runs
+    before quantization picks clip bounds.
+
+    Scale story: this is the one-pass distributed Gram-diagonal. posexplode
+    turns N vectors of dim d into N*d (dim, x) rows that partial-aggregate
+    map-side down to d accumulator rows per task BEFORE the shuffle — at
+    100 TB the exchange carries #tasks * d tiny rows, never the data. The
+    full d*d Gram/covariance matrix (what PCA itself needs) is the same
+    plan with a (dim_i, dim_j) explode: d^2 accumulators, one pass; the
+    eigendecomposition on the collected d*d result is driver-side BLAS —
+    deliberately out of catalog scope because LAPACK results are not
+    hash-reproducible across engines.
+
+    Float discipline (embedding_label_stats pattern): per-element values
+    are rounded to 6 digits then summed as DECIMAL — exact and
+    order-independent where a double sum would drift with aggregation
+    order; x^2 accumulates in decimal(38,12) (exact: 500k * <1e12-scale
+    products is ~20 digits, far under 38). mean/variance derive from the
+    exact sums with the identical double expression on both engines.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    xr = F.round(F.col("x").cast("double"), 6)
+    flat = emb.select(F.posexplode("embedding").alias("dim", "x")).select(
+        F.col("dim").cast("int").alias("dim"),
+        xr.alias("xr"),
+        xr.cast("decimal(18,6)").alias("xd"),
+    )
+    agg = flat.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("xr").alias("min_x"),
+        F.max("xr").alias("max_x"),
+        F.sum("xd").alias("s"),
+        F.sum((F.col("xd") * F.col("xd")).cast("decimal(38,12)")).alias("sq"),
+    )
+    mean = F.col("s").cast("double") / F.col("n_vecs")
+    return agg.select(
+        "dim",
+        "n_vecs",
+        "min_x",
+        "max_x",
+        F.round(mean, 6).alias("mean_x"),
+        F.round(F.col("sq").cast("double") / F.col("n_vecs") - mean * mean, 6).alias(
+            "var_x"
+        ),
+    ).orderBy("dim")
+
+
+register(
+    "embedding_dim_moments",
+    _embedding_dim_moments,
+    """
+WITH flat AS (
+  SELECT CAST(i - 1 AS INT) AS dim,
+         round(CAST(embedding[CAST(i AS INT)] AS DOUBLE), 6) AS xr
+  FROM embeddings, unnest(range(1, CAST(len(embedding) + 1 AS BIGINT))) AS t(i)
+),
+agg AS (
+  SELECT dim,
+         CAST(count(*) AS BIGINT) AS n_vecs,
+         min(xr) AS min_x, max(xr) AS max_x,
+         sum(CAST(xr AS DECIMAL(18,6))) AS s,
+         sum(CAST(CAST(xr AS DECIMAL(18,6)) * CAST(xr AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS sq
+  FROM flat GROUP BY dim
+)
+SELECT dim, n_vecs, min_x, max_x,
+       round(CAST(s AS DOUBLE) / n_vecs, 6) AS mean_x,
+       round(CAST(sq AS DOUBLE) / n_vecs - (CAST(s AS DOUBLE) / n_vecs) * (CAST(s AS DOUBLE) / n_vecs), 6) AS var_x
+FROM agg
+ORDER BY dim
+""",
+)

@@ -376,3 +376,72 @@ QUALIFY rank <= {SEARCH_TOP_K}
 ORDER BY rank
 """,
 )
+
+
+BPE_TOP_PAIRS = 50
+
+
+def _bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-iteration BPE merge candidates: corpus-weighted adjacent
+    character-pair frequencies — exactly the statistic byte-pair-encoding
+    tokenizer training greedily merges on (Sennrich et al. 2016). The top
+    pair here IS the first merge a BPE trainer would perform on this
+    corpus; re-running the pass after applying a merge yields the next.
+
+    Scale story (the reason BPE training belongs on Spark at 100 TB):
+    pair counting collapses the corpus to its word-form vocabulary FIRST
+    (groupBy word — heavy-tailed but map-side combinable: each scan task
+    emits its distinct words once), then explodes each distinct word form
+    into its length-1 adjacent pairs weighted by the word's corpus count.
+    The expensive explode runs over the vocabulary (~sqrt-ish of token
+    mass, Heaps' law), not over the tokens; the final pair rollup shuffles
+    at most |vocab| * avg_word_len tiny integer rows. All counts are pure
+    int64 — hash-stable with no float discipline needed.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(tokens(F.lower(F.col("text")))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    pairs = words.where(F.length("word") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word)-1), i -> substring(word, i, 2))")
+        ).alias("pair"),
+        "wc",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("wc").alias("pair_count"),
+            F.count(F.lit(1)).alias("n_word_slots"),
+        )
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(BPE_TOP_PAIRS)
+    )
+
+
+register(
+    "bpe_merge_candidates",
+    _bpe_merge_candidates,
+    f"""
+WITH tok AS (
+  SELECT unnest({_TOKS}) AS term FROM documents
+),
+words AS (
+  SELECT term AS word, CAST(count(*) AS BIGINT) AS wc
+  FROM tok GROUP BY term
+),
+pairs AS (
+  SELECT substr(word, CAST(i AS INT), 2) AS pair, wc
+  FROM words, unnest(range(1, CAST(length(word) AS BIGINT))) AS t(i)
+  WHERE length(word) >= 2
+)
+SELECT pair,
+       CAST(sum(wc) AS BIGINT) AS pair_count,
+       CAST(count(*) AS BIGINT) AS n_word_slots
+FROM pairs GROUP BY pair
+ORDER BY pair_count DESC, pair ASC
+LIMIT {BPE_TOP_PAIRS}
+""",
+)

@@ -66,6 +66,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "consensus_near_dups",
     "fuzzy_match_pairs",
     # -- registered this round, never checked --
+    "bpe_merge_candidates",
+    "embedding_dim_moments",
     "hybrid_retrieval_rrf",
     "kafka_consumer_config_audit",
     "kafka_empty_topic_guard_audit",

@@ -91,3 +91,22 @@ def corrupt_line_stats(df: DataFrame) -> DataFrame:
         F.sum(bad.cast("long")).alias("n_corrupt"),
         F.min(F.when(bad, F.col(CORRUPT_COL))).alias("first_corrupt"),
     )
+
+
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+) -> DataFrame:
+    """ORC scan — the other columnar interchange format a pipeline inherits
+    from Hive-era warehouses. Same scan properties as parquet (predicate
+    pushdown via file/stripe min-max stats, column pruning, splittable by
+    stripe), so everything downstream treats it identically; pass a schema
+    to pin column types against drift between drops (ORC has no PERMISSIVE
+    corrupt-capture — a type mismatch fails the scan, which for a binary
+    columnar format is the safe default).
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)

@@ -82,3 +82,22 @@ def test_jsonl_failfast_raises(spark):
             f.write("garbage\n")
         with pytest.raises(Exception):
             read_jsonl(spark, p, SCHEMA, mode="FAILFAST").collect()
+
+
+def test_orc_roundtrip_and_pushdown(spark):
+    from kafka_topic_analyzer_spark.sources.files import read_orc
+
+    src = _events(spark)
+    with tempfile.TemporaryDirectory() as tmp:
+        p = os.path.join(tmp, "ev.orc")
+        src.write.orc(p)
+        back = read_orc(spark, p, SCHEMA)
+        assert _sorted_rows(back) == _sorted_rows(src)
+        # predicate must reach the ORC scan (stripe-level pruning at scale)
+        plan = (
+            back.where("event_id = 1")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PushedFilters" in plan and "event_id" in plan

@@ -282,3 +282,26 @@ def test_q17_correlated_avg_is_single_aggregate_pass(spark):
     assert "BroadcastHashJoin" in plan
     assert plan.count("HashAggregate") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_bpe_pair_count_partial_aggregates(spark):
+    import __spark_entry__ as E
+
+    plan = _executed(E.queries()["bpe_merge_candidates"](spark, SF_SMOKE))
+    # vocabulary rollup + pair rollup: both must partial-aggregate
+    # (map-side combine) so the shuffles carry distinct keys, not tokens
+    assert plan.count("HashAggregate") >= 4
+    assert "CartesianProduct" not in plan
+    # final top-50 is a TakeOrdered, not a global sort of all pairs
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_embedding_dim_moments_single_shuffle(spark):
+    import __spark_entry__ as E
+
+    plan = _executed(E.queries()["embedding_dim_moments"](spark, SF_SMOKE))
+    # one partial+final aggregate pair over the posexplode — the exchange
+    # carries d accumulator rows per task, never the exploded elements
+    assert plan.count("HashAggregate") >= 2
+    assert "Generate" in plan  # posexplode stays pre-shuffle
+    assert "CartesianProduct" not in plan

@@ -54,6 +54,16 @@ SECTIONS: list[tuple[str, str | None, str]] = [
         "Dedup window + quality/sample filters + manifest aggregate in a single plan; selection adds exactly one data shuffle (the fp window).",
     ),
     (
+        "bpe_merge_candidates",
+        "bpe_merge_candidates",
+        "Both rollups (word-form vocabulary, then pairs) show partial+final HashAggregate pairs — the shuffles carry distinct keys, never raw tokens — and the top-50 is a TakeOrderedAndProject, not a global sort.",
+    ),
+    (
+        "embedding_dim_moments",
+        "embedding_dim_moments",
+        "ONE HashAggregate pair over the posexplode (Generate stays pre-shuffle): the exchange carries d accumulator rows per task — the one-pass Gram-diagonal shape PCA prep needs at 100 TB.",
+    ),
+    (
         "dup_graph_pagerank",
         "dup_graph_pagerank",
         "Ten iterations of vertex-keyed join+aggregate (exact int64); localCheckpoint truncates lineage mid-run, so the final plan shows only the tail iterations over the checkpointed scan.",
