@@ -595,10 +595,10 @@ def _embedding_dim_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side down to d accumulator rows per task BEFORE the shuffle — at
     100 TB the exchange carries #tasks * d tiny rows, never the data. The
     full d*d Gram/covariance matrix (what PCA itself needs) is the same
-    plan with a (dim_i, dim_j) explode: d^2 accumulators, one pass; the
-    eigendecomposition on the collected d*d result is driver-side BLAS —
-    deliberately out of catalog scope because LAPACK results are not
-    hash-reproducible across engines.
+    plan with a (dim_i, dim_j) explode — see ``embedding_dim_covariance``
+    below for the off-diagonal half; only the eigendecomposition on the
+    collected d*d result stays out of catalog scope (driver-side BLAS,
+    and LAPACK results are not hash-reproducible across engines).
 
     Float discipline (embedding_label_stats pattern): per-element values
     are rounded to 6 digits then summed as DECIMAL — exact and
@@ -656,5 +656,116 @@ SELECT dim, n_vecs, min_x, max_x,
        round(CAST(sq AS DOUBLE) / n_vecs - (CAST(s AS DOUBLE) / n_vecs) * (CAST(s AS DOUBLE) / n_vecs), 6) AS var_x
 FROM agg
 ORDER BY dim
+""",
+)
+
+
+COV_DIMS = 16  # covariance demo over the leading 16 dims -> 120 (i<j) pairs
+
+
+def _embedding_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-diagonal Gram entries: covariance + correlation for every
+    (i < j) pair of the leading COV_DIMS dimensions — the other half of
+    the PCA prep started by ``embedding_dim_moments`` (which computes the
+    diagonal). Highly-correlated dimension pairs are exactly what PCA
+    rotates away; a feature store watches this table to catch embedding
+    collapse (many |corr| -> 1 pairs) after a bad encoder deploy.
+
+    Scale story: the same one-pass partial-aggregated shape as the
+    moments query — each row explodes to its d*(d-1)/2 bounded pair
+    structs by pure column expressions, and every accumulator (n, sum_i,
+    sum_j, sum_ij) combines map-side, so the exchange carries 120
+    accumulator rows per task regardless of corpus size. The FULL d^2
+    Gram at 100 TB is this plan with the dim cap lifted: d=1024 means
+    ~524k accumulators — still trivially shuffle-light next to the data.
+
+    Float discipline: per-element values round to 6 digits then all sums
+    accumulate in DECIMAL (exact, order-independent); cov/corr derive
+    from the exact sums via the identical double expression both engines
+    evaluate (sequential *, /, sqrt — each correctly rounded, so equal
+    inputs give bit-equal outputs).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = emb.select(
+        F.explode(
+            F.expr(
+                f"""flatten(transform(sequence(0, {COV_DIMS - 2}), i ->
+                        transform(sequence(i + 1, {COV_DIMS - 1}), j ->
+                            struct(i, j, embedding[i] AS xi, embedding[j] AS xj))))"""
+            )
+        ).alias("p")
+    ).select(
+        F.col("p.i").cast("int").alias("dim_i"),
+        F.col("p.j").cast("int").alias("dim_j"),
+        F.round(F.col("p.xi").cast("double"), 6).alias("xi"),
+        F.round(F.col("p.xj").cast("double"), 6).alias("xj"),
+    )
+    d = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
+    agg = pairs.groupBy("dim_i", "dim_j").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(d("xi")).alias("si"),
+        F.sum(d("xj")).alias("sj"),
+        F.sum((d("xi") * d("xi")).cast("decimal(38,12)")).alias("sii"),
+        F.sum((d("xj") * d("xj")).cast("decimal(38,12)")).alias("sjj"),
+        F.sum((d("xi") * d("xj")).cast("decimal(38,12)")).alias("sij"),
+    )
+    n = F.col("n_vecs")
+    mi = F.col("si").cast("double") / n
+    mj = F.col("sj").cast("double") / n
+    cov = F.col("sij").cast("double") / n - mi * mj
+    vi = F.col("sii").cast("double") / n - mi * mi
+    vj = F.col("sjj").cast("double") / n - mj * mj
+    denom = F.sqrt(vi) * F.sqrt(vj)
+    # `+ 0.0` normalizes IEEE negative zero (round(-1e-9, 6) is -0.0 in
+    # DuckDB but +0.0 in Spark's BigDecimal round; -0.0 + 0.0 == +0.0)
+    return agg.select(
+        "dim_i",
+        "dim_j",
+        "n_vecs",
+        (F.round(cov, 6) + F.lit(0.0)).alias("cov_xy"),
+        (
+            F.round(
+                F.when(denom > 0, cov / denom).otherwise(F.lit(0.0).cast("double")), 6
+            )
+            + F.lit(0.0)
+        ).alias("corr_xy"),
+    ).orderBy("dim_i", "dim_j")
+
+
+register(
+    "embedding_dim_covariance",
+    _embedding_dim_covariance,
+    f"""
+WITH pairs AS (
+  SELECT CAST(i AS INT) AS dim_i, CAST(j AS INT) AS dim_j,
+         round(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE), 6) AS xi,
+         round(CAST(embedding[CAST(j + 1 AS INT)] AS DOUBLE), 6) AS xj
+  FROM embeddings,
+       unnest(range(0, {COV_DIMS - 1})) AS a(i),
+       unnest(range(0, {COV_DIMS})) AS b(j)
+  WHERE j > i
+),
+agg AS (
+  SELECT dim_i, dim_j,
+         CAST(count(*) AS BIGINT) AS n_vecs,
+         sum(CAST(xi AS DECIMAL(18,6))) AS si,
+         sum(CAST(xj AS DECIMAL(18,6))) AS sj,
+         sum(CAST(CAST(xi AS DECIMAL(18,6)) * CAST(xi AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS sii,
+         sum(CAST(CAST(xj AS DECIMAL(18,6)) * CAST(xj AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS sjj,
+         sum(CAST(CAST(xi AS DECIMAL(18,6)) * CAST(xj AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS sij
+  FROM pairs GROUP BY dim_i, dim_j
+)
+SELECT dim_i, dim_j, n_vecs,
+       round(CAST(sij AS DOUBLE) / n_vecs
+             - (CAST(si AS DOUBLE) / n_vecs) * (CAST(sj AS DOUBLE) / n_vecs), 6) + 0.0 AS cov_xy,
+       round(CASE WHEN sqrt(CAST(sii AS DOUBLE) / n_vecs - (CAST(si AS DOUBLE) / n_vecs) * (CAST(si AS DOUBLE) / n_vecs))
+                       * sqrt(CAST(sjj AS DOUBLE) / n_vecs - (CAST(sj AS DOUBLE) / n_vecs) * (CAST(sj AS DOUBLE) / n_vecs)) > 0
+                  THEN (CAST(sij AS DOUBLE) / n_vecs
+                        - (CAST(si AS DOUBLE) / n_vecs) * (CAST(sj AS DOUBLE) / n_vecs))
+                       / (sqrt(CAST(sii AS DOUBLE) / n_vecs - (CAST(si AS DOUBLE) / n_vecs) * (CAST(si AS DOUBLE) / n_vecs))
+                          * sqrt(CAST(sjj AS DOUBLE) / n_vecs - (CAST(sj AS DOUBLE) / n_vecs) * (CAST(sj AS DOUBLE) / n_vecs)))
+                  ELSE CAST(0 AS DOUBLE) END, 6) + 0.0 AS corr_xy
+FROM agg
+ORDER BY dim_i, dim_j
 """,
 )

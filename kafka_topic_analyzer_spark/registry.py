@@ -68,6 +68,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # -- registered this round, never checked --
     "bpe_merge_candidates",
     "embedding_dim_moments",
+    "embedding_dim_covariance",
     "hybrid_retrieval_rrf",
     "kafka_consumer_config_audit",
     "kafka_empty_topic_guard_audit",

@@ -305,3 +305,15 @@ def test_embedding_dim_moments_single_shuffle(spark):
     assert plan.count("HashAggregate") >= 2
     assert "Generate" in plan  # posexplode stays pre-shuffle
     assert "CartesianProduct" not in plan
+
+
+def test_embedding_dim_covariance_single_shuffle(spark):
+    import __spark_entry__ as E
+
+    plan = _executed(E.queries()["embedding_dim_covariance"](spark, SF_SMOKE))
+    # identical shape to the moments query: pair structs explode by pure
+    # column expressions pre-shuffle, one partial+final aggregate pair
+    assert plan.count("HashAggregate") >= 2
+    assert "Generate" in plan
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan  # all column expressions, no UDF
