@@ -859,3 +859,107 @@ register("documents_quality_checks", _doc_checks_fn, _doc_checks_sql)
 
 _emb_checks_fn, _emb_checks_sql = _quality_checks("embeddings", "vec_id", _EMB_CHECKS)
 register("embeddings_quality_checks", _emb_checks_fn, _emb_checks_sql)
+
+
+def _quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate calibration table: for every candidate threshold t in
+    {0.0, 0.1, ..., 0.9}, how many documents and how much token mass a
+    ``quality >= t`` filter would keep. This is the knob-tuning artifact a
+    curation run produces BEFORE committing to a gate (pick t off this
+    table to hit a target token budget), the sweep cousin of the single
+    fixed gate in ``quality_percentile_gate``.
+
+    Scale story: one scan. Docs bucket by floor(q*10) and aggregate to
+    ≤10 rows (partial, map-side combinable); the per-threshold cumulative
+    "kept" numbers come from a window over those 10 rows — never a
+    rescan per threshold (the naive sweep is T full passes). The
+    threshold grid is generated and left-joined so all 10 rows exist even
+    when a quality band is empty.
+
+    Determinism: bucket/cumulative arithmetic is pure int64; retention
+    ratios derive from exact integer pairs via one double division,
+    identical on both engines. The q*10 bucket boundary is the same IEEE
+    multiply of the same 6-digit-rounded score everywhere.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    q = TX.quality_score(F.col("text"))
+    bucket = F.least(F.floor(q * 10), F.lit(9)).cast("int")
+    per = (
+        d.select(bucket.alias("bucket"), TX.token_count(F.col("text")).alias("n_tok"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("toks"))
+    )
+    grid = spark.range(10).select(F.col("id").cast("int").alias("bucket"))
+    j = grid.join(per, "bucket", "left").select(
+        "bucket",
+        F.coalesce(F.col("n_docs"), F.lit(0)).alias("n_docs"),
+        F.coalesce(F.col("toks"), F.lit(0)).alias("toks"),
+    )
+    cum = Window.orderBy(F.desc("bucket")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = j.select(
+        "bucket",
+        F.col("n_docs").alias("n_docs_bucket"),
+        F.sum("n_docs").over(cum).alias("docs_kept"),
+        F.sum("toks").over(cum).alias("tokens_kept"),
+        F.sum("n_docs").over(tot).alias("total_docs"),
+        F.sum("toks").over(tot).alias("total_toks"),
+    )
+    return c.select(
+        F.round(F.col("bucket") / 10.0, 1).alias("threshold"),
+        "n_docs_bucket",
+        "docs_kept",
+        "tokens_kept",
+        F.round(F.col("docs_kept").cast("double") / F.col("total_docs"), 6).alias(
+            "doc_retention"
+        ),
+        F.round(F.col("tokens_kept").cast("double") / F.col("total_toks"), 6).alias(
+            "token_retention"
+        ),
+    ).orderBy("threshold")
+
+
+register(
+    "quality_threshold_sweep",
+    _quality_threshold_sweep,
+    f"""
+WITH scored AS (
+  SELECT {_QSCORE} AS q, {_NTOK_SQL} AS n_tok FROM documents
+),
+b AS (
+  SELECT CAST(least(floor(q * 10), 9) AS INT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS toks
+  FROM scored GROUP BY 1
+),
+grid AS (SELECT CAST(g AS INT) AS bucket FROM unnest(range(0, 10)) AS t(g)),
+j AS (
+  SELECT grid.bucket,
+         COALESCE(n_docs, CAST(0 AS BIGINT)) AS n_docs,
+         COALESCE(toks, CAST(0 AS BIGINT)) AS toks
+  FROM grid LEFT JOIN b USING (bucket)
+),
+c AS (
+  SELECT bucket, n_docs AS n_docs_bucket,
+         sum(n_docs) OVER (ORDER BY bucket DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS docs_kept,
+         sum(toks) OVER (ORDER BY bucket DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tokens_kept,
+         sum(n_docs) OVER () AS total_docs,
+         sum(toks) OVER () AS total_toks
+  FROM j
+)
+SELECT round(bucket / 10.0, 1) AS threshold,
+       n_docs_bucket,
+       CAST(docs_kept AS BIGINT) AS docs_kept,
+       CAST(tokens_kept AS BIGINT) AS tokens_kept,
+       round(CAST(docs_kept AS DOUBLE) / total_docs, 6) AS doc_retention,
+       round(CAST(tokens_kept AS DOUBLE) / total_toks, 6) AS token_retention
+FROM c
+ORDER BY threshold
+""",
+)

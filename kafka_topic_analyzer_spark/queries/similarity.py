@@ -769,3 +769,103 @@ FROM agg
 ORDER BY dim_i, dim_j
 """,
 )
+
+
+OUTLIER_TOP_K = 20
+
+
+def _embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector standardized outlier score — the corrupt-embedding
+    detector a feature store runs after every encoder batch: sum over
+    dimensions of ((x - mean_d)/std_d)^2 (squared z-score; the
+    diagonal-covariance Mahalanobis distance), top-k highest. A truncated,
+    zeroed, or wrong-scale vector shows up here before it poisons ANN
+    search or dedup downstream.
+
+    Scale story: two passes over the exploded elements, both shuffle-light
+    — the moments pass reduces to d accumulator rows (same shape as
+    ``embedding_dim_moments``), then re-attaches per dim via broadcast
+    (d rows) so the scoring pass shuffles only per-vector partial sums.
+    TakeOrdered bounds the result.
+
+    Determinism: means/stds derive from exact DECIMAL sums (identical
+    doubles on both engines); each per-dim term is the same double
+    expression rounded to 6 digits, and the per-vector sum accumulates in
+    DECIMAL — order-independent. Zero-variance dims are excluded by a
+    ``var > 0`` guard on the exact-derived variance (NOT ``std > 0``:
+    catastrophic cancellation can make var a tiny negative, and sqrt of
+    that is NaN, whose comparison semantics differ across engines).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select("vec_id", F.posexplode("embedding").alias("dim", "x")).select(
+        "vec_id",
+        F.col("dim").cast("int").alias("dim"),
+        F.round(F.col("x").cast("double"), 6).alias("xr"),
+    )
+    d = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
+    mom = flat.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d("xr")).alias("s"),
+        F.sum((d("xr") * d("xr")).cast("decimal(38,12)")).alias("sq"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = F.col("sq").cast("double") / F.col("n") - mean * mean
+    mom = mom.select(
+        "dim", mean.alias("m"), var.alias("v"), F.sqrt(var).alias("sd")
+    )
+    t = (F.col("xr") - F.col("m")) / F.col("sd")
+    term = F.round(F.when(F.col("v") > 0, t * t).otherwise(F.lit(0.0)), 6)
+    scored = (
+        flat.join(F.broadcast(mom), "dim")
+        .select("vec_id", term.cast("decimal(18,6)").alias("td"))
+        .groupBy("vec_id")
+        .agg(
+            F.round(F.sum("td").cast("double"), 6).alias("z2_score"),
+            F.count(F.lit(1)).alias("n_dims"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("z2_score"), F.asc("vec_id"))
+        .limit(OUTLIER_TOP_K)
+        .select("vec_id", "z2_score", "n_dims")
+    )
+
+
+register(
+    "embedding_outliers",
+    _embedding_outliers,
+    f"""
+WITH flat AS (
+  SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+         round(CAST(embedding[CAST(i AS INT)] AS DOUBLE), 6) AS xr
+  FROM embeddings, unnest(range(1, CAST(len(embedding) + 1 AS BIGINT))) AS t(i)
+),
+mom AS (
+  SELECT dim,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(xr AS DECIMAL(18,6))) AS s,
+         sum(CAST(CAST(xr AS DECIMAL(18,6)) * CAST(xr AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS sq
+  FROM flat GROUP BY dim
+),
+mv AS (
+  SELECT dim,
+         CAST(s AS DOUBLE) / n AS m,
+         CAST(sq AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n) AS v,
+         sqrt(CAST(sq AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) AS sd
+  FROM mom
+),
+scored AS (
+  SELECT vec_id,
+         round(CAST(sum(CAST(round(CASE WHEN v > 0
+               THEN ((xr - m) / sd) * ((xr - m) / sd)
+               ELSE 0.0 END, 6) AS DECIMAL(18,6))) AS DOUBLE), 6) AS z2_score,
+         CAST(count(*) AS BIGINT) AS n_dims
+  FROM flat JOIN mv USING (dim)
+  GROUP BY vec_id
+)
+SELECT vec_id, z2_score, n_dims
+FROM scored
+ORDER BY z2_score DESC, vec_id ASC
+LIMIT {OUTLIER_TOP_K}
+""",
+)

@@ -69,6 +69,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "bpe_merge_candidates",
     "embedding_dim_moments",
     "embedding_dim_covariance",
+    "embedding_outliers",
+    "quality_threshold_sweep",
     "hybrid_retrieval_rrf",
     "kafka_consumer_config_audit",
     "kafka_empty_topic_guard_audit",

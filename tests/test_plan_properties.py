@@ -317,3 +317,13 @@ def test_embedding_dim_covariance_single_shuffle(spark):
     assert "Generate" in plan
     assert "CartesianProduct" not in plan
     assert "PythonUDF" not in plan  # all column expressions, no UDF
+
+
+def test_quality_threshold_sweep_single_scan(spark):
+    import __spark_entry__ as E
+
+    plan = _executed(E.queries()["quality_threshold_sweep"](spark, SF_SMOKE))
+    # ONE documents scan feeds the bucket histogram; the per-threshold
+    # cumulative comes from a 10-row window, never a rescan per threshold
+    assert plan.count("FileScan parquet") == 1
+    assert "CartesianProduct" not in plan
