@@ -963,3 +963,68 @@ FROM c
 ORDER BY threshold
 """,
 )
+
+
+def _lang_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed language-sampling weights: p_l proportional to
+    natural_share^0.5 — the multilingual mixture step published LLM
+    pipelines apply so high-resource languages stop drowning out the tail
+    (mT5/XLM-R sample with alpha in [0.2, 0.7]; alpha = 0.5 is chosen
+    here because x^0.5 IS sqrt, the one power IEEE-754 guarantees
+    correctly rounded — x^0.3 via pow/exp/ln is libm-dependent and would
+    break hash parity, the same discipline that keeps ln out of the
+    tf-idf and BM25 scores).
+
+    Determinism: natural shares derive per-row from exact int64 token
+    sums; each sqrt is rounded to 6 digits and the normalizing sum
+    accumulates in DECIMAL (exact, order-independent — a double sum over
+    the window would depend on row order). One tiny aggregate; the
+    resulting rates drive the scan-side md5-bucket sampler at any scale.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per_lang = d.groupBy("lang").agg(
+        F.sum(TX.token_count(F.col("text"))).alias("total_tokens")
+    )
+    total = Window.partitionBy()
+    natural = F.col("total_tokens").cast("double") / F.sum("total_tokens").over(total)
+    sm = F.round(F.sqrt(natural), 6)
+    denom = F.sum(sm.cast("decimal(18,6)")).over(total).cast("double")
+    smoothed = sm / denom
+    return (
+        per_lang.select(
+            "lang",
+            "total_tokens",
+            F.round(natural, 6).alias("natural_share"),
+            F.round(smoothed, 6).alias("smoothed_share"),
+            F.round(smoothed / natural, 6).alias("boost"),
+        )
+        .orderBy("lang")
+    )
+
+
+register(
+    "lang_temperature_mix",
+    _lang_temperature_mix,
+    f"""
+WITH per_lang AS (
+  SELECT lang, CAST(sum({_NTOK_SQL}) AS BIGINT) AS total_tokens
+  FROM documents GROUP BY lang
+),
+shares AS (
+  SELECT lang, total_tokens,
+         CAST(total_tokens AS DOUBLE) / sum(total_tokens) OVER () AS nat,
+         round(sqrt(CAST(total_tokens AS DOUBLE) / sum(total_tokens) OVER ()), 6) AS sm
+  FROM per_lang
+),
+normed AS (
+  SELECT lang, total_tokens, nat,
+         sm / CAST(sum(CAST(sm AS DECIMAL(18,6))) OVER () AS DOUBLE) AS smoothed
+  FROM shares
+)
+SELECT lang, total_tokens,
+       round(nat, 6) AS natural_share,
+       round(smoothed, 6) AS smoothed_share,
+       round(smoothed / nat, 6) AS boost
+FROM normed ORDER BY lang
+""",
+)

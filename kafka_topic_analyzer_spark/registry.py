@@ -71,6 +71,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "embedding_dim_covariance",
     "embedding_outliers",
     "quality_threshold_sweep",
+    "lang_temperature_mix",
     "hybrid_retrieval_rrf",
     "kafka_consumer_config_audit",
     "kafka_empty_topic_guard_audit",
