@@ -648,7 +648,7 @@ agg AS (
          CAST(count(*) AS BIGINT) AS n_vecs,
          min(xr) AS min_x, max(xr) AS max_x,
          sum(CAST(xr AS DECIMAL(18,6))) AS s,
-         sum(CAST(CAST(xr AS DECIMAL(18,6)) * CAST(xr AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS sq
+         sum(CAST(xr AS DECIMAL(19,6)) * CAST(xr AS DECIMAL(19,6))) AS sq
   FROM flat GROUP BY dim
 )
 SELECT dim, n_vecs, min_x, max_x,
@@ -687,18 +687,24 @@ def _embedding_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = emb.select(
+        "embedding",
         F.explode(
+            # fixed (i<j) index grid; element access happens only AFTER the
+            # per-row bounds filter below, so vectors shorter than COV_DIMS
+            # contribute just the pairs they have (DuckDB's out-of-range
+            # list index silently NULLs where Spark's [] throws — filtering
+            # first keeps both engines on the same well-defined rows)
             F.expr(
                 f"""flatten(transform(sequence(0, {COV_DIMS - 2}), i ->
                         transform(sequence(i + 1, {COV_DIMS - 1}), j ->
-                            struct(i, j, embedding[i] AS xi, embedding[j] AS xj))))"""
+                            struct(i, j))))"""
             )
-        ).alias("p")
-    ).select(
+        ).alias("p"),
+    ).where(F.expr("p.j < size(embedding)")).select(
         F.col("p.i").cast("int").alias("dim_i"),
         F.col("p.j").cast("int").alias("dim_j"),
-        F.round(F.col("p.xi").cast("double"), 6).alias("xi"),
-        F.round(F.col("p.xj").cast("double"), 6).alias("xj"),
+        F.round(F.expr("CAST(get(embedding, p.i) AS DOUBLE)"), 6).alias("xi"),
+        F.round(F.expr("CAST(get(embedding, p.j) AS DOUBLE)"), 6).alias("xj"),
     )
     d = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
     agg = pairs.groupBy("dim_i", "dim_j").agg(
@@ -743,16 +749,16 @@ WITH pairs AS (
   FROM embeddings,
        unnest(range(0, {COV_DIMS - 1})) AS a(i),
        unnest(range(0, {COV_DIMS})) AS b(j)
-  WHERE j > i
+  WHERE j > i AND j < len(embedding)
 ),
 agg AS (
   SELECT dim_i, dim_j,
          CAST(count(*) AS BIGINT) AS n_vecs,
          sum(CAST(xi AS DECIMAL(18,6))) AS si,
          sum(CAST(xj AS DECIMAL(18,6))) AS sj,
-         sum(CAST(CAST(xi AS DECIMAL(18,6)) * CAST(xi AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS sii,
-         sum(CAST(CAST(xj AS DECIMAL(18,6)) * CAST(xj AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS sjj,
-         sum(CAST(CAST(xi AS DECIMAL(18,6)) * CAST(xj AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS sij
+         sum(CAST(xi AS DECIMAL(19,6)) * CAST(xi AS DECIMAL(19,6))) AS sii,
+         sum(CAST(xj AS DECIMAL(19,6)) * CAST(xj AS DECIMAL(19,6))) AS sjj,
+         sum(CAST(xi AS DECIMAL(19,6)) * CAST(xj AS DECIMAL(19,6))) AS sij
   FROM pairs GROUP BY dim_i, dim_j
 )
 SELECT dim_i, dim_j, n_vecs,
@@ -844,7 +850,7 @@ mom AS (
   SELECT dim,
          CAST(count(*) AS BIGINT) AS n,
          sum(CAST(xr AS DECIMAL(18,6))) AS s,
-         sum(CAST(CAST(xr AS DECIMAL(18,6)) * CAST(xr AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS sq
+         sum(CAST(xr AS DECIMAL(19,6)) * CAST(xr AS DECIMAL(19,6))) AS sq
   FROM flat GROUP BY dim
 ),
 mv AS (

@@ -1,0 +1,107 @@
+"""End-to-end fuzz of registered queries on adversarial fixtures.
+
+Unlike test_fuzz_parity (which fuzzes individual text FUNCTIONS against
+re-stated formulas), this writes a nasty documents/embeddings parquet pair
+and runs the REAL registry entries — Spark callable vs stored oracle SQL —
+through the same canonicalized compare the grading driver uses. Catches
+divergence classes fixtures can't: zero-length/whitespace-only docs, words
+at the pair-explode boundary (length 1), zero vectors, constant dimensions
+(variance exactly 0), extreme magnitudes, and negative-zero rounding.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import tempfile
+
+import duckdb
+import pytest
+
+from tests.oracle_util import canonicalize
+
+
+def _adversarial_documents(spark):
+    rng = random.Random(20260814)
+    rows = []
+    texts = [
+        "",            # empty -> zero tokens, quality 0 path
+        " ",           # whitespace-only
+        "x",           # single char -> no pairs
+        "ab",          # exactly one pair
+        "aa aa aa",    # repeated word forms
+        "a" * 500,     # one giant word
+        "the the the the the",  # pure stopwords
+        "!!! ??? ...", # pure punctuation -> punct ratio 1
+    ]
+    for i, t in enumerate(texts):
+        rows.append((i, t, "en", "srcA", len(t)))
+    for i in range(8, 120):
+        k = rng.randint(0, 30)
+        words = [rng.choice(["key", "agg", "x", "zz", "a1b", "the", "", "!?"])
+                 for _ in range(k)]
+        t = " ".join(words)
+        rows.append((i, t, rng.choice(["en", "de", "xx"]),
+                     rng.choice(["srcA", "srcB"]), len(t)))
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def _adversarial_embeddings(spark):
+    rng = random.Random(20260814)
+    dim = 8
+    rows = []
+    rows.append((0, [0.0] * dim, 0))                      # zero vector
+    rows.append((1, [1.0] * dim, 0))                      # constant vector
+    rows.append((2, [1e3] * dim, 1))                      # extreme magnitude
+    rows.append((3, [-1e-7] * dim, 1))                    # rounds to -0.0
+    rows.append((4, [1.0] + [0.0] * (dim - 1), 2))        # one-hot
+    for i in range(5, 80):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(dim)], i % 3))
+    # dim 7 constant across ALL rows -> variance exactly 0 (the var>0 guard)
+    rows = [(v, e[:7] + [0.5], l) for (v, e, l) in rows]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+@pytest.fixture(scope="module")
+def fuzz_dir(spark):
+    with tempfile.TemporaryDirectory() as tmp:
+        _adversarial_documents(spark).coalesce(1).write.parquet(
+            os.path.join(tmp, "documents.parquet")
+        )
+        _adversarial_embeddings(spark).coalesce(1).write.parquet(
+            os.path.join(tmp, "embeddings.parquet")
+        )
+        con = duckdb.connect()
+        for t in ("documents", "embeddings"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp}/{t}.parquet/*.parquet')"
+            )
+        yield tmp, con
+
+
+FUZZED_QUERIES = [
+    "bpe_merge_candidates",
+    "quality_threshold_sweep",
+    "lang_temperature_mix",
+    "embedding_dim_moments",
+    "embedding_dim_covariance",
+    "embedding_outliers",
+    "doc_token_stats",
+    "exact_dup_summary",
+]
+
+
+@pytest.mark.parametrize("name", FUZZED_QUERIES)
+def test_registry_query_fuzz_parity(spark, fuzz_dir, name):
+    from kafka_topic_analyzer_spark.registry import all_queries
+
+    tmp, con = fuzz_dir
+    spec = all_queries()[name]
+    sp = canonicalize(spec.spark(spark, tmp).toPandas())
+    du = canonicalize(con.execute(spec.oracle).df())
+    assert list(sp.columns) == list(du.columns), name
+    assert sp.equals(du), f"{name}: value mismatch on adversarial fixture"
