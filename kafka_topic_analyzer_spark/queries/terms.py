@@ -445,3 +445,136 @@ ORDER BY pair_count DESC, pair ASC
 LIMIT {BPE_TOP_PAIRS}
 """,
 )
+
+
+BPE_N_MERGES = 3
+_BPE_SEP = "·"  # '·': symbol-boundary sentinel; words containing it are excluded
+
+
+def _bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual BPE training loop, not just the round-1 statistic: run
+    BPE_N_MERGES greedy merge iterations (Sennrich et al. 2016) and emit
+    the trainer log — (step, pair, corpus count, new symbol). Each
+    iteration recounts adjacent SYMBOL pairs over the vocabulary with the
+    previous winner already merged, which is what distinguishes a trainer
+    from ``bpe_merge_candidates``'s single census.
+
+    Representation: a word's symbol sequence is the string
+    ``·s1··s2··s3·`` — every symbol wrapped in the sentinel — so applying
+    a merge is one engine-native ``replace('·L··R·', '·LR·')``: the
+    wrapped encoding makes left-to-right non-overlapping replacement
+    coincide exactly with greedy BPE merge semantics (adjacent
+    occurrences stay self-contained, unlike a shared-separator encoding
+    where replace() consumes the boundary). Words containing the
+    sentinel are excluded (documented guard, not silent corruption).
+
+    Scale story: the corpus collapses to its distinct word-form
+    vocabulary ONCE; each iteration is vocabulary-sized — a pair rollup
+    (partial-aggregated), a 1-row argmax broadcast back via crossJoin,
+    and a map-only replace. The loop composes lazily into one DAG; at
+    real scale each iteration's vocab would be cached/checkpointed like
+    the connected-components rounds (operators/dedup.py).
+
+    Determinism: counts are pure int64; the argmax tie-breaks on
+    (count DESC, left ASC, right ASC).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    s2 = _BPE_SEP + _BPE_SEP
+    words = (
+        d.select(F.explode(tokens(F.lower(F.col("text")))).alias("word"))
+        .where((F.length("word") >= 2) & (~F.col("word").contains(_BPE_SEP)))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    cur = words.select(
+        F.concat(
+            F.lit(_BPE_SEP),
+            F.array_join(F.split(F.col("word"), ""), s2),
+            F.lit(_BPE_SEP),
+        ).alias("sym"),
+        "wc",
+    )
+    merges = []
+    for step in range(1, BPE_N_MERGES + 1):
+        syms = F.split(F.expr("substring(sym, 2, length(sym)-2)"), s2)
+        pairs = (
+            cur.select(syms.alias("ss"), "wc")
+            .where(F.size("ss") >= 2)  # sequence(1,0) would descend, not empty
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(ss)-1),"
+                        " i -> struct(ss[i-1] AS l, ss[i] AS r))"
+                    )
+                ).alias("p"),
+                "wc",
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("wc").alias("pair_count"))
+        )
+        top = pairs.orderBy(F.desc("pair_count"), F.asc("l"), F.asc("r")).limit(1)
+        merges.append(
+            top.select(
+                F.lit(step).alias("step"),
+                F.col("l").alias("left_sym"),
+                F.col("r").alias("right_sym"),
+                "pair_count",
+                F.concat("l", "r").alias("new_symbol"),
+            )
+        )
+        cur = cur.crossJoin(
+            F.broadcast(top.select(F.col("l").alias("_l"), F.col("r").alias("_r")))
+        ).select(
+            F.expr(
+                f"replace(sym, concat('{_BPE_SEP}', _l, '{s2}', _r, '{_BPE_SEP}'),"
+                f" concat('{_BPE_SEP}', _l, _r, '{_BPE_SEP}'))"
+            ).alias("sym"),
+            "wc",
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out.orderBy("step")
+
+
+def _bpe_train_sql() -> str:
+    sep, s2 = _BPE_SEP, _BPE_SEP * 2
+    blocks = [
+        f"""words AS (
+  SELECT term AS word, CAST(count(*) AS BIGINT) AS wc
+  FROM (SELECT unnest({_TOKS}) AS term FROM documents)
+  WHERE length(term) >= 2 AND NOT contains(term, '{sep}')
+  GROUP BY term
+),
+sym0 AS (
+  SELECT concat('{sep}', array_to_string(string_split(word, ''), '{s2}'), '{sep}') AS sym, wc
+  FROM words
+)"""
+    ]
+    for k in range(1, BPE_N_MERGES + 1):
+        blocks.append(
+            f"""p{k} AS (
+  SELECT ss[CAST(i AS INT)] AS l, ss[CAST(i + 1 AS INT)] AS r,
+         CAST(sum(wc) AS BIGINT) AS pair_count
+  FROM (SELECT string_split(substr(sym, 2, length(sym) - 2), '{s2}') AS ss, wc
+        FROM sym{k - 1}),
+       unnest(range(1, CAST(len(ss) AS BIGINT))) AS t(i)
+  GROUP BY 1, 2
+),
+top{k} AS (SELECT l, r, pair_count FROM p{k}
+           ORDER BY pair_count DESC, l ASC, r ASC LIMIT 1),
+sym{k} AS (
+  SELECT replace(sym, concat('{sep}', l, '{s2}', r, '{sep}'),
+                 concat('{sep}', l, r, '{sep}')) AS sym, wc
+  FROM sym{k - 1}, top{k}
+)"""
+        )
+    arms = "\nUNION ALL ".join(
+        f"SELECT CAST({k} AS INTEGER) AS step, l AS left_sym, r AS right_sym,"
+        f" pair_count, concat(l, r) AS new_symbol FROM top{k}"
+        for k in range(1, BPE_N_MERGES + 1)
+    )
+    return "WITH " + ",\n".join(blocks) + f"\n{arms}\nORDER BY step"
+
+
+register("bpe_train_merges", _bpe_train_merges, _bpe_train_sql())

@@ -67,6 +67,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "fuzzy_match_pairs",
     # -- registered this round, never checked --
     "bpe_merge_candidates",
+    "bpe_train_merges",
     "embedding_dim_moments",
     "embedding_dim_covariance",
     "embedding_outliers",

@@ -327,3 +327,15 @@ def test_quality_threshold_sweep_single_scan(spark):
     # cumulative comes from a 10-row window, never a rescan per threshold
     assert plan.count("FileScan parquet") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_bpe_train_merges_broadcasts_argmax(spark):
+    import __spark_entry__ as E
+
+    plan = _executed(E.queries()["bpe_train_merges"](spark, SF_SMOKE))
+    # each iteration's 1-row argmax returns via BroadcastNestedLoopJoin
+    # (the only acceptable nested-loop shape: one side is a single row);
+    # no shuffled join anywhere in the loop
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -85,6 +85,7 @@ def fuzz_dir(spark):
 
 FUZZED_QUERIES = [
     "bpe_merge_candidates",
+    "bpe_train_merges",
     "quality_threshold_sweep",
     "lang_temperature_mix",
     "embedding_dim_moments",
