@@ -64,6 +64,11 @@ SECTIONS: list[tuple[str, str | None, str]] = [
         "ONE HashAggregate pair over the posexplode (Generate stays pre-shuffle): the exchange carries d accumulator rows per task — the one-pass Gram-diagonal shape PCA prep needs at 100 TB.",
     ),
     (
+        "bpe_train_merges",
+        "bpe_train_merges",
+        "Three trainer iterations composed into one DAG: every pair rollup partial-aggregates over the vocabulary, each 1-row argmax comes back as BroadcastNestedLoopJoin (single-row side — the only acceptable nested-loop shape), and no SortMergeJoin appears anywhere in the loop.",
+    ),
+    (
         "dup_graph_pagerank",
         "dup_graph_pagerank",
         "Ten iterations of vertex-keyed join+aggregate (exact int64); localCheckpoint truncates lineage mid-run, so the final plan shows only the tail iterations over the checkpointed scan.",
