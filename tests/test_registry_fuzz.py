@@ -93,6 +93,21 @@ FUZZED_QUERIES = [
     "embedding_outliers",
     "doc_token_stats",
     "exact_dup_summary",
+    "text_cleaning",
+    "pii_redaction",
+    "sentence_stats",
+    "doc_chunking",
+    "corpus_summary",
+    "source_quality_summary",
+    "lang_id_confusion",
+    "doc_repetition_stats",
+    "bigram_familiarity",
+    "minhash_signatures",
+    "simhash_fingerprints",
+    "doc_fingerprints",
+    "source_mixing_weights",
+    "per_lang_length_norm",
+    "source_char_dispersion",
 ]
 
 
