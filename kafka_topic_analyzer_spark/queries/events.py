@@ -117,7 +117,13 @@ ORDER BY user_id
 
 
 def _props_key_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON extraction (from_json-style): distribution of props.k."""
+    """JSON extraction (from_json-style): distribution of props.k.
+
+    Malformed-JSON semantics pinned by the adversarial events fuzz:
+    Spark's get_json_object returns NULL for unparseable props where
+    DuckDB's ``->>`` ERRORS, so the oracle guards with json_valid() —
+    the engine-behavior difference a real pipeline hits on dirty
+    event streams."""
     e = load_table(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("int")
     return (
@@ -137,7 +143,8 @@ register(
     _props_key_distribution,
     """
 WITH extracted AS (
-  SELECT CAST(props->>'$.k' AS INTEGER) AS k FROM events
+  SELECT CAST(CASE WHEN json_valid(props) THEN props->>'$.k' END AS INTEGER) AS k
+  FROM events
 )
 SELECT CAST(k % 10 AS INTEGER) AS k_bucket,
        CAST(count(*) AS BIGINT) AS n_events,

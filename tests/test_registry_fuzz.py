@@ -15,6 +15,8 @@ import os
 import random
 import tempfile
 
+import datetime
+
 import duckdb
 import pytest
 
@@ -66,6 +68,32 @@ def _adversarial_embeddings(spark):
     )
 
 
+def _adversarial_events(spark):
+    rng = random.Random(20260814)
+    base = datetime.datetime(2024, 1, 1)
+    types = ["click", "view", "purchase", "signup", ""]
+    rows = []
+    for i in range(400):
+        ts = base + datetime.timedelta(seconds=rng.randint(0, 3 * 86400))
+        rows.append((
+            i, ts, rng.randint(1, 12), rng.choice(types),
+            # histogram bin edges, out-of-range, extreme
+            rng.choice([0.0, -5.0, 499.999999, 500.0, 1e6, rng.uniform(0, 500)]),
+            # valid / empty / MALFORMED json / nested (get_json_object
+            # NULLs malformed input where DuckDB ->> errors — oracle
+            # guards with json_valid)
+            rng.choice(['{"k":1}', "", "not json", '{"a":{"b":2}}']),
+        ))
+    # duplicate event ids + identical timestamps (tie-break stress)
+    rows.append((0, base, 1, "click", 1.0, ""))
+    rows.append((1, base, 1, "click", 1.0, ""))
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+
+
 @pytest.fixture(scope="module")
 def fuzz_dir(spark):
     with tempfile.TemporaryDirectory() as tmp:
@@ -75,8 +103,11 @@ def fuzz_dir(spark):
         _adversarial_embeddings(spark).coalesce(1).write.parquet(
             os.path.join(tmp, "embeddings.parquet")
         )
+        _adversarial_events(spark).coalesce(1).write.parquet(
+            os.path.join(tmp, "events.parquet")
+        )
         con = duckdb.connect()
-        for t in ("documents", "embeddings"):
+        for t in ("documents", "embeddings", "events"):
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp}/{t}.parquet/*.parquet')"
             )
@@ -108,6 +139,24 @@ FUZZED_QUERIES = [
     "source_mixing_weights",
     "per_lang_length_norm",
     "source_char_dispersion",
+    # events family (adversarial ts ties, bin-edge values, malformed JSON)
+    "hourly_event_counts",
+    "event_value_histogram",
+    "value_percentiles",
+    "user_session_stats",
+    "hourly_spike_detection",
+    "event_funnel",
+    "sliding_window_counts",
+    "user_state_history",
+    "events_quality_checks",
+    "props_key_distribution",
+    "weekly_retention_cohorts",
+    "peak_window_event_counts",
+    "event_lateness_profile",
+    "kafka_report_partition",
+    "kafka_report_global",
+    "kafka_alive_keys",
+    "kafka_compacted_state",
 ]
 
 
