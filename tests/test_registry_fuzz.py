@@ -139,6 +139,12 @@ FUZZED_QUERIES = [
     "source_mixing_weights",
     "per_lang_length_norm",
     "source_char_dispersion",
+    # dim-agnostic embedding queries (zero/constant/extreme vectors)
+    "knn_bruteforce_cosine",
+    "embedding_quantization",
+    "embedding_pair_stats",
+    "embedding_label_stats",
+    "embedding_near_dup_pairs",
     # events family (adversarial ts ties, bin-edge values, malformed JSON)
     "hourly_event_counts",
     "event_value_histogram",
