@@ -84,9 +84,12 @@ def _adversarial_events(spark):
             # guards with json_valid)
             rng.choice(['{"k":1}', "", "not json", '{"a":{"b":2}}']),
         ))
-    # duplicate event ids + identical timestamps (tie-break stress)
-    rows.append((0, base, 1, "click", 1.0, ""))
-    rows.append((1, base, 1, "click", 1.0, ""))
+    # identical (ts, user, type) on DISTINCT ids — tie-break stress that
+    # preserves the table's event_id-uniqueness contract (the id-keyed
+    # streaming dedup oracles assume it; the dedup queries create their
+    # duplicates by doubling the stream internally)
+    rows.append((400, base, 1, "click", 1.0, ""))
+    rows.append((401, base, 1, "click", 1.0, ""))
     return spark.createDataFrame(
         rows,
         "event_id long, ts timestamp, user_id long, event_type string,"
@@ -96,20 +99,26 @@ def _adversarial_events(spark):
 
 @pytest.fixture(scope="module")
 def fuzz_dir(spark):
+    # tables are written as SINGLE parquet FILES named <table>.parquet,
+    # matching the testdata layout exactly — the streaming file sources
+    # glob on that file name (pathGlobFilter), so a Spark-written
+    # directory of part files would stream as EMPTY
     with tempfile.TemporaryDirectory() as tmp:
-        _adversarial_documents(spark).coalesce(1).write.parquet(
-            os.path.join(tmp, "documents.parquet")
-        )
-        _adversarial_embeddings(spark).coalesce(1).write.parquet(
-            os.path.join(tmp, "embeddings.parquet")
-        )
-        _adversarial_events(spark).coalesce(1).write.parquet(
-            os.path.join(tmp, "events.parquet")
-        )
         con = duckdb.connect()
-        for t in ("documents", "embeddings", "events"):
+        frames = {
+            "documents": _adversarial_documents(spark),
+            "embeddings": _adversarial_embeddings(spark),
+            "events": _adversarial_events(spark),
+        }
+        casts = {"embeddings": "vec_id, CAST(embedding AS FLOAT[]) AS embedding, label"}
+        for t, df in frames.items():
+            pdf = df.toPandas()  # noqa: F841 — referenced by duckdb below
+            cols = casts.get(t, "*")
             con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp}/{t}.parquet/*.parquet')"
+                f"COPY (SELECT {cols} FROM pdf) TO '{tmp}/{t}.parquet' (FORMAT PARQUET)"
+            )
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp}/{t}.parquet')"
             )
         yield tmp, con
 
@@ -139,6 +148,11 @@ FUZZED_QUERIES = [
     "source_mixing_weights",
     "per_lang_length_norm",
     "source_char_dispersion",
+    # dedup pair family on the adversarial docs
+    "near_dup_pairs_jaccard",
+    "tfidf_cosine_pairs",
+    "substring_dup_spans",
+    "exact_dedup_streaming",
     # dim-agnostic embedding queries (zero/constant/extreme vectors)
     "knn_bruteforce_cosine",
     "embedding_quantization",
@@ -163,6 +177,12 @@ FUZZED_QUERIES = [
     "kafka_report_global",
     "kafka_alive_keys",
     "kafka_compacted_state",
+    # streaming over adversarial events (bounded AvailableNow runs)
+    "dedup_within_watermark_streaming",
+    "windowed_counts_streaming",
+    "kafka_report_partition_streaming",
+    "kafka_compacted_state_streaming",
+    "session_windows_streaming",
 ]
 
 
