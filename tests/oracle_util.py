@@ -27,7 +27,11 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
             return str(bool(v))
         return str(v)
 
-    out = df.map(norm)
+    # astype(object) AFTER the map: values are already strings, but on an
+    # EMPTY frame map() preserves the numeric dtypes, and DataFrame.equals
+    # treats two empty frames with different dtypes as unequal — an
+    # artifact, not a divergence (both engines returned zero rows)
+    out = df.map(norm).astype(object)
     out = out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
     return out
 

@@ -1,12 +1,17 @@
 """End-to-end fuzz of registered queries on adversarial fixtures.
 
 Unlike test_fuzz_parity (which fuzzes individual text FUNCTIONS against
-re-stated formulas), this writes a nasty documents/embeddings parquet pair
-and runs the REAL registry entries — Spark callable vs stored oracle SQL —
-through the same canonicalized compare the grading driver uses. Catches
-divergence classes fixtures can't: zero-length/whitespace-only docs, words
-at the pair-explode boundary (length 1), zero vectors, constant dimensions
-(variance exactly 0), extreme magnitudes, and negative-zero rounding.
+re-stated formulas), this writes nasty documents/embeddings/events and
+boundary-adversarial TPC-H tables and runs the REAL registry entries —
+Spark callable vs stored oracle SQL — through the same canonicalized
+compare the grading driver uses. Catches divergence classes fixtures
+can't: zero-length/whitespace-only docs, words at the pair-explode
+boundary (length 1), zero vectors, constant dimensions (variance exactly
+0), extreme magnitudes, negative-zero rounding, malformed JSON,
+timestamp ties, window-edge order dates, and q6-band discount edges.
+Found so far: the DuckDB DECIMAL-product width cap, the Spark
+INVALID_ARRAY_INDEX vs DuckDB NULL divergence, and the get_json_object
+vs ``->>`` malformed-JSON divergence — each now pinned in an oracle.
 """
 
 from __future__ import annotations
@@ -97,6 +102,81 @@ def _adversarial_events(spark):
     )
 
 
+def _adversarial_tpch():
+    """Consistent-FK TPC-H tables with boundary-adversarial values: order
+    dates ON the q3/q4/q5/q6 window edges, discounts straddling the
+    [0.05, 0.07] q6 band, quantities at the q17/q18/q19 thresholds,
+    negative balances, and ties everywhere ranks/tiebreaks matter.
+    Customers 0-2 are pinned BUILDING with boundary-date orders so q3's
+    window is populated. Returns {table: pandas.DataFrame}."""
+    import datetime
+
+    import pandas as pd
+
+    rng = random.Random(20260814)
+    D = datetime.datetime
+    region = [(i, f"R{i}") for i in range(5)]
+    nation = [(i, f"N{i}", i % 5) for i in range(25)]
+    customer = [
+        (i, f"Customer#{i}", rng.randrange(25),
+         rng.choice([0.0, -999.99, 9999.99, rng.uniform(-1000, 10000)]),
+         "BUILDING" if i < 3 else rng.choice(
+             ["BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE"]))
+        for i in range(60)
+    ]
+    supplier = [(i, f"Supplier#{i}", rng.randrange(25),
+                 rng.choice([0.0, -1.0, rng.uniform(0, 9000)])) for i in range(20)]
+    part = [(i, f"part {i}", f"Brand#{i % 5}{i % 3}",
+             rng.choice(["PROMO BRUSHED STEEL", "STANDARD POLISHED COPPER",
+                         "PROMO ANODIZED TIN", "ECONOMY PLATED BRASS"]),
+             rng.choice([1, 50, rng.randrange(1, 51)]),
+             round(rng.uniform(900, 2000), 2)) for i in range(30)]
+    orders, lineitem = [], []
+    for o in range(150):
+        ck = o % 3 if o < 12 else rng.randrange(60)  # boundary orders on BUILDING custs
+        dt = rng.choice([D(1995, 1, 1), D(1994, 12, 31), D(1995, 3, 14), D(1995, 3, 15),
+                         D(1995, 3, 16), D(1996, 12, 31), D(1994, 1, 1), D(1993, 7, 1),
+                         D(1997, 6, 1), D(2000, 1, 1)])
+        orders.append((o, ck, rng.choice(["O", "F", "P"]),
+                       round(rng.uniform(1000, 400000), 2), dt,
+                       rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM",
+                                   "4-NOT SPECIFIED", "5-LOW"])))
+        for ln in range(1, rng.randint(2, 5)):
+            ship = dt + datetime.timedelta(days=rng.randint(1, 200))
+            lineitem.append((o, rng.randrange(30), rng.randrange(20), ln,
+                             float(rng.choice([1, 24, 25, 50, rng.randint(1, 50)])),
+                             round(rng.uniform(900, 100000), 2),
+                             rng.choice([0.05, 0.06, 0.07, 0.049999, 0.070001, 0.0, 0.1]),
+                             rng.choice([0.0, 0.08]),
+                             rng.choice(["A", "N", "R"]), rng.choice(["O", "F"]), ship))
+    mk = pd.DataFrame
+    return {
+        "region": mk(region, columns=["r_regionkey", "r_name"]).astype({"r_regionkey": "int32"}),
+        "nation": mk(nation, columns=["n_nationkey", "n_name", "n_regionkey"]).astype(
+            {"n_nationkey": "int32", "n_regionkey": "int32"}),
+        "customer": mk(customer, columns=["c_custkey", "c_name", "c_nationkey",
+                                          "c_acctbal", "c_mktsegment"]).astype(
+            {"c_custkey": "int64", "c_nationkey": "int32"}),
+        "supplier": mk(supplier, columns=["s_suppkey", "s_name", "s_nationkey",
+                                          "s_acctbal"]).astype(
+            {"s_suppkey": "int64", "s_nationkey": "int32"}),
+        "part": mk(part, columns=["p_partkey", "p_name", "p_brand", "p_type",
+                                  "p_size", "p_retailprice"]).astype(
+            {"p_partkey": "int64", "p_size": "int32"}),
+        "orders": mk(orders, columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                                      "o_totalprice", "o_orderdate",
+                                      "o_orderpriority"]).astype(
+            {"o_orderkey": "int64", "o_custkey": "int64"}),
+        "lineitem": mk(lineitem, columns=["l_orderkey", "l_partkey", "l_suppkey",
+                                          "l_linenumber", "l_quantity",
+                                          "l_extendedprice", "l_discount", "l_tax",
+                                          "l_returnflag", "l_linestatus",
+                                          "l_shipdate"]).astype(
+            {"l_orderkey": "int64", "l_partkey": "int64", "l_suppkey": "int64",
+             "l_linenumber": "int32"}),
+    }
+
+
 @pytest.fixture(scope="module")
 def fuzz_dir(spark):
     # tables are written as SINGLE parquet FILES named <table>.parquet,
@@ -106,13 +186,13 @@ def fuzz_dir(spark):
     with tempfile.TemporaryDirectory() as tmp:
         con = duckdb.connect()
         frames = {
-            "documents": _adversarial_documents(spark),
-            "embeddings": _adversarial_embeddings(spark),
-            "events": _adversarial_events(spark),
+            "documents": _adversarial_documents(spark).toPandas(),
+            "embeddings": _adversarial_embeddings(spark).toPandas(),
+            "events": _adversarial_events(spark).toPandas(),
+            **_adversarial_tpch(),
         }
         casts = {"embeddings": "vec_id, CAST(embedding AS FLOAT[]) AS embedding, label"}
-        for t, df in frames.items():
-            pdf = df.toPandas()  # noqa: F841 — referenced by duckdb below
+        for t, pdf in frames.items():  # noqa: B007 — pdf referenced by duckdb
             cols = casts.get(t, "*")
             con.execute(
                 f"COPY (SELECT {cols} FROM pdf) TO '{tmp}/{t}.parquet' (FORMAT PARQUET)"
@@ -183,6 +263,32 @@ FUZZED_QUERIES = [
     "kafka_report_partition_streaming",
     "kafka_compacted_state_streaming",
     "session_windows_streaming",
+    # relational family on the boundary-adversarial TPC-H fixture
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_late_ship_priority",
+    "q5_regional_revenue",
+    "q6_forecast_revenue",
+    "q12_returnflag_priority",
+    "q13_order_count_distribution",
+    "q14_promo_share",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_disjunctive_revenue",
+    "q21_waiting_suppliers",
+    "q22_idle_rich_customers",
+    "top3_customers_per_segment",
+    "orders_rollup",
+    "orders_cube",
+    "order_status_pivot",
+    "supplier_running_revenue",
+    "customer_retention_sets",
+    "balance_deciles",
+    "monthly_order_growth",
+    "customers_without_recent_orders",
+    "priority_with_discounted_lines",
+    "large_parts_in_lineitem",
+    "rich_customers_per_segment",
 ]
 
 
