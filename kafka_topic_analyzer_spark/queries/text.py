@@ -403,18 +403,23 @@ def _compression_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-hashable audit of the zlib path: per source, the exact doc
     count (hash-checked) plus booleans asserting (a) every document
     survives a compress→decompress roundtrip and (b) every ratio stays in
-    the sane (0, 2] band. zlib itself has no SQL twin; this pins its
+    the sane (0, 2] band — for documents of >= 64 raw bytes, because
+    below that zlib's fixed header dominates and a 1-char doc's ratio is
+    legitimately ~9 (pinned by the adversarial fuzz fixture); tiny docs
+    are vacuously sane. zlib itself has no SQL twin; this pins its
     invariants with a value the driver CAN hash."""
     d = load_table(spark, sf_dir, "documents")
     rt = TX.compression_roundtrip_udf(F.col("text"))
     r = TX.compression_ratio_udf(F.col("text"))
     return (
-        d.select("source", rt.alias("rt"), r.alias("ratio"))
+        d.select("source", F.length("text").alias("n"), rt.alias("rt"), r.alias("ratio"))
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.expr("bool_and(rt)").alias("all_roundtrip"),
-            F.expr("bool_and(ratio > 0 AND ratio <= 2.0)").alias("all_ratio_sane"),
+            F.expr(
+                "bool_and(n < 64 OR (ratio > 0 AND ratio <= 2.0))"
+            ).alias("all_ratio_sane"),
         )
         .orderBy("source")
     )

@@ -239,6 +239,12 @@ FUZZED_QUERIES = [
     "embedding_pair_stats",
     "embedding_label_stats",
     "embedding_near_dup_pairs",
+    # multimodal + compression (media derive deterministically from docs)
+    "audio_chunk_stats",
+    "video_frame_inventory",
+    "image_resize_inventory",
+    "image_feature_stats",
+    "compression_roundtrip_audit",
     # events family (adversarial ts ties, bin-edge values, malformed JSON)
     "hourly_event_counts",
     "event_value_histogram",
