@@ -942,6 +942,13 @@ def pagerank_integer(
     sym = sym.localCheckpoint(eager=True)
     nodes = sym.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
     n = nodes.count()
+    if n == 0:
+        # empty near-dup graph (a corpus with no duplicate pairs): rank of
+        # nothing is nothing — returning here avoids a teleport division
+        # by zero (caught by the adversarial fuzz fixture)
+        return nodes.select(
+            F.col("node").alias("doc_id"), F.lit(0).cast("long").alias("rank")
+        )
     teleport = ((100 - damping_pct) * scale // 100) // n
     outdeg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ranks = nodes.select("node", F.lit(scale // n).cast("long").alias("rank"))

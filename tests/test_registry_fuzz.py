@@ -239,6 +239,30 @@ FUZZED_QUERIES = [
     "embedding_pair_stats",
     "embedding_label_stats",
     "embedding_near_dup_pairs",
+    # dedup graph chain over text near-dup pairs (dim-free)
+    "dup_cluster_assignment",
+    "dup_graph_pagerank",
+    "dup_graph_triangles",
+    "consensus_near_dups",
+    "incremental_dedup_status",
+    "near_dup_source_matrix",
+    # retrieval / terms
+    "term_postings",
+    "keyword_search",
+    "bm25_doc_ranking",
+    "top_terms_per_source",
+    "benchmark_contamination",
+    # curation samplers / packing / manifests
+    "dataset_split_summary",
+    "quality_weighted_sample",
+    "stratified_sample_summary",
+    "per_group_sample",
+    "mixed_sample_audit",
+    "sequence_packing",
+    "training_shard_manifest",
+    "quality_percentile_gate",
+    "zorder_layout_audit",
+    "embedding_coverage_check",
     # multimodal + compression (media derive deterministically from docs)
     "audio_chunk_stats",
     "video_frame_inventory",
