@@ -112,9 +112,13 @@ register("event_value_quantiles_approx", _event_value_quantiles_approx, None)
 def _event_value_quantiles_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-hashable audit of the GK sketch: per event type, the exact
     row count (hash-checked) plus booleans asserting each approximate
-    quantile's TRUE rank sits within the sketch's error bound
-    (rank(answer) ∈ q ± (0.01 + 2/n) — same bound the unit test pins).
-    A sketch regression flips a boolean and the value-hash goes red."""
+    quantile answer's OCCUPIED RANK INTERVAL [count(< v), count(<= v)]
+    intersects q ± (0.01 + 2/n). The interval formulation (not a single
+    count(<= v) rank) is what GK actually guarantees: under heavy ties a
+    correct answer's max-rank can sit far above the target while its
+    rank interval straddles it — the adversarial events fixture (dozens
+    of rows sharing one value) flips the naive single-rank check to
+    false on a perfectly correct sketch."""
     e = load_table(spark, sf_dir, "events")
     acc = 10_000
     approx = e.groupBy("event_type").agg(
@@ -122,19 +126,28 @@ def _event_value_quantiles_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = e.join(F.broadcast(approx), "event_type")
 
-    def rank_of(idx: int):
-        return F.sum(
-            (F.col("value") <= F.col("q")[idx]).cast("long")
-        ) / F.count(F.lit(1))
+    def lo(idx: int):
+        return F.sum((F.col("value") < F.col("q")[idx]).cast("long")) / F.count(
+            F.lit(1)
+        )
+
+    def hi(idx: int):
+        return F.sum((F.col("value") <= F.col("q")[idx]).cast("long")) / F.count(
+            F.lit(1)
+        )
 
     tol = F.lit(0.01) + F.lit(2.0) / F.count(F.lit(1))
+
+    def ok(idx: int, target: float):
+        return (lo(idx) - tol <= F.lit(target)) & (F.lit(target) <= hi(idx) + tol)
+
     return (
         joined.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_values"),
-            (F.abs(rank_of(0) - 0.5) <= tol).alias("p50_ok"),
-            (F.abs(rank_of(1) - 0.9) <= tol).alias("p90_ok"),
-            (F.abs(rank_of(2) - 0.99) <= tol).alias("p99_ok"),
+            ok(0, 0.5).alias("p50_ok"),
+            ok(1, 0.9).alias("p90_ok"),
+            ok(2, 0.99).alias("p99_ok"),
         )
         .orderBy("event_type")
     )

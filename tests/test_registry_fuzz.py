@@ -239,6 +239,23 @@ FUZZED_QUERIES = [
     "embedding_pair_stats",
     "embedding_label_stats",
     "embedding_near_dup_pairs",
+    # banded/minhash text dedup + hybrid retrieval (dim-free)
+    "minhash_near_dups",
+    "simhash_near_dups",
+    "fuzzy_match_pairs",
+    "hybrid_retrieval_rrf",
+    # kafka report surface + audits over the adversarial events log
+    "kafka_report_rendered",
+    "kafka_summary_rendered",
+    "kafka_alive_keys_hll_audit",
+    "report_metrics_unpivot",
+    "kafka_consumer_config_audit",
+    "kafka_empty_topic_guard_audit",
+    "kafka_scan_observability_audit",
+    "event_value_quantiles_audit",
+    "purchase_attribution_asof",
+    "purchase_click_join_streaming",
+    "enriched_segment_stats_streaming",
     # dedup graph chain over text near-dup pairs (dim-free)
     "dup_cluster_assignment",
     "dup_graph_pagerank",
