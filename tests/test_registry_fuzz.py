@@ -349,3 +349,64 @@ def test_registry_query_fuzz_parity(spark, fuzz_dir, name):
     du = canonicalize(con.execute(spec.oracle).df())
     assert list(sp.columns) == list(du.columns), name
     assert sp.equals(du), f"{name}: value mismatch on adversarial fixture"
+
+
+def _adversarial_embeddings64(spark):
+    """Dim-64 variant for the fixed-artifact ANN paths (the LSH
+    hyperplanes and the checked-in IVF quantizer are dim-64-bound):
+    zero vector, constant vector, extreme magnitudes, sign-flipped and
+    epsilon-perturbed planted near-dup pairs, one-hot axes."""
+    rng = random.Random(20260814)
+    dim = 64
+    rows = [
+        (0, [0.0] * dim, 0),                  # zero vector: norm guard
+        (1, [1.0] * dim, 0),                  # constant
+        (2, [1e3] * dim, 1),                  # extreme magnitude
+        (3, [-1e-7] * dim, 1),                # rounds toward -0.0
+        (4, [1.0] + [0.0] * (dim - 1), 2),    # one-hot
+    ]
+    base = [rng.uniform(-1, 1) for _ in range(dim)]
+    rows.append((5, base, 2))                          # planted pair...
+    rows.append((6, [x + 1e-6 for x in base], 2))      # ...epsilon twin
+    rows.append((7, [-x for x in base], 2))            # sign flip
+    for i in range(8, 90):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(dim)], i % 3))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+@pytest.fixture(scope="module")
+def fuzz_dir64(spark):
+    with tempfile.TemporaryDirectory() as tmp:
+        con = duckdb.connect()
+        pdf = _adversarial_embeddings64(spark).toPandas()  # noqa: F841
+        con.execute(
+            "COPY (SELECT vec_id, CAST(embedding AS FLOAT[]) AS embedding, label"
+            f" FROM pdf) TO '{tmp}/embeddings.parquet' (FORMAT PARQUET)"
+        )
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{tmp}/embeddings.parquet')"
+        )
+        yield tmp, con
+
+
+FUZZED_QUERIES_DIM64 = [
+    "knn_lsh_cosine",
+    "knn_ivf_cosine",
+    "embedding_near_dups_lsh",
+    "semantic_dup_clusters",
+    "embedding_quantization",
+]
+
+
+@pytest.mark.parametrize("name", FUZZED_QUERIES_DIM64)
+def test_registry_query_fuzz_parity_dim64(spark, fuzz_dir64, name):
+    from kafka_topic_analyzer_spark.registry import all_queries
+
+    tmp, con = fuzz_dir64
+    spec = all_queries()[name]
+    sp = canonicalize(spec.spark(spark, tmp).toPandas())
+    du = canonicalize(con.execute(spec.oracle).df())
+    assert list(sp.columns) == list(du.columns), name
+    assert sp.equals(du), f"{name}: value mismatch on adversarial dim-64 fixture"
