@@ -239,6 +239,10 @@ FUZZED_QUERIES = [
     "embedding_pair_stats",
     "embedding_label_stats",
     "embedding_near_dup_pairs",
+    # expectation-check and salted-join queries
+    "salted_user_enrichment",
+    "documents_quality_checks",
+    "embeddings_quality_checks",
     # banded/minhash text dedup + hybrid retrieval (dim-free)
     "minhash_near_dups",
     "simhash_near_dups",
