@@ -216,12 +216,31 @@ def rolling_hash_udf(text: Column) -> Column:
     return _roll(text)
 
 
+def md5_bucket_prefix(text: Column) -> Column:
+    """First 4 hex chars of md5(utf8(text)) — the deterministic sampling
+    bucket. NULL text coalesces to '0000' (a valid minimal hex bucket):
+    leaving it NULL would drop NULL docs from every rate gate on the
+    Spark side while engine-default NULL ordering (Spark NULLS FIRST,
+    DuckDB NULLS LAST) scrambles rank-based draws. SQL mirror:
+    coalesce(substr(md5(text), 1, 4), '0000')."""
+    return F.coalesce(
+        F.substring(F.md5(F.encode(text, "UTF-8")), 1, 4), F.lit("0000")
+    )
+
+
 def word_shingles(text: Column, k: int = 3) -> Column:
-    """Array of k-word shingles (space-joined), for Jaccard/MinHash dedup."""
+    """Array of k-word shingles (space-joined), for Jaccard/MinHash dedup.
+
+    NULL text yields an EMPTY array, explicitly: with a NULL token array,
+    ``greatest(n - k, -1)`` skips the NULL operand, ``sequence(0, -1)``
+    DESCENDS to two indices, and ``concat_ws`` renders the NULL slices as
+    ``''`` — every NULL doc would get the identical sentinel shingle set
+    and cluster together in LSH dedup (caught by the NULL-row fuzz
+    fixture)."""
     toks = tokens(F.lower(text))
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
-    return F.when(n < k, F.array().cast("array<string>")).otherwise(
+    return F.when(n.isNull() | (n < k), F.array().cast("array<string>")).otherwise(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
     )
 

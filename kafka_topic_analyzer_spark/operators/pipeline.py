@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from kafka_topic_analyzer_spark.functions.text import (
+    md5_bucket_prefix,
     md5_fingerprint,
     quality_score,
     token_count,
@@ -53,7 +54,7 @@ def select_training_docs(docs: DataFrame) -> DataFrame:
         .where(F.col("doc_id") == F.col("_keep"))
         .drop("_keep")
         .where(F.col("quality") >= QUALITY_MIN)
-        .where(F.substring(F.md5(F.encode(F.col("text"), "UTF-8")), 1, 4) < SAMPLE_HEX_BOUND)
+        .where(md5_bucket_prefix(F.col("text")) < SAMPLE_HEX_BOUND)
     )
 
 

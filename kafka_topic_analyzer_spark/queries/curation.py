@@ -34,11 +34,14 @@ from kafka_topic_analyzer_spark.sources.tables import load_table
 # md5-derived uniform bucket: first 4 hex chars compared lexically against a
 # threshold = floor(rate * 0x10000) in hex. Identical strings on both
 # engines -> identical selection, no RNG state anywhere.
-_MD5_PREFIX_SQL = "substr(md5(text), 1, 4)"
+# coalesce to '' so NULL text sorts/compares identically on both engines:
+# Spark windows default NULLS FIRST ascending, DuckDB NULLS LAST — an
+# engine-default divergence the NULL-row fuzz fixture exposed
+_MD5_PREFIX_SQL = "coalesce(substr(md5(text), 1, 4), '0000')"
 
 
 def _md5_prefix(text: F.Column) -> F.Column:
-    return F.substring(F.md5(F.encode(text, "UTF-8")), 1, 4)
+    return TX.md5_bucket_prefix(text)
 
 
 def _stratified_sample_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -369,7 +372,7 @@ WITH m AS (
 )
 SELECT d.source, CAST(m.n_docs AS BIGINT) AS n_docs,
        CAST(sum(abs(2 * d.n_chars - m.med2)) AS BIGINT) AS total_abs_dev_x2
-FROM documents d JOIN m ON d.source = m.source
+FROM documents d JOIN m ON d.source IS NOT DISTINCT FROM m.source
 GROUP BY d.source, m.n_docs
 ORDER BY d.source
 """,

@@ -324,10 +324,10 @@ register(
     f"""
 SELECT doc_id,
   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS md5_fp,
-  list_reduce(
+  CASE WHEN text IS NULL THEN NULL ELSE list_reduce(
     list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
     (acc, c) -> (acc * 31 + c) % {TX.ROLLING_HASH_MOD}
-  ) AS rolling_fp
+  ) END AS rolling_fp
 FROM documents
 """,
 )

@@ -17,6 +17,12 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
         if isinstance(v, float):
             if math.isnan(v):
                 return "∅"
+            # integral floats render as integers: pandas widens a NULLABLE
+            # int64 column to float64 (toPandas of a Spark long with one
+            # NULL), and '2745024.000000' vs DuckDB's int '2745024' would
+            # be a dtype artifact, not a value divergence
+            if v.is_integer() and abs(v) < 2**53:
+                return str(int(v))
             # driver-style value canonicalization: fixed decimal repr
             return f"{v:.6f}"
         if isinstance(v, bytes):

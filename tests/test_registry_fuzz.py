@@ -50,6 +50,12 @@ def _adversarial_documents(spark):
         t = " ".join(words)
         rows.append((i, t, rng.choice(["en", "de", "xx"]),
                      rng.choice(["srcA", "srcB"]), len(t)))
+    # NULL text / lang / source: every per-doc signal must be
+    # NULL-in-NULL-out (a NULL-text doc once got a SENTINEL minhash
+    # signature via greatest-skips-NULL + descending sequence, which
+    # would cluster all NULL docs together in LSH dedup)
+    rows.append((900, None, "en", "srcA", 0))
+    rows.append((901, "some text here", None, None, 14))
     return spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     )
