@@ -17,7 +17,9 @@ _TS = "CAST(floor(epoch(ts)) AS BIGINT)"
 
 
 def _hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = WOP.tumbling(load_table(spark, sf_dir, "events"), 3600)
+    e = WOP.tumbling(
+        load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull()), 3600
+    )
     return (
         e.groupBy("window_start", "event_type")
         .agg(
@@ -38,6 +40,7 @@ SELECT {_TS} - {_TS} % 3600 AS window_start, event_type,
   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
   CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY 1, 2
 ORDER BY 1, 2
 """,
@@ -79,7 +82,11 @@ ORDER BY 1
 
 
 def _user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return WOP.session_stats(load_table(spark, sf_dir, "events"), 1800)
+    # rows without event time cannot be sessionized; excluding them
+    # explicitly also sidesteps engine-default NULL ordering in the
+    # session windows (Spark NULLS FIRST vs DuckDB NULLS LAST)
+    e = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    return WOP.session_stats(e, 1800)
 
 
 register(
@@ -91,7 +98,7 @@ WITH numbered AS (
          CASE WHEN {_TS} - lag({_TS}) OVER (PARTITION BY user_id ORDER BY ts) > 1800
                    OR lag({_TS}) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
               THEN 1 ELSE 0 END AS new_session
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ),
 sessioned AS (
   SELECT user_id, tsec,
@@ -301,7 +308,9 @@ def _hourly_spike_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     message rate instead of printing it once."""
     from pyspark.sql import Window
 
-    e = WOP.tumbling(load_table(spark, sf_dir, "events"), 3600)
+    e = WOP.tumbling(
+        load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull()), 3600
+    )
     hourly = (
         e.select(F.col("window_start").alias("hour"))
         .groupBy("hour")
@@ -332,7 +341,7 @@ register(
 WITH hourly AS (
   SELECT {_TS} - {_TS} % 3600 AS hour,
          CAST(count(*) AS BIGINT) AS n_events
-  FROM events GROUP BY 1
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
 ),
 t AS (
   SELECT hour, n_events,
@@ -461,8 +470,10 @@ def _user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user_id, ts) partitioning = one shuffle."""
     from pyspark.sql import Window
 
-    e = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts", "event_id", WOP.ts_sec().alias("tsec")
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .select("user_id", "event_type", "ts", "event_id", WOP.ts_sec().alias("tsec"))
     )
     order = Window.partitionBy("user_id").orderBy("ts", "event_id")
     changed = e.withColumn(
@@ -488,6 +499,7 @@ register(
     f"""
 WITH e AS (
   SELECT user_id, event_type, ts, event_id, {_TS} AS tsec FROM events
+  WHERE ts IS NOT NULL
 ),
 changed AS (
   SELECT * FROM (

@@ -124,7 +124,12 @@ def _event_value_quantiles_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = e.groupBy("event_type").agg(
         F.percentile_approx("value", [0.5, 0.9, 0.99], acc).alias("q")
     )
-    joined = e.join(F.broadcast(approx), "event_type")
+    # eqNullSafe: a plain equi-join would drop the NULL event_type group
+    # (NULL never equals NULL) while the oracle's GROUP BY keeps it
+    joined = e.join(
+        F.broadcast(approx),
+        e["event_type"].eqNullSafe(approx["event_type"]),
+    ).drop(approx["event_type"])
 
     def lo(idx: int):
         return F.sum((F.col("value") < F.col("q")[idx]).cast("long")) / F.count(

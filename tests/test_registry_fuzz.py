@@ -101,6 +101,13 @@ def _adversarial_events(spark):
     # duplicates by doubling the stream internally)
     rows.append((400, base, 1, "click", 1.0, ""))
     rows.append((401, base, 1, "click", 1.0, ""))
+    # NULL event time / user / type / value / props: time-ordered
+    # analytics exclude NULL-ts rows BY CONTRACT on both engines
+    # (engine-default NULL ordering differs: Spark NULLS FIRST, DuckDB
+    # NULLS LAST), NULL groups survive groupBys, and the quantile audit
+    # joins NULL-safely
+    rows.append((950, None, 3, "click", None, None))
+    rows.append((951, base + datetime.timedelta(days=1), None, None, 7.5, '{"k":2}'))
     return spark.createDataFrame(
         rows,
         "event_id long, ts timestamp, user_id long, event_type string,"
@@ -197,7 +204,16 @@ def fuzz_dir(spark):
             "events": _adversarial_events(spark).toPandas(),
             **_adversarial_tpch(),
         }
-        casts = {"embeddings": "vec_id, CAST(embedding AS FLOAT[]) AS embedding, label"}
+        casts = {
+            "embeddings": "vec_id, CAST(embedding AS FLOAT[]) AS embedding, label",
+            # pandas widens nullable int64 to float64; cast back so the
+            # loader's schema-family probe accepts the fixture
+            "events": "CAST(event_id AS BIGINT) AS event_id, ts,"
+            " CAST(user_id AS BIGINT) AS user_id, event_type,"
+            " CAST(value AS DOUBLE) AS value, props",
+            "documents": "CAST(doc_id AS BIGINT) AS doc_id, text, lang,"
+            " source, CAST(n_chars AS BIGINT) AS n_chars",
+        }
         for t, pdf in frames.items():  # noqa: B007 — pdf referenced by duckdb
             cols = casts.get(t, "*")
             con.execute(
