@@ -9,9 +9,16 @@ can't: zero-length/whitespace-only docs, words at the pair-explode
 boundary (length 1), zero vectors, constant dimensions (variance exactly
 0), extreme magnitudes, negative-zero rounding, malformed JSON,
 timestamp ties, window-edge order dates, and q6-band discount edges.
-Found so far: the DuckDB DECIMAL-product width cap, the Spark
-INVALID_ARRAY_INDEX vs DuckDB NULL divergence, and the get_json_object
-vs ``->>`` malformed-JSON divergence — each now pinned in an oracle.
+Twelve real divergences found and fixed in round 5, each now pinned:
+the DuckDB DECIMAL-product width cap; Spark INVALID_ARRAY_INDEX vs
+DuckDB NULL list indexing; get_json_object vs ``->>`` on malformed
+JSON; PageRank division-by-zero on an empty graph; a GK quantile audit
+wrong under heavy ties; NULL-text sentinel shingles (greatest skips
+NULL + descending sequence); NULL md5 buckets silently dropping rows
+from rate gates; rolling-hash-on-NULL folding to 0 in the oracle; a
+NULL-source group lost to an equi-join; engine-default NULL ordering in
+time-ordered windows (x2); and a NULL-type group lost to the quantile
+audit's join.
 """
 
 from __future__ import annotations
