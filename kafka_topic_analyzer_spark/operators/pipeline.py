@@ -40,8 +40,15 @@ def select_training_docs(docs: DataFrame) -> DataFrame:
     attached (columns: doc_id, lang, source, text, fp, n_tokens, quality).
     """
     w = Window.partitionBy("fp")
+    # NULL-text policy (explicit, mirrored in the manifest oracle): a doc
+    # with no text carries no trainable tokens, so it is excluded up front.
+    # Without this filter NULL text would slip through BOTH gates below —
+    # quality_score(NULL) evaluates to 1.0 (least() skips the NULL length
+    # credit on both engines) and the NULL md5 bucket coalesces to '0000',
+    # the always-kept end of the sample range.
     return (
-        docs.select(
+        docs.where(F.col("text").isNotNull())
+        .select(
             "doc_id",
             "lang",
             "source",

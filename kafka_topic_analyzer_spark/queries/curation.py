@@ -281,6 +281,7 @@ WITH scored AS (
     {_QSCORE} AS quality,
     {_MD5_PREFIX_SQL} AS bucket
   FROM documents
+  WHERE text IS NOT NULL  -- explicit NULL-text policy: no trainable tokens
 ),
 dedup AS (
   SELECT * FROM (
@@ -885,10 +886,20 @@ def _quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiply of the same 6-digit-rounded score everywhere.
     """
     d = load_table(spark, sf_dir, "documents")
-    q = TX.quality_score(F.col("text"))
+    # Explicit NULL-text policy: a doc with no text scores 0.0 (bucket 0,
+    # kept only by the trivial threshold) and carries 0 tokens. Without
+    # the guard quality_score(NULL) evaluates to 1.0 on both engines
+    # (least() skips the NULL length credit) and a text-less doc would
+    # pass a `quality >= 0.9` gate.
+    q = F.when(F.col("text").isNull(), F.lit(0.0)).otherwise(
+        TX.quality_score(F.col("text"))
+    )
     bucket = F.least(F.floor(q * 10), F.lit(9)).cast("int")
     per = (
-        d.select(bucket.alias("bucket"), TX.token_count(F.col("text")).alias("n_tok"))
+        d.select(
+            bucket.alias("bucket"),
+            F.coalesce(TX.token_count(F.col("text")), F.lit(0)).alias("n_tok"),
+        )
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("toks"))
     )
@@ -931,7 +942,10 @@ register(
     _quality_threshold_sweep,
     f"""
 WITH scored AS (
-  SELECT {_QSCORE} AS q, {_NTOK_SQL} AS n_tok FROM documents
+  -- NULL-text policy: quality 0.0 (bucket 0), 0 tokens
+  SELECT CASE WHEN text IS NULL THEN 0.0 ELSE {_QSCORE} END AS q,
+         COALESCE({_NTOK_SQL}, CAST(0 AS BIGINT)) AS n_tok
+  FROM documents
 ),
 b AS (
   SELECT CAST(least(floor(q * 10), 9) AS INT) AS bucket,

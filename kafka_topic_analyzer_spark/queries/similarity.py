@@ -622,15 +622,20 @@ def _embedding_dim_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("xd") * F.col("xd")).cast("decimal(38,12)")).alias("sq"),
     )
     mean = F.col("s").cast("double") / F.col("n_vecs")
+    # `+ 0.0` normalizes IEEE negative zero on every rounded double output
+    # (round(-1e-7, 6) is -0.0 in DuckDB but +0.0 in Spark's BigDecimal
+    # round; -0.0 + 0.0 == +0.0) — same trap the covariance query below
+    # guards; min/max carry element-level rounding so they need it too.
     return agg.select(
         "dim",
         "n_vecs",
-        "min_x",
-        "max_x",
-        F.round(mean, 6).alias("mean_x"),
-        F.round(F.col("sq").cast("double") / F.col("n_vecs") - mean * mean, 6).alias(
-            "var_x"
-        ),
+        (F.col("min_x") + F.lit(0.0)).alias("min_x"),
+        (F.col("max_x") + F.lit(0.0)).alias("max_x"),
+        (F.round(mean, 6) + F.lit(0.0)).alias("mean_x"),
+        (
+            F.round(F.col("sq").cast("double") / F.col("n_vecs") - mean * mean, 6)
+            + F.lit(0.0)
+        ).alias("var_x"),
     ).orderBy("dim")
 
 
@@ -651,9 +656,9 @@ agg AS (
          sum(CAST(xr AS DECIMAL(19,6)) * CAST(xr AS DECIMAL(19,6))) AS sq
   FROM flat GROUP BY dim
 )
-SELECT dim, n_vecs, min_x, max_x,
-       round(CAST(s AS DOUBLE) / n_vecs, 6) AS mean_x,
-       round(CAST(sq AS DOUBLE) / n_vecs - (CAST(s AS DOUBLE) / n_vecs) * (CAST(s AS DOUBLE) / n_vecs), 6) AS var_x
+SELECT dim, n_vecs, min_x + 0.0 AS min_x, max_x + 0.0 AS max_x,
+       round(CAST(s AS DOUBLE) / n_vecs, 6) + 0.0 AS mean_x,
+       round(CAST(sq AS DOUBLE) / n_vecs - (CAST(s AS DOUBLE) / n_vecs) * (CAST(s AS DOUBLE) / n_vecs), 6) + 0.0 AS var_x
 FROM agg
 ORDER BY dim
 """,

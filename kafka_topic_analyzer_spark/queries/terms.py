@@ -144,7 +144,12 @@ def _event_value_quantiles_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tol = F.lit(0.01) + F.lit(2.0) / F.count(F.lit(1))
 
     def ok(idx: int, target: float):
-        return (lo(idx) - tol <= F.lit(target)) & (F.lit(target) <= hi(idx) + tol)
+        # A group whose values are ALL NULL makes percentile_approx (and
+        # the rank sums) NULL, turning the interval booleans NULL while the
+        # oracle's constant-true stays true — coalesce to "vacuously ok"
+        # exactly when the group has zero non-NULL values.
+        interval = (lo(idx) - tol <= F.lit(target)) & (F.lit(target) <= hi(idx) + tol)
+        return F.coalesce(interval, F.count("value") == F.lit(0))
 
     return (
         joined.groupBy("event_type")

@@ -43,63 +43,7 @@ def register(name: str, spark_fn: Callable[[SparkSession, str], DataFrame], orac
 # commits SELFCHECK_r{N}.json, so every query has fresh evidence every round
 # even when outside the driver window.
 CHECK_PRIORITY: tuple[str, ...] = (
-    # -- round 5 rotation: the judge's two named targets first --
-    # knn_ivf_cosine: oracle-backed since r4 but never driver-verified.
-    "knn_ivf_cosine",
-    # dup_cluster_assignment: its r2 row predates the round-4
-    # large-star/small-star connected-components rewrite.
-    "dup_cluster_assignment",
-    # -- remaining queries whose newest row is round 2 --
-    "text_cleaning",
-    "pii_redaction",
-    "doc_repetition_stats",
-    "doc_fingerprints",
-    "sentence_stats",
-    "compression_quality",
-    "exact_dup_summary",
-    "near_dup_pairs_jaccard",
-    "minhash_signatures",
-    "knn_bruteforce_cosine",
-    "embedding_pair_stats",
-    "embedding_quantization",
-    "simhash_fingerprints",
-    "consensus_near_dups",
-    "fuzzy_match_pairs",
-    # -- registered this round, never checked --
-    "bpe_merge_candidates",
-    "bpe_train_merges",
-    "embedding_dim_moments",
-    "embedding_dim_covariance",
-    "embedding_outliers",
-    "quality_threshold_sweep",
-    "lang_temperature_mix",
-    "hybrid_retrieval_rrf",
-    "kafka_consumer_config_audit",
-    "kafka_empty_topic_guard_audit",
-    "kafka_scan_observability_audit",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_orders",
-    "q19_disjunctive_revenue",
-    "q21_waiting_suppliers",
-    # -- oldest round-3 rows, registration order --
-    "hourly_event_counts",
-    "kafka_report_partition",
-    "kafka_report_global",
-    "kafka_alive_keys",
-    "kafka_compacted_state",
-    "rich_customers_per_segment",
-    "minhash_near_dups",
-    "knn_lsh_cosine",
-    "embedding_label_stats",
-    "embedding_near_dup_pairs",
-    "embedding_near_dups_lsh",
-    "simhash_near_dups",
-    "sliding_window_counts",
-    "user_session_stats",
-    "props_key_distribution",
-    "purchase_attribution_asof",
-    "value_percentiles",
-    "peak_window_event_counts",
+    # -- round 6 rotation: the 31 queries whose newest driver row is r3 --
     "hourly_spike_detection",
     "event_funnel",
     "weekly_retention_cohorts",
@@ -115,6 +59,44 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "image_feature_stats",
     "audio_chunk_stats",
     "image_resize_inventory",
+    "stratified_sample_summary",
+    "per_group_sample",
+    "event_value_histogram",
+    "quality_percentile_gate",
+    "sequence_packing",
+    "training_shard_manifest",
+    "doc_chunking",
+    "source_char_dispersion",
+    "per_lang_length_norm",
+    "source_mixing_weights",
+    "corpus_summary",
+    "mixed_sample_audit",
+    "top_terms_per_source",
+    "term_postings",
+    "keyword_search",
+    "benchmark_contamination",
+    # -- registered this round, never checked (inserted as added) --
+    # (new r6 queries are appended here by name)
+    # -- oldest round-4 rows, to fill the 50-query window --
+    "kafka_alive_keys_approx",
+    "kafka_alive_keys_hll_audit",
+    "report_metrics_unpivot",
+    "event_lateness_profile",
+    "kafka_report_rendered",
+    "kafka_summary_rendered",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_regional_revenue",
+    "top3_customers_per_segment",
+    "orders_rollup",
+    "customers_without_recent_orders",
+    "priority_with_discounted_lines",
+    "large_parts_in_lineitem",
+    "order_status_pivot",
+    "supplier_running_revenue",
+    "customer_retention_sets",
+    "orders_cube",
+    "balance_deciles",
 )
 
 

@@ -79,8 +79,14 @@ def _adversarial_embeddings(spark):
     rows.append((4, [1.0] + [0.0] * (dim - 1), 2))        # one-hot
     for i in range(5, 80):
         rows.append((i, [rng.uniform(-1, 1) for _ in range(dim)], i % 3))
+    # dim 6: every value in [-1e-7, 4e-8] -> min/mean/var all round to zero
+    # FROM BELOW (round(-1e-7, 6) is -0.0 in DuckDB, +0.0 in Spark — the
+    # negative-zero normalization trap in embedding_dim_moments outputs);
     # dim 7 constant across ALL rows -> variance exactly 0 (the var>0 guard)
-    rows = [(v, e[:7] + [0.5], l) for (v, e, l) in rows]
+    tiny = [-1e-7, -5e-8, 0.0, 4e-8]
+    rows = [
+        (v, e[:6] + [tiny[v % 4], 0.5], l) for (v, e, l) in rows
+    ]
     return spark.createDataFrame(
         rows, "vec_id long, embedding array<float>, label int"
     )
@@ -115,6 +121,11 @@ def _adversarial_events(spark):
     # joins NULL-safely
     rows.append((950, None, 3, "click", None, None))
     rows.append((951, base + datetime.timedelta(days=1), None, None, 7.5, '{"k":2}'))
+    # an event_type whose values are ALL NULL: percentile_approx returns
+    # NULL and the GK-audit interval booleans must coalesce to vacuously-ok
+    # (the oracle hardcodes true) instead of NULL
+    rows.append((960, base + datetime.timedelta(hours=2), 5, "nullonly", None, None))
+    rows.append((961, base + datetime.timedelta(hours=3), 6, "nullonly", None, "{}"))
     return spark.createDataFrame(
         rows,
         "event_id long, ts timestamp, user_id long, event_type string,"
