@@ -34,13 +34,28 @@ def asof_join_backward(
 
     ``right`` must be unique per (key, ts) — pre-aggregate if not;
     ``tiebreak`` orders left rows deterministically within equal ts.
+
+    NULL semantics (matches SQL ``ASOF JOIN``, whose ``l.key = r.key AND
+    r.ts <= l.ts`` predicates are never true on NULL): right rows with a
+    NULL key or NULL ts are never match candidates — filtered here,
+    because the window's ``partitionBy`` would otherwise group NULL keys
+    together and attribute NULL-key right rows to NULL-key left rows.
+    Left rows with a NULL key or ts come out unmatched (NULL payload):
+    with the right side filtered, a NULL-key partition holds no
+    candidates, and a NULL-ts left row sorts NULLS-FIRST before every
+    candidate. Found by the registry fuzz (NULL-user click/purchase pair
+    matched on Spark, not in DuckDB's native ASOF).
     """
     l_tagged = left.withColumn("_side", F.lit(1))
-    r_tagged = right.select(
-        key,
-        ts,
-        F.struct(*[F.col(c) for c in right_payload]).alias("_payload"),
-    ).withColumn("_side", F.lit(0))
+    r_tagged = (
+        right.where(F.col(key).isNotNull() & F.col(ts).isNotNull())
+        .select(
+            key,
+            ts,
+            F.struct(*[F.col(c) for c in right_payload]).alias("_payload"),
+        )
+        .withColumn("_side", F.lit(0))
+    )
     unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
     order = [F.col(ts).asc(), F.col("_side").asc()]
     if tiebreak:

@@ -167,7 +167,14 @@ ORDER BY 1
 def _purchase_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase attributed to the user's most recent
     click at-or-before it (operators/asof.py). Right side deduped to one
-    click per (user, second) so both engines' as-of pick is unambiguous."""
+    click per (user, second) so both engines' as-of pick is unambiguous.
+
+    NULL contract (pinned by the registry fuzz): NULL user/timestamp
+    never matches — standard SQL predicate semantics. DuckDB's native
+    ASOF instead compares timestamps in SORT order (NULL highest), which
+    would attribute a NULL-ts click to a NULL-ts purchase; the oracle
+    filters candidates and CASE-nulls NULL-ts/user purchases to pin the
+    engine's contract, not the quirk."""
     from kafka_topic_analyzer_spark.operators.asof import asof_join_backward
 
     e = load_table(spark, sf_dir, "events")
@@ -202,9 +209,12 @@ WITH p2 AS (
   FROM events WHERE event_type = 'purchase'
 ), c AS (
   SELECT user_id, {_TS} AS tsec, max(event_id) AS click_id
-  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+  FROM events WHERE event_type = 'click' AND user_id IS NOT NULL AND {_TS} IS NOT NULL
+  GROUP BY 1, 2
 )
-SELECT p2.purchase_id, p2.user_id, p2.tsec AS purchase_tsec, c.click_id
+SELECT p2.purchase_id, p2.user_id, p2.tsec AS purchase_tsec,
+       CASE WHEN p2.user_id IS NULL OR p2.tsec IS NULL THEN NULL
+            ELSE c.click_id END AS click_id
 FROM p2 ASOF LEFT JOIN c
   ON p2.user_id = c.user_id AND c.tsec <= p2.tsec
 ORDER BY purchase_id

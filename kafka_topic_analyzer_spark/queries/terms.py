@@ -470,8 +470,102 @@ LIMIT {BPE_TOP_PAIRS}
 )
 
 
-BPE_N_MERGES = 3
+BPE_N_MERGES = 10
 _BPE_SEP = "·"  # '·': symbol-boundary sentinel; words containing it are excluded
+
+
+def _bpe_symbolized_vocab(d: DataFrame) -> DataFrame:
+    """Corpus -> (word, sym, wc): distinct word forms with corpus counts,
+    each word's symbol sequence in the sentinel-wrapped representation
+    ``·s1··s2··s3·`` (see _bpe_train_merges for why that encoding makes
+    replace() coincide with greedy BPE merge semantics)."""
+    s2 = _BPE_SEP + _BPE_SEP
+    words = (
+        d.select(F.explode(tokens(F.lower(F.col("text")))).alias("word"))
+        .where((F.length("word") >= 2) & (~F.col("word").contains(_BPE_SEP)))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    return words.select(
+        "word",
+        F.concat(
+            F.lit(_BPE_SEP),
+            F.array_join(F.split(F.col("word"), ""), s2),
+            F.lit(_BPE_SEP),
+        ).alias("sym"),
+        "wc",
+    )
+
+
+def _bpe_train_state(
+    cur: DataFrame, n_merges: int, timings: list | None = None
+) -> tuple[list[tuple], DataFrame]:
+    """Run the greedy merge loop; returns (merge log rows
+    ``(step, left, right, count, new_symbol)``, final symbolized vocab).
+
+    Iterative-loop discipline (the connected-components cadence,
+    operators/dedup.py:229): each step's argmax is a bounded ONE-ROW
+    collect (the only driver-side data the loop ever holds), the winning
+    pair is re-applied as literals via engine-native ``replace`` (a narrow
+    map over the vocab — never an f-string splice of corpus-derived
+    symbols into SQL text), and ``localCheckpoint`` truncates lineage
+    every third iteration — replaces between checkpoints compose as
+    narrow stages, so recompute stays cheap while job count stays ~1.3
+    per merge instead of 2+. The loop runs under 8 shuffle partitions
+    (scoped_shuffle_partitions): the pair rollup is vocabulary-sized, and
+    32+ near-empty tasks per iteration is pure launch overhead at any
+    tested SF; on a cluster-scale corpus the scope just widens. Pass
+    ``timings`` to collect per-iteration seconds (bench.py emits
+    first/last to show the flat profile)."""
+    import time as _time
+
+    from kafka_topic_analyzer_spark.session import scoped_shuffle_partitions
+
+    s2 = _BPE_SEP + _BPE_SEP
+    merges: list[tuple] = []
+    with scoped_shuffle_partitions(cur.sparkSession, 8):
+        cur = cur.localCheckpoint(eager=True)
+        for step in range(1, n_merges + 1):
+            t0 = _time.perf_counter()
+            syms = F.split(F.expr("substring(sym, 2, length(sym)-2)"), s2)
+            pairs = (
+                cur.select(syms.alias("ss"), "wc")
+                .where(F.size("ss") >= 2)  # sequence(1,0) would descend, not empty
+                .select(
+                    F.explode(
+                        F.expr(
+                            "transform(sequence(1, size(ss)-1),"
+                            " i -> struct(ss[i-1] AS l, ss[i] AS r))"
+                        )
+                    ).alias("p"),
+                    "wc",
+                )
+                .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+                .agg(F.sum("wc").alias("pair_count"))
+            )
+            top = pairs.orderBy(
+                F.desc("pair_count"), F.asc("l"), F.asc("r")
+            ).take(1)
+            if not top:
+                # vocabulary fully merged — the oracle's empty top{k} CTE
+                # likewise stops contributing rows from this step on
+                break
+            l, r, cnt = top[0]["l"], top[0]["r"], top[0]["pair_count"]
+            merges.append((step, l, r, cnt, l + r))
+            cur = cur.select(
+                "word",
+                F.replace(
+                    F.col("sym"),
+                    F.lit(_BPE_SEP + l + s2 + r + _BPE_SEP),
+                    F.lit(_BPE_SEP + l + r + _BPE_SEP),
+                ).alias("sym"),
+                "wc",
+            )
+            if step % 3 == 0:
+                cur = cur.localCheckpoint(eager=True)
+            if timings is not None:
+                timings.append(_time.perf_counter() - t0)
+    return merges, cur
 
 
 def _bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -494,73 +588,43 @@ def _bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale story: the corpus collapses to its distinct word-form
     vocabulary ONCE; each iteration is vocabulary-sized — a pair rollup
     (partial-aggregated), a 1-row argmax broadcast back via crossJoin,
-    and a map-only replace. The loop composes lazily into one DAG; at
-    real scale each iteration's vocab would be cached/checkpointed like
-    the connected-components rounds (operators/dedup.py).
+    and a map-only replace — and ``localCheckpoint`` truncates lineage
+    every iteration (the connected-components cadence) so per-iteration
+    cost stays flat to any merge depth (bench.py measures first vs last
+    iteration at BPE_N_MERGES=10 to prove it).
 
     Determinism: counts are pure int64; the argmax tie-breaks on
     (count DESC, left ASC, right ASC).
     """
     d = load_table(spark, sf_dir, "documents")
-    s2 = _BPE_SEP + _BPE_SEP
-    words = (
-        d.select(F.explode(tokens(F.lower(F.col("text")))).alias("word"))
-        .where((F.length("word") >= 2) & (~F.col("word").contains(_BPE_SEP)))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("wc"))
-    )
-    cur = words.select(
-        F.concat(
-            F.lit(_BPE_SEP),
-            F.array_join(F.split(F.col("word"), ""), s2),
-            F.lit(_BPE_SEP),
-        ).alias("sym"),
-        "wc",
-    )
-    merges = []
-    for step in range(1, BPE_N_MERGES + 1):
-        syms = F.split(F.expr("substring(sym, 2, length(sym)-2)"), s2)
-        pairs = (
-            cur.select(syms.alias("ss"), "wc")
-            .where(F.size("ss") >= 2)  # sequence(1,0) would descend, not empty
-            .select(
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(ss)-1),"
-                        " i -> struct(ss[i-1] AS l, ss[i] AS r))"
-                    )
-                ).alias("p"),
-                "wc",
-            )
-            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-            .agg(F.sum("wc").alias("pair_count"))
-        )
-        top = pairs.orderBy(F.desc("pair_count"), F.asc("l"), F.asc("r")).limit(1)
-        merges.append(
-            top.select(
-                F.lit(step).alias("step"),
-                F.col("l").alias("left_sym"),
-                F.col("r").alias("right_sym"),
-                "pair_count",
-                F.concat("l", "r").alias("new_symbol"),
-            )
-        )
-        cur = cur.crossJoin(
-            F.broadcast(top.select(F.col("l").alias("_l"), F.col("r").alias("_r")))
-        ).select(
-            F.expr(
-                f"replace(sym, concat('{_BPE_SEP}', _l, '{s2}', _r, '{_BPE_SEP}'),"
-                f" concat('{_BPE_SEP}', _l, _r, '{_BPE_SEP}'))"
-            ).alias("sym"),
-            "wc",
-        )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionAll(m)
-    return out.orderBy("step")
+    merges, _ = _bpe_train_state(_bpe_symbolized_vocab(d), BPE_N_MERGES)
+    return _bpe_merge_log_df(spark, merges)
 
 
-def _bpe_train_sql() -> str:
+_BPE_LOG_SCHEMA = (
+    "step int, left_sym string, right_sym string, pair_count long, new_symbol string"
+)
+
+
+def _bpe_merge_log_df(spark: SparkSession, merges: list[tuple]) -> DataFrame:
+    return spark.createDataFrame(merges, _BPE_LOG_SCHEMA).orderBy("step")
+
+
+def bpe_train_with_timings(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list]:
+    """bench.py hook: run the full trainer, returning the merge log plus
+    measured per-iteration seconds (each loop body ends in an action —
+    argmax take(1) and the periodic checkpoint — so the wall-clock split
+    is honest)."""
+    d = load_table(spark, sf_dir, "documents")
+    timings: list = []
+    merges, _ = _bpe_train_state(_bpe_symbolized_vocab(d), BPE_N_MERGES, timings)
+    return _bpe_merge_log_df(spark, merges), timings
+
+
+def _bpe_sql_blocks() -> str:
+    """The shared DuckDB mirror of the merge loop: WITH blocks sym0..symN,
+    each symK carrying (word, sym, wc) so the encode query can join the
+    final state back to the token stream."""
     sep, s2 = _BPE_SEP, _BPE_SEP * 2
     blocks = [
         f"""words AS (
@@ -569,8 +633,8 @@ def _bpe_train_sql() -> str:
   WHERE length(term) >= 2 AND NOT contains(term, '{sep}')
   GROUP BY term
 ),
-sym0 AS (
-  SELECT concat('{sep}', array_to_string(string_split(word, ''), '{s2}'), '{sep}') AS sym, wc
+sym0 AS MATERIALIZED (
+  SELECT word, concat('{sep}', array_to_string(string_split(word, ''), '{s2}'), '{sep}') AS sym, wc
   FROM words
 )"""
     ]
@@ -586,18 +650,112 @@ sym0 AS (
 ),
 top{k} AS (SELECT l, r, pair_count FROM p{k}
            ORDER BY pair_count DESC, l ASC, r ASC LIMIT 1),
-sym{k} AS (
-  SELECT replace(sym, concat('{sep}', l, '{s2}', r, '{sep}'),
+sym{k} AS MATERIALIZED (
+  SELECT word, replace(sym, concat('{sep}', l, '{s2}', r, '{sep}'),
                  concat('{sep}', l, r, '{sep}')) AS sym, wc
   FROM sym{k - 1}, top{k}
 )"""
         )
+    return ",\n".join(blocks)
+
+
+def _bpe_train_sql() -> str:
     arms = "\nUNION ALL ".join(
         f"SELECT CAST({k} AS INTEGER) AS step, l AS left_sym, r AS right_sym,"
         f" pair_count, concat(l, r) AS new_symbol FROM top{k}"
         for k in range(1, BPE_N_MERGES + 1)
     )
-    return "WITH " + ",\n".join(blocks) + f"\n{arms}\nORDER BY step"
+    return "WITH " + _bpe_sql_blocks() + f"\n{arms}\nORDER BY step"
 
 
 register("bpe_train_merges", _bpe_train_merges, _bpe_train_sql())
+
+
+def _bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving half of the BPE trainer: ENCODE the corpus under the
+    learned merges — per-document word/char/BPE-token counts plus the
+    corpus grand total (the doc_id=NULL rollup row), i.e. the token-budget
+    table a training-data pipeline materializes right after tokenizer
+    training to size shards and mixing weights.
+
+    Apply semantics: replaying the learned replaces in merge-priority
+    order over a word's wrapped symbol string IS the standard BPE encode
+    (each rule rewrites every occurrence left-to-right before the next
+    rule applies — identical to how the trainer itself advanced), so the
+    trainer's final vocabulary state doubles as the encoder table: word ->
+    symbol count. Words outside the trainable vocabulary (length-1 words,
+    sentinel-containing words) encode at character level —
+    ``coalesce(n_syms, length(word))`` covers both uniformly.
+
+    Scale story: training is vocabulary-sized (see _bpe_train_state);
+    encoding never re-runs merges over the token stream — it joins the
+    exploded tokens to the |vocab|-row encoder table on word (AQE
+    broadcasts it while it fits; at a 100 TB corpus' ~10M-form vocab it
+    degrades to a plain shuffle join, still carrying only (word, n_syms)
+    pairs), then one rollup aggregation. Counts are pure int64; the one
+    double (chars_per_token) derives from exact integer pairs.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    _, final = _bpe_train_state(_bpe_symbolized_vocab(d), BPE_N_MERGES)
+    s2 = _BPE_SEP + _BPE_SEP
+    vocab = final.select(
+        "word",
+        F.size(F.split(F.expr("substring(sym, 2, length(sym)-2)"), s2))
+        .cast("long")
+        .alias("n_syms"),
+    )
+    doc_words = d.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("word")
+    )
+    enc = doc_words.join(vocab, "word", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_syms"), F.length("word").cast("long")).alias("n_tok"),
+        F.length("word").cast("long").alias("n_chars"),
+    )
+    return (
+        enc.rollup("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum("n_tok").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.sum("n_tok"), 4
+            ).alias("chars_per_token"),
+        )
+        .orderBy(F.asc_nulls_last("doc_id"))
+    )
+
+
+def _bpe_encode_sql() -> str:
+    sep, s2 = _BPE_SEP, _BPE_SEP * 2
+    return (
+        "WITH "
+        + _bpe_sql_blocks()
+        + f""",
+vocab AS (
+  SELECT word,
+         CAST(len(string_split(substr(sym, 2, length(sym) - 2), '{s2}')) AS BIGINT) AS n_syms
+  FROM sym{BPE_N_MERGES}
+),
+doc_words AS (
+  SELECT doc_id, unnest({_TOKS}) AS word FROM documents
+),
+enc AS (
+  SELECT doc_id,
+         COALESCE(n_syms, CAST(length(word) AS BIGINT)) AS n_tok,
+         CAST(length(word) AS BIGINT) AS n_chars
+  FROM doc_words LEFT JOIN vocab USING (word)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens,
+       round(CAST(sum(n_chars) AS DOUBLE) / sum(n_tok), 4) AS chars_per_token
+FROM enc
+GROUP BY ROLLUP(doc_id)
+ORDER BY doc_id NULLS LAST
+"""
+    )
+
+
+register("bpe_encode_corpus", _bpe_encode_corpus, _bpe_encode_sql())

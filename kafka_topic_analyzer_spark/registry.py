@@ -75,8 +75,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "term_postings",
     "keyword_search",
     "benchmark_contamination",
-    # -- registered this round, never checked (inserted as added) --
-    # (new r6 queries are appended here by name)
+    # -- registered this round, never checked --
+    "bpe_encode_corpus",
     # -- oldest round-4 rows, to fill the 50-query window --
     "kafka_alive_keys_approx",
     "kafka_alive_keys_hll_audit",
@@ -96,7 +96,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "supplier_running_revenue",
     "customer_retention_sets",
     "orders_cube",
-    "balance_deciles",
+    # balance_deciles (r4) displaced by bpe_encode_corpus; leads the r7 set
 )
 
 

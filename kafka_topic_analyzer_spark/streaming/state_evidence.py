@@ -116,3 +116,106 @@ def windowed_state_growth(
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return stats
+
+
+def join_state_growth(
+    spark: SparkSession,
+    sf_dir: str,
+    n_batches: int = 5,
+    lookback_sec: int = 3600,
+) -> list[TriggerStats]:
+    """Same multi-trigger replay, for the OTHER unbounded-growth risk: the
+    watermarked stream-stream interval join (join_stream.py). A symmetric
+    hash join buffers BOTH inputs; without watermark + time-range pruning
+    its state tracks history length. Here a month of purchase/click
+    traffic drains through one checkpointed interval join in
+    ``n_batches`` time-ordered AvailableNow triggers — live state at any
+    trigger must stay ~(lookback + watermark) of rows, and
+    ``numRowsRemoved`` must show expiry actually running, exactly like
+    the windowed-aggregation series. bench.py publishes this as the
+    second ``stream_state_*`` family."""
+    prepare_session(spark)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("purchase", "click"))
+        .select("event_id", "user_id", "ts", "event_type")
+    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) + 1
+    chunk = span // n_batches + 1
+
+    work = tempfile.mkdtemp(prefix="join_state_growth_")
+    input_dir = os.path.join(work, "input")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(input_dir, exist_ok=True)
+    stats: list[TriggerStats] = []
+    try:
+
+        def typed(event_type: str, prefix: str):
+            return (
+                spark.readStream.schema(
+                    "event_id long, user_id long, ts long, event_type string"
+                )
+                .parquet(input_dir)
+                .where(F.col("event_type") == event_type)
+                .select(
+                    F.col("event_id").alias(f"{prefix}_id"),
+                    F.col("user_id").alias(f"{prefix}_user"),
+                    F.timestamp_seconds(
+                        F.floor(F.col("ts") / F.lit(1_000_000_000)).cast("long")
+                    ).alias(f"{prefix}_ts"),
+                )
+                .withWatermark(f"{prefix}_ts", f"{lookback_sec} seconds")
+            )
+
+        purchases = typed("purchase", "purchase")
+        clicks = typed("click", "click")
+        joined = purchases.join(
+            clicks,
+            (F.col("purchase_user") == F.col("click_user"))
+            & (
+                F.col("click_ts")
+                >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback_sec} SECONDS")
+            )
+            & (F.col("click_ts") <= F.col("purchase_ts")),
+        ).select("purchase_id", "click_id")
+
+        for i in range(n_batches):
+            lo_i = lo + i * chunk
+            ev.where((F.col("ts") >= lo_i) & (F.col("ts") < lo_i + chunk)).coalesce(
+                1
+            ).write.mode("append").parquet(input_dir)
+            with scoped_shuffle_partitions(spark, 8):
+                q = (
+                    joined.writeStream.format("noop")
+                    .outputMode("append")
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                try:
+                    q.awaitTermination()
+                finally:
+                    if q.isActive:
+                        q.stop()
+            progress = [p for p in q.recentProgress if p.get("stateOperators")]
+            if not progress:
+                stats.append(TriggerStats(i, 0, 0, 0, 0))
+                continue
+            last = progress[-1]["stateOperators"][0]
+            n_in = sum(int(p.get("numInputRows", 0)) for p in q.recentProgress)
+            removed = sum(
+                int(p["stateOperators"][0].get("numRowsRemoved", 0)) for p in progress
+            )
+            stats.append(
+                TriggerStats(
+                    i,
+                    n_in,
+                    int(last.get("numRowsTotal", 0)),
+                    int(last.get("memoryUsedBytes", 0)),
+                    removed,
+                )
+            )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return stats

@@ -329,13 +329,29 @@ def test_quality_threshold_sweep_single_scan(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_bpe_train_merges_broadcasts_argmax(spark):
+def test_bpe_train_merges_emits_local_log(spark):
     import __spark_entry__ as E
 
     plan = _executed(E.queries()["bpe_train_merges"](spark, SF_SMOKE))
-    # each iteration's 1-row argmax returns via BroadcastNestedLoopJoin
-    # (the only acceptable nested-loop shape: one side is a single row);
-    # no shuffled join anywhere in the loop
-    assert "BroadcastNestedLoopJoin" in plan
+    # the merge log is BPE_N_MERGES driver-held literal rows (each
+    # iteration's argmax is a bounded 1-row take) — the returned plan must
+    # be a local/RDD scan plus at most the 10-row output sort; no joins,
+    # no parquet rescan
+    assert ("LocalTableScan" in plan) or ("Scan ExistingRDD" in plan)
+    assert "FileScan parquet" not in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bpe_encode_corpus_joins_vocab_once(spark):
+    import __spark_entry__ as E
+
+    plan = _executed(E.queries()["bpe_encode_corpus"](spark, SF_SMOKE))
+    # encode = token stream LEFT JOIN |vocab|-row encoder table on word
+    # (equi-join — broadcast or shuffled both acceptable, AQE decides),
+    # then one rollup aggregate; never a nested-loop re-merge of the
+    # corpus and exactly one documents scan (the vocab side reads the
+    # checkpointed trainer state, not parquet again)
+    assert plan.count("FileScan parquet") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

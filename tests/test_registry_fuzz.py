@@ -126,6 +126,15 @@ def _adversarial_events(spark):
     # (the oracle hardcodes true) instead of NULL
     rows.append((960, base + datetime.timedelta(hours=2), 5, "nullonly", None, None))
     rows.append((961, base + datetime.timedelta(hours=3), 6, "nullonly", None, "{}"))
+    # streaming NULL paths (r6): a NULL-ts purchase AND click (watermark
+    # semantics on NULL event time — rows must drop identically on both
+    # engines in the stream-stream join and windowed aggs), plus a
+    # valid-ts purchase/click pair whose JOIN KEY (user_id) is NULL —
+    # NULL never equals NULL, so neither engine may emit the pair
+    rows.append((970, None, 8, "purchase", 3.0, None))
+    rows.append((971, None, 8, "click", 1.0, None))
+    rows.append((972, base + datetime.timedelta(days=2), None, "purchase", 5.0, None))
+    rows.append((973, base + datetime.timedelta(days=2, minutes=-5), None, "click", 2.0, None))
     return spark.createDataFrame(
         rows,
         "event_id long, ts timestamp, user_id long, event_type string,"
@@ -246,6 +255,7 @@ def fuzz_dir(spark):
 FUZZED_QUERIES = [
     "bpe_merge_candidates",
     "bpe_train_merges",
+    "bpe_encode_corpus",
     "quality_threshold_sweep",
     "lang_temperature_mix",
     "embedding_dim_moments",

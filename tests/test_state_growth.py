@@ -37,3 +37,34 @@ def test_windowed_state_plateaus(spark):
     # memory usage plateaus with it (same band across the back half)
     back = [s.state_bytes for s in stats[3:]]
     assert max(back) < 2 * max(s.state_bytes for s in stats[:3])
+
+
+def test_join_state_plateaus(spark):
+    from kafka_topic_analyzer_spark.sources.tables import load_table
+    from kafka_topic_analyzer_spark.streaming.state_evidence import (
+        join_state_growth,
+    )
+    from pyspark.sql import functions as F
+
+    n_rows = (
+        load_table(spark, SF_SMOKE, "events")
+        .where(F.col("event_type").isin("purchase", "click"))
+        .count()
+    )
+    stats = join_state_growth(spark, SF_SMOKE, n_batches=5)
+
+    assert len(stats) == 5
+    # the join's TWO file sources each scan the shared input directory, so
+    # progress counts every purchase/click row twice — once per side
+    assert sum(s.input_rows for s in stats) == 2 * n_rows
+    # symmetric-hash-join state is BOUNDED: ~(lookback + watermark) of
+    # buffered rows, nowhere near the month of history streamed
+    peak = max(s.state_rows for s in stats)
+    assert 0 < peak < n_rows / 10, (peak, n_rows)
+    # plateau, not growth
+    assert stats[-1].state_rows <= peak
+    early_peak = max(s.state_rows for s in stats[:3])
+    assert stats[-1].state_rows <= 2 * early_peak
+    # watermark expiry genuinely prunes both buffers
+    assert sum(s.rows_removed for s in stats) > 0
+    assert any(s.rows_removed > 0 for s in stats[1:])
