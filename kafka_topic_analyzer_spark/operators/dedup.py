@@ -176,14 +176,20 @@ def connected_components_star(edges: DataFrame, max_rounds: int = 12) -> DataFra
     Convergence = edge-multiset checksum unchanged (count + wrapped hash
     sums — deterministic, no full edge-set comparison job).
     """
-    e = (
-        edges.select(F.col("src").cast("long").alias("u"), F.col("dst").cast("long").alias("v"))
-        .where(F.col("u") != F.col("v"))
-        .distinct()
+    raw = edges.select(
+        F.col("src").cast("long").alias("u"), F.col("dst").cast("long").alias("v")
+    )
+    # vertex set from the RAW edges: a vertex whose only edge is a
+    # self-loop must still come out labeled (its own singleton component,
+    # matching connected_components) — deriving nodes after the self-loop
+    # filter silently dropped it (found by the union-find property test)
+    nodes = (
+        raw.select("u").union(raw.select(F.col("v").alias("u"))).distinct()
         .localCheckpoint(eager=True)
     )
-    nodes = (
-        e.select("u").union(e.select(F.col("v").alias("u"))).distinct()
+    e = (
+        raw.where(F.col("u") != F.col("v"))
+        .distinct()
         .localCheckpoint(eager=True)
     )
 

@@ -1,0 +1,180 @@
+"""Property-based verification of the custom join operators.
+
+The as-of join just produced a real bug class (NULL join keys grouped
+together by the window's partitionBy, found by the registry fuzz in r6) —
+so both custom joins are now checked against brute-force reference
+implementations over hypothesis-generated inputs, NULLs included:
+
+- ``asof_join_backward`` vs a per-row "greatest right.ts <= left.ts within
+  the same non-NULL key" scan (standard SQL predicate semantics: NULL key
+  or NULL ts never matches, left rows always survive).
+- ``range_join_binned`` vs the O(n*m) nested loop over the exact
+  ``start <= p < end`` predicate (each match exactly once).
+
+Examples are capped low: each example runs two Spark jobs, and the value
+of a property test here is input-shape diversity (duplicate timestamps,
+all-NULL columns, single-key pileups), not example count.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+KEYS = st.one_of(st.none(), st.integers(min_value=0, max_value=3))
+TS = st.one_of(st.none(), st.integers(min_value=0, max_value=20))
+
+LEFT_ROWS = st.lists(st.tuples(KEYS, TS), min_size=0, max_size=12)
+RIGHT_ROWS = st.lists(st.tuples(KEYS, TS), min_size=0, max_size=12)
+
+
+def _reference_asof(left_rows, right_uniq):
+    """Brute-force as-of: right_uniq maps (key, ts) -> payload, both
+    non-NULL by construction."""
+    out = []
+    for lid, (k, t) in enumerate(left_rows):
+        best = None
+        if k is not None and t is not None:
+            cands = [
+                (rt, pay)
+                for (rk, rt), pay in right_uniq.items()
+                if rk == k and rt <= t
+            ]
+            if cands:
+                best = max(cands)[1]
+        out.append((lid, best))
+    return sorted(out)
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=LEFT_ROWS, right=RIGHT_ROWS)
+def test_asof_join_matches_bruteforce(spark, left, right):
+    from pyspark.sql import functions as F
+
+    from kafka_topic_analyzer_spark.operators.asof import asof_join_backward
+
+    # contract: right unique per (key, ts) — pre-aggregate like callers do
+    # (max payload id wins), keeping only non-NULL-able raw rows intact
+    right_uniq = {}
+    for pid, (k, t) in enumerate(right):
+        if k is not None and t is not None:
+            cur = right_uniq.get((k, t))
+            right_uniq[(k, t)] = pid if cur is None else max(cur, pid)
+
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)],
+        "lid long, k long, t long",
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, pay) for (k, t), pay in right_uniq.items()] or [],
+        "k long, t long, pay long",
+    )
+    got = asof_join_backward(
+        ldf, rdf, key="k", ts="t", right_payload=["pay"], tiebreak="lid"
+    ).select("lid", F.col("_asof.pay").alias("pay"))
+    got_rows = sorted((r["lid"], r["pay"]) for r in got.collect())
+    assert got_rows == _reference_asof(left, right_uniq)
+
+
+POINTS = st.lists(st.integers(min_value=-5, max_value=30), min_size=0, max_size=10)
+INTERVALS = st.lists(
+    st.tuples(
+        st.integers(min_value=-5, max_value=25),
+        st.integers(min_value=1, max_value=12),  # length: end = start + len
+    ),
+    min_size=0,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(points=POINTS, intervals=INTERVALS, bin_size=st.integers(min_value=1, max_value=7))
+def test_range_join_matches_nested_loop(spark, points, intervals, bin_size):
+    from kafka_topic_analyzer_spark.operators.asof import range_join_binned
+
+    pdf = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(points)], "pid long, p long"
+    )
+    idf = spark.createDataFrame(
+        [(j, s, s + ln) for j, (s, ln) in enumerate(intervals)],
+        "iid long, s long, e long",
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join_binned(pdf, idf, "p", "s", "e", bin_size)
+        .select("pid", "iid")
+        .collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, p in enumerate(points)
+        for j, (s, ln) in enumerate(intervals)
+        if s <= p < s + ln
+    )
+    assert got == want
+
+
+GRAPH_EDGES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=12),
+        st.integers(min_value=0, max_value=12),
+    ),
+    min_size=0,
+    max_size=18,
+)
+
+
+def _reference_components(edges):
+    """Union-find: (vertex, min reachable vertex) for every edge vertex."""
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min = {}
+    for v in parent:
+        r = find(v)
+        comp_min[r] = min(comp_min.get(r, v), v)
+    return sorted((v, comp_min[find(v)]) for v in parent)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=GRAPH_EDGES)
+def test_connected_components_match_union_find(spark, edges):
+    """Both CC implementations (min-label propagation AND the
+    large-star/small-star variant) must converge to the same fixpoint a
+    driver-side union-find computes — self-loops, duplicate edges,
+    chains, and the empty graph included."""
+    from kafka_topic_analyzer_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edf = spark.createDataFrame(edges or [], "src long, dst long")
+    want = _reference_components(edges)
+    for impl in (connected_components, connected_components_star):
+        got = sorted(
+            (r["doc_id"], r["cluster_id"]) for r in impl(edf).collect()
+        )
+        assert got == want, impl.__name__
