@@ -30,7 +30,19 @@ def salted_equi_join(
     side explodes to every salt value, multiplying its shuffle volume by
     ``salt`` — the usual trade: only worth it when a key is hot enough
     to straggle.
+
+    Only big-side-preserving join types are accepted: each big row
+    carries exactly ONE salt value, so inner/left/semi/anti results are
+    row-identical to the plain join — but the small side exists ``salt``
+    times, so right/full outer would emit every unmatched small row once
+    PER SALT REPLICA. Rejected loudly rather than silently wrong.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer", "semi",
+                   "leftsemi", "left_semi", "anti", "leftanti", "left_anti"):
+        raise ValueError(
+            f"salted_equi_join: join type {how!r} is not semantics-preserving "
+            "under small-side replication (use the plain join for right/full)"
+        )
     b = big.withColumn(
         "_salt", F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(salt))
     )

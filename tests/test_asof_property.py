@@ -178,3 +178,66 @@ def test_connected_components_match_union_find(spark, edges):
             (r["doc_id"], r["cluster_id"]) for r in impl(edf).collect()
         )
         assert got == want, impl.__name__
+
+
+BIG_ROWS = st.lists(
+    st.tuples(KEYS, st.integers(min_value=0, max_value=99)),
+    min_size=0,
+    max_size=12,
+)
+SMALL_ROWS = st.lists(
+    st.tuples(KEYS, st.integers(min_value=100, max_value=199)),
+    min_size=0,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    big=BIG_ROWS,
+    small=SMALL_ROWS,
+    salt=st.sampled_from([1, 2, 5]),
+    how=st.sampled_from(["inner", "left", "left_semi", "left_anti"]),
+)
+def test_salted_join_matches_plain_join(spark, big, small, salt, how):
+    """salted_equi_join must be row-identical to the plain equi-join for
+    every big-side-preserving join type, NULL keys included (NULL never
+    matches; left/anti keep the NULL-key big rows)."""
+    import pandas as pd
+
+    from kafka_topic_analyzer_spark.operators.skew import salted_equi_join
+
+    bdf = spark.createDataFrame(
+        [(k, v) for k, v in big] or [], "k long, bval long"
+    )
+    sdf = spark.createDataFrame(
+        [(k, v) for k, v in small] or [], "k long, sval long"
+    )
+
+    def rows(df):
+        # NULLs sort as (-inf marker) tuples so None and float compare
+        normed = [
+            tuple((x is None or pd.isna(x), None if (x is None or pd.isna(x)) else int(x)) for x in r)
+            for r in df.toPandas().itertuples(index=False)
+        ]
+        return sorted(normed, key=repr)
+
+    got = rows(salted_equi_join(bdf, sdf, "k", salt=salt, how=how))
+    want = rows(bdf.join(sdf, "k", how))
+    assert got == want, (how, salt)
+
+
+def test_salted_join_rejects_small_side_outer(spark):
+    import pytest as _pytest
+
+    from kafka_topic_analyzer_spark.operators.skew import salted_equi_join
+
+    bdf = spark.createDataFrame([(1, 2)], "k long, bval long")
+    sdf = spark.createDataFrame([(1, 3)], "k long, sval long")
+    for how in ("right", "full", "outer", "full_outer"):
+        with _pytest.raises(ValueError):
+            salted_equi_join(bdf, sdf, "k", how=how)
