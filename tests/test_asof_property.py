@@ -1,15 +1,26 @@
-"""Property-based verification of the custom join operators.
+"""Property-based verification of the semantics-heavy custom operators.
 
-The as-of join just produced a real bug class (NULL join keys grouped
-together by the window's partitionBy, found by the registry fuzz in r6) —
-so both custom joins are now checked against brute-force reference
-implementations over hypothesis-generated inputs, NULLs included:
+The as-of join produced a real bug class (NULL join keys grouped together
+by the window's partitionBy, found by the registry fuzz in r6) — so every
+operator whose semantics live in subtle ordering/NULL/grouping rules is
+checked against a brute-force reference implementation over
+hypothesis-generated inputs, NULLs included:
 
 - ``asof_join_backward`` vs a per-row "greatest right.ts <= left.ts within
   the same non-NULL key" scan (standard SQL predicate semantics: NULL key
   or NULL ts never matches, left rows always survive).
 - ``range_join_binned`` vs the O(n*m) nested loop over the exact
   ``start <= p < end`` predicate (each match exactly once).
+- both connected-components implementations vs union-find (this run found
+  the star variant dropping self-loop-only vertices).
+- ``salted_equi_join`` vs the plain join for every big-side-preserving
+  join type.
+- ``compacted_state`` vs a literal log replay (the reference engine's
+  core alive-keys semantics: greatest (partition, offset) wins, NULL
+  value = tombstone, NULL keys ignored).
+- ``session_stats`` vs sort-and-split-on-gap sessionization (tied
+  timestamps, NULL users as one group — both engines' PARTITION BY
+  semantics).
 
 Examples are capped low: each example runs two Spark jobs, and the value
 of a property test here is input-shape diversity (duplicate timestamps,
@@ -241,3 +252,124 @@ def test_salted_join_rejects_small_side_outer(spark):
     for how in ("right", "full", "outer", "full_outer"):
         with _pytest.raises(ValueError):
             salted_equi_join(bdf, sdf, "k", how=how)
+
+
+# --- compacted state (the reference's core alive-keys semantics) ---
+
+MSG_KEYS = st.one_of(st.none(), st.sampled_from(["a", "b", "c"]))
+MSG_VALUES = st.one_of(st.none(), st.sampled_from(["x", "yy"]))
+MESSAGES = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=2), MSG_KEYS, MSG_VALUES),
+    min_size=0,
+    max_size=16,
+)
+
+
+def _reference_compacted(msgs):
+    """Replay the log like a compacting broker: per non-null key, the
+    record at the greatest (partition, offset) wins; alive = its value is
+    not a tombstone."""
+    state = {}
+    for part, off, k, v in msgs:
+        if k is None:
+            continue
+        cur = state.get(k)
+        if cur is None or (part, off) > (cur[0], cur[1]):
+            state[k] = (part, off, v)
+        state.setdefault("_versions_" + k, 0)
+        state["_versions_" + k] += 1
+    out = []
+    for k, (part, off, v) in [(k, s) for k, s in state.items() if not k.startswith("_")]:
+        out.append((k, v is not None, part, off, state["_versions_" + k]))
+    return sorted(out)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(raw=MESSAGES)
+def test_compacted_state_matches_log_replay(spark, raw):
+    from kafka_topic_analyzer_spark.operators.alive_keys import compacted_state
+
+    # contract: (partition, offset) unique — assign offsets per partition
+    next_off = {}
+    msgs = []
+    for part, k, v in raw:
+        off = next_off.get(part, 0)
+        next_off[part] = off + 1
+        msgs.append((part, off, k, v))
+    kdf = spark.createDataFrame(
+        [(p, o, k.encode() if k else None, v.encode() if v else None)
+         for p, o, k, v in msgs] or [],
+        "partition int, offset long, key binary, value binary",
+    )
+    got = sorted(
+        (bytes(r["key"]).decode(), r["alive"], r["last_partition"],
+         r["last_offset"], r["versions"])
+        for r in compacted_state(kdf).collect()
+    )
+    assert got == _reference_compacted(msgs)
+
+
+# --- gap-based sessionization ---
+
+EVENTS = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=1, max_value=3)),
+        st.integers(min_value=0, max_value=7200),  # seconds; gap threshold 1800
+    ),
+    min_size=0,
+    max_size=16,
+)
+
+
+def _reference_sessions(events, gap_sec):
+    """Sort per user (NULL users form one group, matching both engines'
+    window PARTITION BY), split on gap > gap_sec, emit per-user stats."""
+    byuser = {}
+    for u, t in events:
+        byuser.setdefault(u, []).append(t)
+    out = []
+    for u, ts in byuser.items():
+        ts.sort()
+        sessions = []
+        for t in ts:
+            if sessions and t - sessions[-1][-1] <= gap_sec:
+                sessions[-1].append(t)
+            else:
+                sessions.append([t])
+        n_events = sum(len(s) for s in sessions)
+        out.append((
+            u,
+            len(sessions),
+            n_events,
+            sum(s[-1] - s[0] for s in sessions),
+            max(len(s) for s in sessions),
+        ))
+    return sorted(out, key=repr)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=EVENTS)
+def test_session_stats_match_reference(spark, events):
+    from kafka_topic_analyzer_spark.operators.windows import session_stats
+
+    NS = 1_000_000_000
+    df = spark.createDataFrame(
+        [(u, t * NS) for u, t in events] or [], "user_id long, ts long"
+    )
+    got = sorted(
+        (
+            ((None if r["user_id"] is None else r["user_id"]), r["n_sessions"],
+             r["n_events"], r["total_duration_sec"], r["max_session_events"])
+            for r in session_stats(df, gap_sec=1800).collect()
+        ),
+        key=repr,
+    )
+    assert got == _reference_sessions(events, 1800)
