@@ -15,14 +15,30 @@ import sys
 import time
 
 
+VERSION = "0.6.0"  # reference prints clap's -V/--version (src/main.rs:35)
+
+
 def parse_consumer_config(pairs: list[str]) -> dict[str, str]:
-    """``key=value`` pairs → dict (ref src/main.rs:84-92)."""
+    """``key=value`` pairs → dict (ref src/main.rs:84-92).
+
+    Each argument may itself be a comma-separated list of pairs — the
+    reference takes ONE ``--librdkafka "a=1,b=2"`` string and splits on
+    commas; this CLI additionally allows repeating ``-p``. Values may
+    contain ``=`` (first-'=' split, pinned by the
+    kafka_consumer_config_audit query); empty comma segments are skipped.
+    """
     out: dict[str, str] = {}
-    for pair in pairs:
-        if "=" not in pair:
-            raise ValueError(f"invalid consumer config (want key=value): {pair!r}")
-        k, v = pair.split("=", 1)
-        out[k.strip()] = v.strip()
+    for chunk in pairs:
+        for pair in chunk.split(","):
+            pair = pair.strip()
+            if not pair:
+                continue
+            if "=" not in pair:
+                raise ValueError(
+                    f"invalid consumer config (want key=value): {pair!r}"
+                )
+            k, v = pair.split("=", 1)
+            out[k.strip()] = v.strip()
     return out
 
 
@@ -31,6 +47,7 @@ def main(argv: list[str] | None = None) -> int:
         prog="kafka-topic-analyzer-spark",
         description="Analyze a Kafka topic's metrics with Spark.",
     )
+    ap.add_argument("--version", "-V", action="version", version=VERSION)
     ap.add_argument("--topic", "-t", default="events-log")
     ap.add_argument("--bootstrap-server", "-b", default=None)
     ap.add_argument(

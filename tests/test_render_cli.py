@@ -66,3 +66,25 @@ def test_kafka_source_options():
 
     stream_opts = kafka_options("b:9092", "t", ending_offsets=None)
     assert "endingOffsets" not in stream_opts
+
+
+def test_parse_consumer_config_comma_separated_reference_style():
+    """The reference takes ONE comma-separated --librdkafka string
+    (src/main.rs:84-92); each -p argument accepts the same shape."""
+    from kafka_topic_analyzer_spark.cli import parse_consumer_config
+
+    cfg = parse_consumer_config(["a=1, b = 2,sasl.jaas.config=user=admin", "c=3"])
+    assert cfg == {"a": "1", "b": "2", "sasl.jaas.config": "user=admin", "c": "3"}
+    # empty segments (trailing commas) are skipped, not errors
+    assert parse_consumer_config(["x=1,,"]) == {"x": "1"}
+
+
+def test_cli_version_flag(capsys):
+    import pytest
+
+    from kafka_topic_analyzer_spark.cli import VERSION, main
+
+    with pytest.raises(SystemExit) as e:
+        main(["--version"])
+    assert e.value.code == 0
+    assert VERSION in capsys.readouterr().out
