@@ -52,3 +52,25 @@ def test_queries_survive_vanilla_shuffle_default(spark, duck):
             _check(spark, duck, name)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_bpe_loop_restores_foreign_shuffle_conf(spark, duck):
+    """The 10-merge trainer pins 8 shuffle partitions inside
+    scoped_shuffle_partitions; under a vanilla 200-partition session it
+    must still hash-match, and afterwards the session must sit at
+    prepare_session's right-sized value (the wrapper re-tunes the 200
+    DEFAULT to core count by design before the loop ever runs) — i.e.
+    the loop restored exactly what it found, leaking nothing."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "200")
+    try:
+        _check(spark, duck, "bpe_encode_corpus")
+        right_sized = str(max(spark.sparkContext.defaultParallelism, 8))
+        assert spark.conf.get("spark.sql.shuffle.partitions") == right_sized
+        # a NON-default choice is honored end-to-end: prepare_session
+        # leaves it alone and the loop restores it
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        _check(spark, duck, "bpe_train_merges")
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "17"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
