@@ -729,3 +729,51 @@ def test_hll_sketch_union_is_mergeable(spark):
     exact = kdf.select("key").distinct().count()
     assert merged == direct
     assert abs(direct - exact) <= 0.05 * exact
+
+
+def test_salted_join_bounds_the_hot_reduce_partition(spark):
+    """The structural claim behind the bench skew ladder, test-enforced at
+    small scale: with broadcast and AQE disabled, the plain join funnels
+    every hot-key row through ONE reduce partition, while the salted join
+    bounds the max partition at ~hot/salt. Wall-clock speedup is ambient-
+    dependent; this partition-size inequality is not."""
+    from pyspark.sql import functions as F
+
+    from kafka_topic_analyzer_spark.operators.skew import salted_equi_join
+    from kafka_topic_analyzer_spark.session import scoped_shuffle_partitions
+
+    n, hot_key = 200_000, 7
+    big = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit(hot_key))
+        .otherwise(F.col("id") % 1000 + 100)
+        .cast("long")
+        .alias("key"),
+        F.col("id").alias("v"),
+    )
+    small = spark.range(1200).select(F.col("id").alias("key"), (F.col("id") * 10).alias("w"))
+
+    def max_partition_rows(joined):
+        return (
+            joined.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid").count().agg(F.max("count")).collect()[0][0]
+        )
+
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+        "spark.sql.adaptive.enabled": spark.conf.get("spark.sql.adaptive.enabled"),
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        with scoped_shuffle_partitions(spark, 64):
+            plain_max = max_partition_rows(big.join(small, "key"))
+            salted_max = max_partition_rows(salted_equi_join(big, small, "key", salt=16))
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+    assert plain_max >= n // 2  # every hot row in one partition
+    # salt=16 bounds the hot shard; allow 3 shards colliding in one of
+    # the 64 partitions plus the background keys
+    assert salted_max <= 3 * (n // 2) // 16 + n // 10, (plain_max, salted_max)
+    assert salted_max * 4 <= plain_max
