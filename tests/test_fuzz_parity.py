@@ -128,3 +128,49 @@ def test_sentence_split_fuzz(fuzz_docs):
                s -> length(s) > 0), chr(31)), '')
            FROM documents""",
     )
+
+
+def test_known_unicode_casing_divergences_are_pinned(spark, duck):
+    """The engine's text semantics are the JVM's Unicode rules (Spark
+    `lower`); the DuckDB oracle harness differs on exactly two known
+    mappings — pinned here so an engine upgrade that silently changes
+    either side is caught, and so the divergence class is documented
+    rather than latent:
+
+    - U+0130 'İ' (Turkish capital dotted I): JVM lowers to 'i' + U+0307
+      combining dot (2 codepoints); DuckDB to plain 'i'.
+    - word-final 'Σ': the JVM applies the context-aware final-sigma rule
+      ('ς'); DuckDB maps every 'Σ' to 'σ'.
+
+    The companion guarantee (test below) is that the shipped fixtures
+    contain none of these codepoints, so oracle-parity green never
+    silently depends on matching behavior that does not match.
+    """
+    from pyspark.sql import functions as F
+
+    rows = (
+        spark.createDataFrame([("İ",), ("ΣΟΦΟΣ",)], "t string")
+        .select("t", F.lower("t").alias("lo"))
+        .collect()
+    )
+    jvm = {r["t"]: r["lo"] for r in rows}
+    assert jvm["İ"] == "i̇"
+    assert jvm["ΣΟΦΟΣ"] == "σοφος"  # final sigma
+    got = dict(
+        duck.execute("SELECT t, lower(t) FROM (VALUES ('İ'), ('ΣΟΦΟΣ')) v(t)").fetchall()
+    )
+    assert got["İ"] == "i"
+    assert got["ΣΟΦΟΣ"] == "σοφοσ"  # no final-sigma rule
+
+
+def test_fixtures_avoid_casing_divergent_codepoints(duck):
+    """Guard: the testdata corpora carry none of the codepoints on which
+    the two engines' lower() disagree (see test above)."""
+    from tests.conftest import SF_ORACLE, SF_SMOKE
+
+    for sf in (SF_SMOKE, SF_ORACLE):
+        n = duck.execute(
+            f"SELECT count(*) FROM '{sf}/documents.parquet'"
+            " WHERE regexp_matches(text, '[İΣ]')"
+        ).fetchone()[0]
+        assert n == 0, f"{sf}: {n} docs carry casing-divergent codepoints"
