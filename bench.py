@@ -257,7 +257,12 @@ def main() -> None:
             salted = timed_skew_join(
                 salted_equi_join(hot, cust, "user_id", salt=16), runs
             )
-            skew_ladder[str(rung_rows)] = {
+            # Keyed by target_rows: rung_rows derives from a replication
+            # factor that CLAMPS (repl = max(1, target//n_ev)), so on a
+            # large base table two targets could collapse to the same
+            # measured row count and silently overwrite each other.
+            skew_ladder[str(target_rows)] = {
+                "rows": rung_rows,
                 "plain_sec": round(plain, 3),
                 "salted_sec": round(salted, 3),
                 "speedup": round(plain / salted, 2),

@@ -15,7 +15,9 @@ import sys
 import time
 
 
-VERSION = "0.6.0"  # reference prints clap's -V/--version (src/main.rs:35)
+# Only the -V/--version FLAG mirrors the reference CLI (src/main.rs:35);
+# the value printed is this project's own version, not the reference's.
+VERSION = "0.6.0"
 
 
 def parse_consumer_config(pairs: list[str]) -> dict[str, str]:

@@ -712,8 +712,12 @@ def _bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_syms"), F.length("word").cast("long")).alias("n_tok"),
         F.length("word").cast("long").alias("n_chars"),
     )
+    # doc_id IS NOT NULL gate: under ROLLUP a genuine NULL doc_id would be
+    # indistinguishable from the grand-total row (two NULL rows, ambiguous
+    # NULLS LAST ordering) — advisor r6. Mirrored in the oracle's enc CTE.
     return (
-        enc.rollup("doc_id")
+        enc.where(F.col("doc_id").isNotNull())
+        .rollup("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_words"),
             F.sum("n_chars").alias("n_chars"),
@@ -745,6 +749,7 @@ enc AS (
          COALESCE(n_syms, CAST(length(word) AS BIGINT)) AS n_tok,
          CAST(length(word) AS BIGINT) AS n_chars
   FROM doc_words LEFT JOIN vocab USING (word)
+  WHERE doc_id IS NOT NULL
 )
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_words,

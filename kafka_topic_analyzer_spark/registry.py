@@ -43,60 +43,57 @@ def register(name: str, spark_fn: Callable[[SparkSession, str], DataFrame], orac
 # commits SELFCHECK_r{N}.json, so every query has fresh evidence every round
 # even when outside the driver window.
 CHECK_PRIORITY: tuple[str, ...] = (
-    # -- round 6 rotation: the 31 queries whose newest driver row is r3 --
-    "hourly_spike_detection",
-    "event_funnel",
-    "weekly_retention_cohorts",
-    "user_state_history",
-    "events_quality_checks",
-    "kafka_report_partition_streaming",
-    "kafka_compacted_state_streaming",
-    "windowed_counts_streaming",
-    "purchase_click_join_streaming",
-    "exact_dedup_streaming",
-    "dedup_within_watermark_streaming",
-    "session_windows_streaming",
-    "image_feature_stats",
-    "audio_chunk_stats",
-    "image_resize_inventory",
-    "stratified_sample_summary",
-    "per_group_sample",
-    "event_value_histogram",
-    "quality_percentile_gate",
-    "sequence_packing",
-    "training_shard_manifest",
-    "doc_chunking",
-    "source_char_dispersion",
-    "per_lang_length_norm",
-    "source_mixing_weights",
-    "corpus_summary",
-    "mixed_sample_audit",
-    "top_terms_per_source",
-    "term_postings",
-    "keyword_search",
-    "benchmark_contamination",
-    # -- registered this round, never checked --
-    "bpe_encode_corpus",
-    # -- oldest round-4 rows, to fill the 50-query window --
-    "kafka_alive_keys_approx",
-    "kafka_alive_keys_hll_audit",
-    "report_metrics_unpivot",
-    "event_lateness_profile",
-    "kafka_report_rendered",
-    "kafka_summary_rendered",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_regional_revenue",
-    "top3_customers_per_segment",
-    "orders_rollup",
-    "customers_without_recent_orders",
-    "priority_with_discounted_lines",
-    "large_parts_in_lineitem",
-    "order_status_pivot",
-    "supplier_running_revenue",
-    "customer_retention_sets",
-    "orders_cube",
-    # balance_deciles (r4) displaced by bpe_encode_corpus; leads the r7 set
+    # -- round 7 rotation: 31 r4-stale first, then oldest r5 rows --
+    "balance_deciles",  # last row r4
+    "monthly_order_growth",  # last row r4
+    "q6_forecast_revenue",  # last row r4
+    "q12_returnflag_priority",  # last row r4
+    "q14_promo_share",  # last row r4
+    "q4_late_ship_priority",  # last row r4
+    "q13_order_count_distribution",  # last row r4
+    "q22_idle_rich_customers",  # last row r4
+    "doc_token_stats",  # last row r4
+    "source_quality_summary",  # last row r4
+    "lang_id_confusion",  # last row r4
+    "compression_roundtrip_audit",  # last row r4
+    "bigram_familiarity",  # last row r4
+    "embedding_coverage_check",  # last row r4
+    "dup_graph_pagerank",  # last row r4
+    "semantic_dup_clusters",  # last row r4
+    "incremental_dedup_status",  # last row r4
+    "substring_dup_spans",  # last row r4
+    "near_dup_source_matrix",  # last row r4
+    "tfidf_cosine_pairs",  # last row r4
+    "dup_graph_triangles",  # last row r4
+    "salted_user_enrichment",  # last row r4
+    "enriched_segment_stats_streaming",  # last row r4
+    "video_frame_inventory",  # last row r4
+    "dataset_split_summary",  # last row r4
+    "quality_weighted_sample",  # last row r4
+    "zorder_layout_audit",  # last row r4
+    "documents_quality_checks",  # last row r4
+    "embeddings_quality_checks",  # last row r4
+    "event_value_quantiles_audit",  # last row r4
+    "bm25_doc_ranking",  # last row r4
+    "kafka_report_partition",  # last row r5
+    "kafka_report_global",  # last row r5
+    "kafka_alive_keys",  # last row r5
+    "kafka_compacted_state",  # last row r5
+    "kafka_consumer_config_audit",  # last row r5
+    "kafka_empty_topic_guard_audit",  # last row r5
+    "kafka_scan_observability_audit",  # last row r5
+    "rich_customers_per_segment",  # last row r5
+    "q17_small_quantity_revenue",  # last row r5
+    "q18_large_volume_orders",  # last row r5
+    "q19_disjunctive_revenue",  # last row r5
+    "q21_waiting_suppliers",  # last row r5
+    "text_cleaning",  # last row r5
+    "pii_redaction",  # last row r5
+    "doc_repetition_stats",  # last row r5
+    "doc_fingerprints",  # last row r5
+    "sentence_stats",  # last row r5
+    "exact_dup_summary",  # last row r5
+    "near_dup_pairs_jaccard",  # last row r5
 )
 
 

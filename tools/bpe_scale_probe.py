@@ -50,21 +50,27 @@ def main() -> None:
     id_shift = (max_id or 0) + 1
 
     def timed_train(docs):
-        best, merges = float("inf"), None
+        """Returns (best train seconds, merge log, MATERIALIZED final vocab).
+
+        The final state is localCheckpoint'ed so timed_encode measures
+        ONLY the serving path (vocab join + aggregation) — not a lazy
+        re-derivation of training (advisor r6: the two metrics were
+        conflated when encode re-ran the trainer inside its timer)."""
+        best, merges, final = float("inf"), None, None
         for _ in range(2):
             t0 = time.perf_counter()
-            m, _ = _bpe_train_state(_bpe_symbolized_vocab(docs), BPE_N_MERGES)
+            m, f = _bpe_train_state(_bpe_symbolized_vocab(docs), BPE_N_MERGES)
+            f = f.localCheckpoint(eager=True)
             best = min(best, time.perf_counter() - t0)
-            merges = m
-        return best, merges
+            merges, final = m, f
+        return best, merges, final
 
-    def timed_encode(docs):
-        from kafka_topic_analyzer_spark.queries.terms import _bpe_train_state as ts
-
+    def timed_encode(docs, final):
+        """Time the encode half alone: join exploded tokens to the
+        pre-trained (checkpointed) vocab and aggregate."""
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            _, final = ts(_bpe_symbolized_vocab(docs), BPE_N_MERGES)
             s2 = "··"
             vocab = final.select(
                 "word",
@@ -100,8 +106,8 @@ def main() -> None:
             ).write.mode("overwrite").parquet(path)
             stored = spark.read.parquet(path)
             n_docs = stored.count()
-            train_sec, merges = timed_train(stored)
-            encode_sec = timed_encode(stored)
+            train_sec, merges, final = timed_train(stored)
+            encode_sec = timed_encode(stored, final)
             out.append(
                 {
                     "docs": n_docs,

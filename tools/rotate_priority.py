@@ -34,7 +34,16 @@ def main() -> None:
         for name in rows:
             seen[name] = max(seen.get(name, 0), rnd)
 
-    names = list(all_queries())
+    from kafka_topic_analyzer_spark.registry import _REGISTRY
+
+    all_names = list(all_queries())
+    # No-oracle queries only ever yield a `no_oracle` driver row — their
+    # exact audit twins carry the real evidence — so spending a window
+    # slot on them is waste; keep them out of the rotation entirely.
+    names = [n for n in all_names if _REGISTRY[n].oracle is not None]
+    skipped = [n for n in all_names if _REGISTRY[n].oracle is None]
+    if skipped:
+        print(f"# skipping no-oracle (audit twins carry evidence): {', '.join(skipped)}")
     rowless = [n for n in names if n not in seen]
     stale = sorted((n for n in names if n in seen), key=lambda n: (seen[n], names.index(n)))
     ordered = rowless + stale
