@@ -385,6 +385,26 @@ def main() -> None:
 
     _, bpe_iters = bpe_train_with_timings(spark, sf_dir)
 
+    # Production-depth hybrid train: distributed census -> driver-local
+    # incremental merge loop (operators/bpe.py). One number proves the
+    # structural claim: 1000 real greedy merges in seconds, versus
+    # one-Spark-job-per-merge which the per-iteration series above prices
+    # at ~0.1-0.2 s/merge (i.e. minutes for the same depth).
+    from kafka_topic_analyzer_spark.operators.bpe import bpe_train
+    from kafka_topic_analyzer_spark.queries.terms import (
+        BPE_DEEP_N_MERGES,
+        _bpe_bigram_vocab,
+    )
+    from kafka_topic_analyzer_spark.sources.tables import load_table as _load_tbl
+
+    t0 = time.perf_counter()
+    deep_merges, _deep_vocab = bpe_train(
+        spark, _bpe_bigram_vocab(_load_tbl(spark, sf_dir, "documents")),
+        BPE_DEEP_N_MERGES,
+    )
+    bpe_deep_train_sec = time.perf_counter() - t0
+    bpe_deep_merges_done = len(deep_merges)
+
     # Message bytes = key + value lengths, the reference's topic-size
     # definition (src/metric.rs:48-50,193-195); byte rates below use the
     # measured sums from the stored logs.
@@ -443,6 +463,8 @@ def main() -> None:
                 # (flat profile = the checkpoint cadence works)
                 "bpe_iter_secs": [round(t, 3) for t in bpe_iters],
                 "bpe_n_merges": len(bpe_iters),
+                "bpe_deep_train_sec": round(bpe_deep_train_sec, 3),
+                "bpe_deep_merges": bpe_deep_merges_done,
                 # state rows after each incremental AvailableNow trigger
                 # over a growing month-long log: plateau == watermark works
                 # recall@10 vs exact brute-force by nprobe (nlist=16):

@@ -1,0 +1,169 @@
+"""Hybrid BPE trainer: distributed vocabulary census, local merge loop.
+
+The production tokenizer-training shape (Sennrich et al. 2016, as deployed
+by SentencePiece/HuggingFace trainers): the CORPUS-sized work — collapsing
+the token stream to its distinct word-form vocabulary with corpus counts —
+runs distributed (one shuffle, map-side combinable), while the merge loop
+itself runs driver-local over the collected weighted vocabulary. The vocab
+is vocabulary-sized by construction (Heaps' law: ~10^5-10^7 forms for a
+100 TB corpus — megabytes, not the corpus), so collecting it is the same
+bounded-driver-data pattern as the IVF quantizer's training sample
+(operators/similarity.py). A 30k-merge production run is then seconds of
+driver CPU instead of 30k Spark jobs; only the census and the encode join
+touch the cluster.
+
+Guard rail: ``bpe_train`` collects only when the census row count is under
+``BPE_COLLECT_GATE`` (5M forms ≈ low hundreds of MB of driver heap); above
+it, the per-merge-Spark-job loop (queries/terms.py:_bpe_train_state — one
+vocabulary-sized pair rollup + argmax per merge) takes over. Both engines
+emit the identical merge log; tests/test_bpe_hybrid.py pins local ==
+distributed on the same census.
+
+The local loop is the classic incremental trainer: pair counts are
+maintained under a lazy max-heap (every count change pushes a fresh heap
+entry; stale entries are discarded at pop time when their count no longer
+matches), and each merge touches only the words that actually contain the
+winning pair — never a full recount. Merge application is left-to-right
+non-overlapping, exactly the semantics of the distributed loop's
+sentinel-wrapped ``replace`` (and of the DuckDB oracles).
+
+Determinism: ties break on (count DESC, left ASC, right ASC); Python's
+str comparison is codepoint order, identical to Spark/DuckDB binary
+collation on the fixture alphabet.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Above this census size the collected vocab would stress driver heap;
+# fall back to the per-merge-job distributed loop. See SCALING.md.
+BPE_COLLECT_GATE = 5_000_000
+
+MergeLog = list[tuple[int, str, str, int, str]]
+
+
+def bpe_local_merge_loop(
+    vocab: list[tuple[str, int]], n_merges: int
+) -> tuple[MergeLog, list[tuple[str, int, int]]]:
+    """Greedy BPE over a weighted vocabulary, driver-local.
+
+    ``vocab``: (word, corpus_count) pairs. Returns (merge_log rows
+    ``(step, left, right, pair_count, new_symbol)``, final vocab rows
+    ``(word, n_symbols, corpus_count)``).
+
+    Incremental update: when pair (L,R) wins, only words indexed under
+    (L,R) are rescanned — old adjacencies subtracted, the merge applied
+    left-to-right non-overlapping, new adjacencies added. Every count
+    change pushes a (−count, l, r) heap entry; a popped entry is live
+    only if its count still matches, so the first live pop IS the
+    argmax with the (count DESC, l ASC, r ASC) tie-break.
+    """
+    words: list[list[str]] = []
+    wcs: list[int] = []
+    for w, wc in vocab:
+        words.append(list(w))
+        wcs.append(int(wc))
+
+    counts: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set[int]] = {}
+    heap: list[tuple[int, str, str]] = []
+
+    def bump(pair: tuple[str, str], delta: int, idx: int | None = None) -> None:
+        c = counts.get(pair, 0) + delta
+        if c <= 0:
+            counts.pop(pair, None)
+            return
+        counts[pair] = c
+        if idx is not None:
+            where.setdefault(pair, set()).add(idx)
+        heapq.heappush(heap, (-c, pair[0], pair[1]))
+
+    for idx, syms in enumerate(words):
+        wc = wcs[idx]
+        for a, b in zip(syms, syms[1:]):
+            bump((a, b), wc, idx)
+
+    merges: MergeLog = []
+    for step in range(1, n_merges + 1):
+        best = None
+        while heap:
+            negc, l, r = heapq.heappop(heap)
+            if counts.get((l, r)) == -negc:
+                best = (l, r)
+                best_count = -negc
+                break
+        if best is None:
+            break  # vocabulary fully merged — same early stop as the oracles
+        l, r = best
+        new_sym = l + r
+        for idx in sorted(where.pop(best, ())):
+            syms = words[idx]
+            wc = wcs[idx]
+            out: list[str] = []
+            i = 0
+            changed = False
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == r:
+                    out.append(new_sym)
+                    i += 2
+                    changed = True
+                else:
+                    out.append(syms[i])
+                    i += 1
+            if not changed:
+                continue  # stale index entry: pair already consumed here
+            for a, b in zip(syms, syms[1:]):
+                bump((a, b), -wc)
+            for a, b in zip(out, out[1:]):
+                bump((a, b), wc, idx)
+            words[idx] = out
+        merges.append((step, l, r, best_count, new_sym))
+
+    final = [(v[0], len(s), int(v[1])) for v, s in zip(vocab, words)]
+    return merges, final
+
+
+_VOCAB_SCHEMA = "word string, n_syms long, wc long"
+
+
+def bpe_train(
+    spark: SparkSession,
+    census: DataFrame,
+    n_merges: int,
+    collect_gate: int = BPE_COLLECT_GATE,
+) -> tuple[MergeLog, DataFrame]:
+    """Train BPE over a (word, sym, wc) census DataFrame; returns the
+    merge log plus the final encoder vocab as a DataFrame
+    (word, n_syms, wc).
+
+    Hybrid dispatch: census row count <= ``collect_gate`` -> collect the
+    weighted vocab and run the driver-local loop (production shape, any
+    merge depth in seconds); above the gate -> the distributed
+    one-Spark-job-per-merge loop (correct at any vocab size, linear job
+    count in depth). Both paths produce identical logs/vocabs — pinned by
+    tests/test_bpe_hybrid.py.
+    """
+    from kafka_topic_analyzer_spark.queries.terms import _BPE_SEP, _bpe_train_state
+
+    n = census.count()
+    if n <= collect_gate:
+        rows = census.select("word", "wc").collect()
+        merges, final = bpe_local_merge_loop(
+            [(r["word"], r["wc"]) for r in rows], n_merges
+        )
+        vocab = spark.createDataFrame(final, _VOCAB_SCHEMA)
+        return merges, vocab
+    merges, cur = _bpe_train_state(census, n_merges)
+    s2 = _BPE_SEP + _BPE_SEP
+    vocab = cur.select(
+        "word",
+        F.size(F.split(F.expr("substring(sym, 2, length(sym)-2)"), s2))
+        .cast("long")
+        .alias("n_syms"),
+        "wc",
+    )
+    return merges, vocab

@@ -576,6 +576,14 @@ def _bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     previous winner already merged, which is what distinguishes a trainer
     from ``bpe_merge_candidates``'s single census.
 
+    Since r7 the merge loop itself runs through the HYBRID engine
+    (operators/bpe.py): distributed census, then a driver-local
+    incremental merge loop over the collected weighted vocab (it is
+    vocabulary-sized by construction), with the distributed
+    one-job-per-merge loop below as the >5M-form fallback. Output is
+    bit-identical to the distributed loop (tests/test_bpe_hybrid.py) so
+    the chained-CTE oracle is unchanged.
+
     Representation: a word's symbol sequence is the string
     ``·s1··s2··s3·`` — every symbol wrapped in the sentinel — so applying
     a merge is one engine-native ``replace('·L··R·', '·LR·')``: the
@@ -596,8 +604,10 @@ def _bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: counts are pure int64; the argmax tie-breaks on
     (count DESC, left ASC, right ASC).
     """
+    from kafka_topic_analyzer_spark.operators.bpe import bpe_train
+
     d = load_table(spark, sf_dir, "documents")
-    merges, _ = _bpe_train_state(_bpe_symbolized_vocab(d), BPE_N_MERGES)
+    merges, _ = bpe_train(spark, _bpe_symbolized_vocab(d), BPE_N_MERGES)
     return _bpe_merge_log_df(spark, merges)
 
 
@@ -611,10 +621,13 @@ def _bpe_merge_log_df(spark: SparkSession, merges: list[tuple]) -> DataFrame:
 
 
 def bpe_train_with_timings(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list]:
-    """bench.py hook: run the full trainer, returning the merge log plus
-    measured per-iteration seconds (each loop body ends in an action —
-    argmax take(1) and the periodic checkpoint — so the wall-clock split
-    is honest)."""
+    """bench.py hook: run the DISTRIBUTED per-merge-job loop (the hybrid
+    engine's >5M-form fallback path, operators/bpe.py), returning the
+    merge log plus measured per-iteration seconds (each loop body ends in
+    an action — argmax take(1) and the periodic checkpoint — so the
+    wall-clock split is honest). Deliberately NOT the hybrid fast path:
+    this measures the flat per-iteration profile of the loop that would
+    run at a >5M-form vocabulary."""
     d = load_table(spark, sf_dir, "documents")
     timings: list = []
     merges, _ = _bpe_train_state(_bpe_symbolized_vocab(d), BPE_N_MERGES, timings)
@@ -695,15 +708,11 @@ def _bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs), then one rollup aggregation. Counts are pure int64; the one
     double (chars_per_token) derives from exact integer pairs.
     """
+    from kafka_topic_analyzer_spark.operators.bpe import bpe_train
+
     d = load_table(spark, sf_dir, "documents")
-    _, final = _bpe_train_state(_bpe_symbolized_vocab(d), BPE_N_MERGES)
-    s2 = _BPE_SEP + _BPE_SEP
-    vocab = final.select(
-        "word",
-        F.size(F.split(F.expr("substring(sym, 2, length(sym)-2)"), s2))
-        .cast("long")
-        .alias("n_syms"),
-    )
+    _, vocab = bpe_train(spark, _bpe_symbolized_vocab(d), BPE_N_MERGES)
+    vocab = vocab.select("word", "n_syms")
     doc_words = d.select(
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("word")
     )
@@ -764,3 +773,242 @@ ORDER BY doc_id NULLS LAST
 
 
 register("bpe_encode_corpus", _bpe_encode_corpus, _bpe_encode_sql())
+
+
+# ---------------------------------------------------------------------------
+# Deep BPE: production-depth training via the hybrid census->local-loop shape
+# ---------------------------------------------------------------------------
+
+# The documents fixture draws from a ~30-word pool, so a WORD-level trainer
+# exhausts its vocabulary after ~90 merges — structurally short of
+# production depth. The deep trainer therefore trains on FUSED ADJACENT
+# TOKEN BIGRAMS (tok_i || '_' || tok_{i+1}): ~900 distinct compound forms,
+# ~9k symbols, which supports 1000+ real greedy merges at every SF (the
+# loop exhausts at ~1047). Both engines derive the bigram corpus with the
+# same expression, so this stays a pure function of the shared tables.
+BPE_DEEP_N_MERGES = 1000
+
+
+def _bpe_bigram_vocab(d: DataFrame) -> DataFrame:
+    """Fused-bigram census: (word, sym, wc) over compound forms
+    ``tok_i + '_' + tok_{i+1}`` — same shape as _bpe_symbolized_vocab so
+    either training path accepts it."""
+    s2 = _BPE_SEP + _BPE_SEP
+    grams = (
+        d.select(tokens(F.lower(F.col("text"))).alias("toks"))
+        .where(F.size("toks") >= 2)  # sequence(1,0) would descend, not empty
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks)-1),"
+                    " i -> concat(toks[i-1], '_', toks[i]))"
+                )
+            ).alias("word")
+        )
+        .where((F.length("word") >= 2) & (~F.col("word").contains(_BPE_SEP)))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    return grams.select(
+        "word",
+        F.concat(
+            F.lit(_BPE_SEP),
+            F.array_join(F.split(F.col("word"), ""), s2),
+            F.lit(_BPE_SEP),
+        ).alias("sym"),
+        "wc",
+    )
+
+
+def _bpe_train_merges_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-depth BPE training — BPE_DEEP_N_MERGES greedy merges in
+    one call, via the hybrid engine (operators/bpe.py): the corpus-sized
+    census runs distributed (explode -> map-side-combined groupBy), the
+    merge loop runs driver-local over the collected weighted vocabulary
+    with incremental pair-count maintenance under a lazy max-heap. This
+    is the standard production trainer shape (SentencePiece/HF): 1000
+    merges cost ~0.2 s of driver CPU instead of 1000 Spark jobs; a ~30k
+    merge production run is seconds.
+
+    Scale fallback: above BPE_COLLECT_GATE (5M vocab forms) the engine
+    reverts to the per-merge-job distributed loop — see SCALING.md.
+
+    Oracle: a single recursive CTE (DuckDB WITH RECURSIVE) replays the
+    full greedy loop — per iteration a windowed global pair-argmax with
+    the same (count DESC, l ASC, r ASC) tie-break and the same sentinel
+    replace — a genuinely independent implementation of all 1000 steps.
+    """
+    from kafka_topic_analyzer_spark.operators.bpe import bpe_train
+
+    d = load_table(spark, sf_dir, "documents")
+    merges, _ = bpe_train(spark, _bpe_bigram_vocab(d), BPE_DEEP_N_MERGES)
+    return _bpe_merge_log_df(spark, merges)
+
+
+_BPE_BIGRAM_CENSUS_SQL = f"""
+SELECT word, CAST(count(*) AS BIGINT) AS wc FROM (
+  SELECT toks[CAST(i AS INT)] || '_' || toks[CAST(i+1 AS INT)] AS word
+  FROM (SELECT {_TOKS} AS toks FROM documents),
+       unnest(range(1, CAST(len(toks) AS BIGINT))) AS t(i)
+  WHERE len(toks) >= 2
+) WHERE length(word) >= 2 AND NOT contains(word, '{_BPE_SEP}')
+GROUP BY word
+"""
+
+
+def _bpe_recursive_blocks(census_sql: str, n_merges: int) -> str:
+    """DuckDB recursive-CTE replay of the greedy merge loop at arbitrary
+    depth — the oracle for the hybrid trainer. State rows are
+    (step, word, sym, wc, l, r, cnt) where (l, r, cnt) is the merge that
+    produced this step. One iteration, referencing the working table
+    exactly once: fan each word out to its adjacent symbol pairs (plus a
+    NULL sentinel pair so pairless single-symbol words survive the
+    round), window-sum pair counts, window-argmax the global top pair
+    onto every row, re-collapse per word, and apply the sentinel-wrapped
+    replace. Terminates when no pairs remain (top_l IS NULL filters all
+    rows -> empty working table) or at n_merges.
+
+    Grouped-aggregate termination discipline: the re-collapse is a
+    GROUP BY, which yields ZERO rows on empty input — a scalar aggregate
+    here would emit a NULL row every round and recurse forever.
+    """
+    sep, s2 = _BPE_SEP, _BPE_SEP * 2
+    return f"""words AS ({census_sql}),
+sym0 AS (
+  SELECT word, concat('{sep}', array_to_string(string_split(word, ''), '{s2}'), '{sep}') AS sym, wc
+  FROM words
+),
+t AS (
+  SELECT 0 AS step, word, sym, wc,
+         CAST(NULL AS VARCHAR) AS l, CAST(NULL AS VARCHAR) AS r, CAST(NULL AS BIGINT) AS cnt
+  FROM sym0
+  UNION ALL
+  SELECT step + 1, word,
+         replace(sym, '{sep}' || top_l || '{s2}' || top_r || '{sep}',
+                 '{sep}' || top_l || top_r || '{sep}') AS sym,
+         wc, top_l, top_r, top_c
+  FROM (
+    SELECT step, word, sym, wc,
+           first_value(pl) OVER w AS top_l,
+           first_value(pr) OVER w AS top_r,
+           first_value(pc) OVER w AS top_c
+    FROM (
+      SELECT step, word, sym, wc, pl, pr,
+             CASE WHEN pl IS NULL THEN NULL
+                  -- CAST: DuckDB window sum(BIGINT) yields HUGEINT, which
+                  -- pandas renders as float -> would hash-mismatch Spark's int
+                  ELSE CAST(sum(wc) OVER (PARTITION BY pl, pr) AS BIGINT) END AS pc
+      FROM (
+        SELECT step, word, sym, wc, p.pl AS pl, p.pr AS pr
+        FROM (
+          SELECT step, word, sym, wc,
+                 string_split(substr(sym, 2, length(sym)-2), '{s2}') AS ss
+          FROM t WHERE step < {n_merges}
+        ), unnest(list_concat(
+             list_transform(range(1, CAST(len(ss) AS BIGINT)),
+               i -> struct_pack(pl := ss[CAST(i AS INT)], pr := ss[CAST(i+1 AS INT)])),
+             [struct_pack(pl := CAST(NULL AS VARCHAR), pr := CAST(NULL AS VARCHAR))]
+           )) AS u(p)
+      )
+    ) WINDOW w AS (ORDER BY pc DESC NULLS LAST, pl ASC, pr ASC)
+  )
+  WHERE top_l IS NOT NULL
+  GROUP BY step, word, sym, wc, top_l, top_r, top_c
+)"""
+
+
+def _bpe_train_deep_sql() -> str:
+    return (
+        "WITH RECURSIVE "
+        + _bpe_recursive_blocks(_BPE_BIGRAM_CENSUS_SQL, BPE_DEEP_N_MERGES)
+        + """
+SELECT step, l AS left_sym, r AS right_sym, cnt AS pair_count, l || r AS new_symbol
+FROM (SELECT DISTINCT step, l, r, cnt FROM t WHERE step >= 1)
+ORDER BY step
+"""
+    )
+
+
+register("bpe_train_merges_deep", _bpe_train_merges_deep, _bpe_train_deep_sql())
+
+
+def _bpe_encode_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving half of the deep trainer: encode the fused-bigram stream
+    under the 1000-merge vocabulary, aggregated per source — the
+    token-budget table at production merge depth. Same scale shape as
+    bpe_encode_corpus: the corpus is never re-merged; the exploded
+    bigram stream joins the |vocab|-row encoder table (AQE-broadcast
+    while small) and aggregates once. Bigrams outside the trainable
+    vocab (sentinel-containing) encode char-level via coalesce."""
+    from kafka_topic_analyzer_spark.operators.bpe import bpe_train
+
+    d = load_table(spark, sf_dir, "documents")
+    _, vocab = bpe_train(spark, _bpe_bigram_vocab(d), BPE_DEEP_N_MERGES)
+    grams = (
+        d.select("source", tokens(F.lower(F.col("text"))).alias("toks"))
+        .where(F.size("toks") >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks)-1),"
+                    " i -> concat(toks[i-1], '_', toks[i]))"
+                )
+            ).alias("word"),
+        )
+    )
+    enc = grams.join(vocab.select("word", "n_syms"), "word", "left").select(
+        "source",
+        F.coalesce(F.col("n_syms"), F.length("word").cast("long")).alias("n_tok"),
+        F.length("word").cast("long").alias("n_chars"),
+    )
+    return (
+        enc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum("n_tok").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.sum("n_tok"), 4
+            ).alias("chars_per_token"),
+        )
+        .orderBy("source")
+    )
+
+
+def _bpe_encode_deep_sql() -> str:
+    s2 = _BPE_SEP * 2
+    return (
+        "WITH RECURSIVE "
+        + _bpe_recursive_blocks(_BPE_BIGRAM_CENSUS_SQL, BPE_DEEP_N_MERGES)
+        + f""",
+vocab AS (
+  SELECT word,
+         CAST(len(string_split(substr(sym, 2, length(sym) - 2), '{s2}')) AS BIGINT) AS n_syms
+  FROM t WHERE step = (SELECT max(step) FROM t)
+),
+grams AS (
+  SELECT source, toks[CAST(i AS INT)] || '_' || toks[CAST(i+1 AS INT)] AS word
+  FROM (SELECT source, {_TOKS} AS toks FROM documents),
+       unnest(range(1, CAST(len(toks) AS BIGINT))) AS t2(i)
+  WHERE len(toks) >= 2
+),
+enc AS (
+  SELECT source,
+         COALESCE(n_syms, CAST(length(word) AS BIGINT)) AS n_tok,
+         CAST(length(word) AS BIGINT) AS n_chars
+  FROM grams LEFT JOIN vocab USING (word)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens,
+       round(CAST(sum(n_chars) AS DOUBLE) / sum(n_tok), 4) AS chars_per_token
+FROM enc
+GROUP BY source
+ORDER BY source
+"""
+    )
+
+
+register("bpe_encode_deep", _bpe_encode_deep, _bpe_encode_deep_sql())

@@ -43,7 +43,9 @@ def register(name: str, spark_fn: Callable[[SparkSession, str], DataFrame], orac
 # commits SELFCHECK_r{N}.json, so every query has fresh evidence every round
 # even when outside the driver window.
 CHECK_PRIORITY: tuple[str, ...] = (
-    # -- round 7 rotation: 31 r4-stale first, then oldest r5 rows --
+    # -- round 7: new deep-BPE queries, then 31 r4-stale, then oldest r5 --
+    "bpe_train_merges_deep",
+    "bpe_encode_deep",
     "balance_deciles",  # last row r4
     "monthly_order_growth",  # last row r4
     "q6_forecast_revenue",  # last row r4
@@ -92,8 +94,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "doc_repetition_stats",  # last row r5
     "doc_fingerprints",  # last row r5
     "sentence_stats",  # last row r5
-    "exact_dup_summary",  # last row r5
-    "near_dup_pairs_jaccard",  # last row r5
 )
 
 

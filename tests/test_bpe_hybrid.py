@@ -1,0 +1,120 @@
+"""Hybrid BPE engine (operators/bpe.py) equivalence and invariants.
+
+The hybrid trainer has three independent implementations of the same
+greedy loop: the driver-local incremental loop (production path), the
+distributed per-merge-job loop (>5M-form fallback), and the DuckDB
+oracles (chained CTEs at depth 10, a recursive CTE at depth 1000).
+Oracle parity covers local-vs-DuckDB; these tests pin the remaining
+edges:
+
+- local == distributed on the same census (the dispatch must be
+  invisible);
+- incremental pair maintenance == a naive full-recount reference
+  (catches lazy-heap staleness and subtract/add bookkeeping bugs);
+- the deep log is well-formed at production depth and its greedy
+  argmax sequence is non-increasing;
+- the collect gate actually dispatches (gate=0 forces the distributed
+  path and still produces the identical log).
+"""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMOKE
+
+
+def _word_census_rows(spark):
+    from kafka_topic_analyzer_spark.queries.terms import _bpe_symbolized_vocab
+    from kafka_topic_analyzer_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    return _bpe_symbolized_vocab(d)
+
+
+def _naive_merge_loop(vocab, n_merges):
+    """Reference implementation: full recount every iteration, no heap,
+    no incremental updates. O(n_merges * corpus) — test-only."""
+    words = {w: list(w) for w, _ in vocab}
+    wcs = dict(vocab)
+    merges = []
+    for step in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + wcs[w]
+        if not counts:
+            break
+        (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, l, r, c, l + r))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+        # non-overlapping left-to-right replacement, same as replace()
+    return merges, {w: len(s) for w, s in words.items()}
+
+
+def test_incremental_equals_naive_recount(spark):
+    from kafka_topic_analyzer_spark.operators.bpe import bpe_local_merge_loop
+    from kafka_topic_analyzer_spark.queries.terms import _bpe_bigram_vocab
+    from kafka_topic_analyzer_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    vocab = [
+        (r["word"], r["wc"])
+        for r in _bpe_bigram_vocab(d).select("word", "wc").collect()
+    ]
+    fast_merges, fast_final = bpe_local_merge_loop(vocab, 60)
+    naive_merges, naive_final = _naive_merge_loop(vocab, 60)
+    assert fast_merges == naive_merges
+    assert {w: n for w, n, _ in fast_final} == naive_final
+
+
+def test_local_equals_distributed(spark):
+    from kafka_topic_analyzer_spark.operators.bpe import bpe_train
+
+    census = _word_census_rows(spark)
+    local_merges, local_vocab = bpe_train(spark, census, 10)
+    dist_merges, dist_vocab = bpe_train(spark, census, 10, collect_gate=0)
+    assert local_merges == dist_merges
+    lv = {(r["word"], r["n_syms"], r["wc"]) for r in local_vocab.collect()}
+    dv = {(r["word"], r["n_syms"], r["wc"]) for r in dist_vocab.collect()}
+    assert lv == dv
+
+
+def test_deep_log_well_formed_at_production_depth(spark):
+    import __spark_entry__ as E
+
+    from kafka_topic_analyzer_spark.queries.terms import BPE_DEEP_N_MERGES
+
+    rows = E.queries()["bpe_train_merges_deep"](spark, SF_SMOKE).collect()
+    # the fixture's bigram corpus supports >= BPE_DEEP_N_MERGES merges
+    assert len(rows) == BPE_DEEP_N_MERGES
+    assert [r["step"] for r in rows] == list(range(1, len(rows) + 1))
+    seen_symbols = set()
+    for r in rows:
+        assert r["new_symbol"] == r["left_sym"] + r["right_sym"]
+        assert r["pair_count"] > 0
+        assert (r["left_sym"], r["right_sym"]) not in seen_symbols
+        seen_symbols.add((r["left_sym"], r["right_sym"]))
+    counts = [r["pair_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True), "greedy argmax must be non-increasing"
+
+
+def test_deep_encode_reconciles_with_char_budget(spark):
+    import __spark_entry__ as E
+
+    rows = E.queries()["bpe_encode_deep"](spark, SF_SMOKE).collect()
+    assert rows, "per-source encode table must be non-empty"
+    for r in rows:
+        assert r["n_bigrams"] <= r["n_bpe_tokens"] <= r["n_chars"]
+        assert abs(r["chars_per_token"] - round(r["n_chars"] / r["n_bpe_tokens"], 4)) < 1e-9
+    # 1000 merges must compress far below character level
+    total_tok = sum(r["n_bpe_tokens"] for r in rows)
+    total_chars = sum(r["n_chars"] for r in rows)
+    assert total_tok < total_chars / 2

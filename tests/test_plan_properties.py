@@ -355,3 +355,28 @@ def test_bpe_encode_corpus_joins_vocab_once(spark):
     assert plan.count("FileScan parquet") == 1
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bpe_deep_train_emits_local_log(spark):
+    import __spark_entry__ as E
+
+    plan = _executed(E.queries()["bpe_train_merges_deep"](spark, SF_SMOKE))
+    # hybrid trainer: the 1000-row merge log is computed driver-local
+    # from the collected census — the returned plan is a local/RDD scan;
+    # no joins, no parquet rescan at log-emission time
+    assert ("LocalTableScan" in plan) or ("Scan ExistingRDD" in plan)
+    assert "FileScan parquet" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_deep_encode_joins_vocab_once(spark):
+    import __spark_entry__ as E
+
+    plan = _executed(E.queries()["bpe_encode_deep"](spark, SF_SMOKE))
+    # deep encode = exploded bigram stream LEFT JOIN the |vocab|-row
+    # encoder table (createDataFrame from the local loop -> local scan),
+    # one aggregate; exactly one documents scan, no nested loop
+    assert plan.count("FileScan parquet") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
