@@ -377,6 +377,16 @@ def main() -> None:
     join_stats = join_state_growth(spark, sf_dir, n_batches=5)
     join_state_rows_series = [s.state_rows for s in join_stats]
 
+    # ...and the third stateful family: MERGING session-window state —
+    # open (user x session) entries must stay within the watermark
+    # horizon while closed sessions leave the store.
+    from kafka_topic_analyzer_spark.streaming.state_evidence import (
+        session_state_growth,
+    )
+
+    session_stats = session_state_growth(spark, sf_dir, n_batches=5)
+    session_state_rows_series = [s.state_rows for s in session_stats]
+
     # BPE trainer depth evidence: per-iteration seconds across the 10
     # greedy merges — the localCheckpoint cadence keeps each iteration's
     # cost flat (first vs last within noise) instead of deepening with
@@ -485,6 +495,13 @@ def main() -> None:
                     s.rows_removed for s in join_stats
                 ),
                 "stream_join_state_input_rows": sum(s.input_rows for s in join_stats),
+                "stream_session_state_rows_per_trigger": session_state_rows_series,
+                "stream_session_state_rows_removed": sum(
+                    s.rows_removed for s in session_stats
+                ),
+                "stream_session_state_input_rows": sum(
+                    s.input_rows for s in session_stats
+                ),
             }
         )
     )

@@ -40,42 +40,28 @@ class TriggerStats:
     rows_removed: int
 
 
-def windowed_state_growth(
+def _replay_chunks(
     spark: SparkSession,
-    sf_dir: str,
-    n_batches: int = 6,
-    window_sec: int = 3600,
-    delay_sec: int = 3600,
+    ev,
+    build_query,
+    n_batches: int,
+    prefix: str,
 ) -> list[TriggerStats]:
-    """Replay events in ``n_batches`` time-ordered chunks through one
-    checkpointed windowed count; return per-run state-store stats."""
-    prepare_session(spark)
-    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    """Shared replay loop: write ``ev`` in ``n_batches`` time-ordered
+    chunks into a fresh input dir, drain a checkpointed AvailableNow
+    query built by ``build_query(input_dir)`` after each chunk, and read
+    per-trigger state-store stats off the progress events."""
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
     span = (hi - lo) + 1
     chunk = span // n_batches + 1
 
-    work = tempfile.mkdtemp(prefix="state_growth_")
+    work = tempfile.mkdtemp(prefix=prefix)
     input_dir = os.path.join(work, "input")
     ckpt = os.path.join(work, "ckpt")
     os.makedirs(input_dir, exist_ok=True)
     stats: list[TriggerStats] = []
     try:
-        stream = (
-            spark.readStream.schema("ts long, event_type string")
-            .parquet(input_dir)
-            .select(
-                F.timestamp_seconds(
-                    F.floor(F.col("ts") / F.lit(1_000_000_000)).cast("long")
-                ).alias("ev_ts"),
-                "event_type",
-            )
-        )
-        agg = (
-            stream.withWatermark("ev_ts", f"{delay_sec} seconds")
-            .groupBy(F.window("ev_ts", f"{window_sec} seconds"), "event_type")
-            .agg(F.count(F.lit(1)).alias("n_events"))
-        )
+        out = build_query(input_dir)
         for i in range(n_batches):
             lo_i = lo + i * chunk
             ev.where((F.col("ts") >= lo_i) & (F.col("ts") < lo_i + chunk)).coalesce(
@@ -84,7 +70,7 @@ def windowed_state_growth(
             # bounded state-store count, same rationale as runner.py
             with scoped_shuffle_partitions(spark, 8):
                 q = (
-                    agg.writeStream.format("noop")
+                    out.writeStream.format("noop")
                     .outputMode("append")
                     .option("checkpointLocation", ckpt)
                     .trigger(availableNow=True)
@@ -118,6 +104,38 @@ def windowed_state_growth(
     return stats
 
 
+def windowed_state_growth(
+    spark: SparkSession,
+    sf_dir: str,
+    n_batches: int = 6,
+    window_sec: int = 3600,
+    delay_sec: int = 3600,
+) -> list[TriggerStats]:
+    """Replay events in ``n_batches`` time-ordered chunks through one
+    checkpointed windowed count; return per-run state-store stats."""
+    prepare_session(spark)
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+
+    def build(input_dir: str):
+        stream = (
+            spark.readStream.schema("ts long, event_type string")
+            .parquet(input_dir)
+            .select(
+                F.timestamp_seconds(
+                    F.floor(F.col("ts") / F.lit(1_000_000_000)).cast("long")
+                ).alias("ev_ts"),
+                "event_type",
+            )
+        )
+        return (
+            stream.withWatermark("ev_ts", f"{delay_sec} seconds")
+            .groupBy(F.window("ev_ts", f"{window_sec} seconds"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+
+    return _replay_chunks(spark, ev, build, n_batches, "state_growth_")
+
+
 def join_state_growth(
     spark: SparkSession,
     sf_dir: str,
@@ -140,17 +158,8 @@ def join_state_growth(
         .where(F.col("event_type").isin("purchase", "click"))
         .select("event_id", "user_id", "ts", "event_type")
     )
-    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
-    span = (hi - lo) + 1
-    chunk = span // n_batches + 1
 
-    work = tempfile.mkdtemp(prefix="join_state_growth_")
-    input_dir = os.path.join(work, "input")
-    ckpt = os.path.join(work, "ckpt")
-    os.makedirs(input_dir, exist_ok=True)
-    stats: list[TriggerStats] = []
-    try:
-
+    def build(input_dir: str):
         def typed(event_type: str, prefix: str):
             return (
                 spark.readStream.schema(
@@ -179,43 +188,47 @@ def join_state_growth(
             )
             & (F.col("click_ts") <= F.col("purchase_ts")),
         ).select("purchase_id", "click_id")
+        return joined
 
-        for i in range(n_batches):
-            lo_i = lo + i * chunk
-            ev.where((F.col("ts") >= lo_i) & (F.col("ts") < lo_i + chunk)).coalesce(
-                1
-            ).write.mode("append").parquet(input_dir)
-            with scoped_shuffle_partitions(spark, 8):
-                q = (
-                    joined.writeStream.format("noop")
-                    .outputMode("append")
-                    .option("checkpointLocation", ckpt)
-                    .trigger(availableNow=True)
-                    .start()
-                )
-                try:
-                    q.awaitTermination()
-                finally:
-                    if q.isActive:
-                        q.stop()
-            progress = [p for p in q.recentProgress if p.get("stateOperators")]
-            if not progress:
-                stats.append(TriggerStats(i, 0, 0, 0, 0))
-                continue
-            last = progress[-1]["stateOperators"][0]
-            n_in = sum(int(p.get("numInputRows", 0)) for p in q.recentProgress)
-            removed = sum(
-                int(p["stateOperators"][0].get("numRowsRemoved", 0)) for p in progress
+    return _replay_chunks(spark, ev, build, n_batches, "join_state_growth_")
+
+
+def session_state_growth(
+    spark: SparkSession,
+    sf_dir: str,
+    n_batches: int = 5,
+    gap_sec: int = 1800,
+    delay_sec: int = 3600,
+) -> list[TriggerStats]:
+    """The third and last stateful-operator family: MERGING session-window
+    state (session_windows_streaming's operator). Session windows are the
+    riskiest of the three — state rows are (user x open session) and a
+    session stays open as long as events keep arriving within the gap, so
+    without watermark expiry a hot user's session state would track
+    history length. A month of traffic drains through one checkpointed
+    ``session_window`` aggregation in time-ordered AvailableNow triggers;
+    live state must stay ~(open sessions inside watermark), with
+    ``numRowsRemoved`` showing closed sessions actually leaving the
+    store. bench.py publishes this as the ``stream_session_state_*``
+    series next to the windowed-agg and join twins."""
+    prepare_session(spark)
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id")
+
+    def build(input_dir: str):
+        stream = (
+            spark.readStream.schema("ts long, user_id long")
+            .parquet(input_dir)
+            .select(
+                F.timestamp_seconds(
+                    F.floor(F.col("ts") / F.lit(1_000_000_000)).cast("long")
+                ).alias("ev_ts"),
+                "user_id",
             )
-            stats.append(
-                TriggerStats(
-                    i,
-                    n_in,
-                    int(last.get("numRowsTotal", 0)),
-                    int(last.get("memoryUsedBytes", 0)),
-                    removed,
-                )
-            )
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
-    return stats
+        )
+        return (
+            stream.withWatermark("ev_ts", f"{delay_sec} seconds")
+            .groupBy(F.session_window("ev_ts", f"{gap_sec} seconds"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+
+    return _replay_chunks(spark, ev, build, n_batches, "session_state_growth_")

@@ -68,3 +68,29 @@ def test_join_state_plateaus(spark):
     # watermark expiry genuinely prunes both buffers
     assert sum(s.rows_removed for s in stats) > 0
     assert any(s.rows_removed > 0 for s in stats[1:])
+
+
+def test_session_state_plateaus(spark):
+    from kafka_topic_analyzer_spark.sources.tables import load_table
+    from kafka_topic_analyzer_spark.streaming.state_evidence import (
+        session_state_growth,
+    )
+
+    n_events = load_table(spark, SF_SMOKE, "events").count()
+    stats = session_state_growth(spark, SF_SMOKE, n_batches=5)
+
+    assert len(stats) == 5
+    # every event went through exactly once across the runs
+    assert sum(s.input_rows for s in stats) == n_events
+    # merging session-window state is BOUNDED: open (user x session)
+    # entries inside the watermark horizon, nowhere near the month of
+    # closed sessions streamed through
+    peak = max(s.state_rows for s in stats)
+    assert 0 < peak < n_events / 10, (peak, n_events)
+    # plateau, not growth
+    assert stats[-1].state_rows <= peak
+    early_peak = max(s.state_rows for s in stats[:3])
+    assert stats[-1].state_rows <= 2 * early_peak
+    # closed sessions genuinely leave the store as the watermark advances
+    assert sum(s.rows_removed for s in stats) > 0
+    assert any(s.rows_removed > 0 for s in stats[1:])
