@@ -21,6 +21,7 @@ blob sizes.
 from __future__ import annotations
 
 import hashlib
+import struct
 import zlib
 from collections.abc import Iterator
 
@@ -50,6 +51,81 @@ MEDIA_SCHEMA = (
     "media_id long, kind string, data binary, width int, height int, "
     "duration_ms int"
 )
+
+
+# The decoders' failure surface on malformed bytes: header-grammar and
+# chunk-walk errors (ValueError), short struct reads (struct.error), and
+# numpy buffer-bounds errors (also ValueError). A 100 TB pipeline WILL see
+# truncated/corrupt blobs; the operator contract is skip-and-count —
+# invalid rows drop out of the feature stream (on_error="skip", default)
+# and media_decode_audit carries the counts. on_error="fail" keeps the
+# loud behavior for pipelines that stage a quarantine upstream.
+_DECODE_ERRORS = (ValueError, struct.error, IndexError, OverflowError)
+
+
+def _try_decode(fn, blob: bytes, on_error: str):
+    if on_error not in ("skip", "fail"):
+        raise ValueError(f"on_error must be 'skip' or 'fail', got {on_error!r}")
+    try:
+        return fn(blob)
+    except _DECODE_ERRORS:
+        if on_error == "fail":
+            raise
+        return None
+
+
+def corrupt_media(media: DataFrame, modulus: int = 7) -> DataFrame:
+    """Deterministically corrupt a slice of blobs — the adversarial-input
+    fixture for the skip-and-count contract. Two corruption classes every
+    ``modulus`` ids, chosen so ALL three formats' decoders provably
+    reject them: ``media_id % modulus == 0`` truncates the blob to its
+    first 5 bytes (mid-header for PGM/WAV/Y4M alike), ``== 1`` zeroes the
+    first byte (kills the P5/RIFF/YUV4MPEG2 magic). Pure JVM expressions
+    (binary substring/concat) — the corruption predicate is trivially
+    SQL-derivable for the oracle."""
+    mid = F.col("media_id") % modulus
+    return media.withColumn(
+        "data",
+        F.when(mid == 0, F.expr("substring(data, 1, 5)"))
+        .when(mid == 1, F.concat(F.lit(b"\x00"), F.expr("substring(data, 2, 2147483647)")))
+        .otherwise(F.col("data")),
+    )
+
+
+def media_decode_audit(media: DataFrame) -> DataFrame:
+    """Per-kind decode health: attempt the kind's REAL decoder on every
+    blob and count successes/failures — the counting half of the
+    skip-and-count contract. One mapInPandas pass emits a tiny
+    (media_id, kind, ok) stream; the per-kind rollup is a 3-group
+    aggregate, so at 100 TB the only corpus-sized cost is the decode scan
+    itself."""
+    decoders = {
+        "image": pgm_decode,
+        "audio": wav_decode,
+        "video": y4m_decode,
+    }
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                fn = decoders[r["kind"]]
+                ok = _try_decode(fn, bytes(r["data"]), "skip") is not None
+                rows.append(
+                    {"media_id": r["media_id"], "kind": r["kind"], "ok": ok}
+                )
+            yield pd.DataFrame(rows)
+
+    flags = media.mapInPandas(batches, "media_id long, kind string, ok boolean")
+    return (
+        flags.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum(F.col("ok").cast("long")).alias("n_ok"),
+            F.sum((~F.col("ok")).cast("long")).alias("n_invalid"),
+        )
+        .orderBy("kind")
+    )
 
 
 def _cycle_bytes(blob: bytes, n: int) -> np.ndarray:
@@ -114,13 +190,15 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
     return meta.mapInPandas(encode_batches, MEDIA_SCHEMA)
 
 
-def decode_image_features(media: DataFrame) -> DataFrame:
+def decode_image_features(media: DataFrame, on_error: str = "skip") -> DataFrame:
     """image rows → integer pixel statistics via real PGM decode.
 
     All outputs are integers (sums/extremes over uint8 pixels), so the
     oracle can reproduce them exactly — no float discipline needed.
     ``width``/``height`` come from the DECODED header, not the metadata
-    columns, proving the bytes were parsed.
+    columns, proving the bytes were parsed. Corrupt blobs follow the
+    skip-and-count contract (``_try_decode``): skipped here, counted by
+    ``media_decode_audit``.
     """
     out_schema = (
         "media_id long, n_bytes long, width int, height int, n_px long, "
@@ -132,7 +210,9 @@ def decode_image_features(media: DataFrame) -> DataFrame:
             rows = []
             for _, r in pdf.iterrows():
                 blob = bytes(r["data"])
-                px = pgm_decode(blob)
+                px = _try_decode(pgm_decode, blob, on_error)
+                if px is None:
+                    continue
                 rows.append(
                     {
                         "media_id": r["media_id"],
@@ -150,12 +230,15 @@ def decode_image_features(media: DataFrame) -> DataFrame:
     return media.where(F.col("kind") == "image").mapInPandas(batches, out_schema)
 
 
-def decode_audio_features(media: DataFrame, chunk_ms: int = 500) -> DataFrame:
+def decode_audio_features(
+    media: DataFrame, chunk_ms: int = 500, on_error: str = "skip"
+) -> DataFrame:
     """audio rows → per-chunk features via real WAV decode (one-to-many).
 
     Integer features per chunk: ``sum_sq`` (int64 energy — exact),
     ``zero_crossings`` (sign changes, 0 counts as non-negative), sample
-    count. The sample rate comes from the DECODED fmt chunk.
+    count. The sample rate comes from the DECODED fmt chunk. Corrupt
+    blobs skip-and-count (see ``media_decode_audit``).
     """
     out_schema = (
         "media_id long, sample_rate int, chunk_idx int, n_samples int, "
@@ -166,7 +249,10 @@ def decode_audio_features(media: DataFrame, chunk_ms: int = 500) -> DataFrame:
         for pdf in it:
             rows = []
             for _, r in pdf.iterrows():
-                rate, samples = wav_decode(bytes(r["data"]))
+                decoded = _try_decode(wav_decode, bytes(r["data"]), on_error)
+                if decoded is None:
+                    continue
+                rate, samples = decoded
                 chunk_len = max(rate * chunk_ms // 1000, 1)
                 s64 = samples.astype(np.int64)
                 for ci in range(max((len(s64) + chunk_len - 1) // chunk_len, 1)):
@@ -190,7 +276,7 @@ def decode_audio_features(media: DataFrame, chunk_ms: int = 500) -> DataFrame:
     return media.where(F.col("kind") == "audio").mapInPandas(batches, out_schema)
 
 
-def sample_video_frames(media: DataFrame) -> DataFrame:
+def sample_video_frames(media: DataFrame, on_error: str = "skip") -> DataFrame:
     """video rows → one row per decoded frame (UDTF-shaped op).
 
     REAL decode: parses the Y4M stream (functions/codecs.py), emitting
@@ -210,7 +296,10 @@ def sample_video_frames(media: DataFrame) -> DataFrame:
         for pdf in it:
             rows = []
             for _, r in pdf.iterrows():
-                meta, frames = y4m_decode(bytes(r["data"]))
+                decoded = _try_decode(y4m_decode, bytes(r["data"]), on_error)
+                if decoded is None:
+                    continue
+                meta, frames = decoded
                 num, den = meta["fps"]
                 for idx, luma in enumerate(frames):
                     rows.append(
@@ -231,7 +320,10 @@ def sample_video_frames(media: DataFrame) -> DataFrame:
 
 
 def resize_images(
-    media: DataFrame, target_w: int = 64, target_h: int = 64
+    media: DataFrame,
+    target_w: int = 64,
+    target_h: int = 64,
+    on_error: str = "skip",
 ) -> DataFrame:
     """image rows → nearest-neighbor resize over real decoded pixels.
 
@@ -249,7 +341,9 @@ def resize_images(
         for pdf in it:
             rows = []
             for _, r in pdf.iterrows():
-                px = pgm_decode(bytes(r["data"]))
+                px = _try_decode(pgm_decode, bytes(r["data"]), on_error)
+                if px is None:
+                    continue
                 ys = (np.arange(target_h) * px.shape[0] // target_h).clip(
                     0, px.shape[0] - 1
                 )

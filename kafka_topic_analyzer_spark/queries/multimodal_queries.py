@@ -262,3 +262,48 @@ ORDER BY media_id
 
 
 register("image_resize_inventory", _image_resize_inventory, _image_resize_sql())
+
+
+CORRUPT_MOD = 7
+
+
+def _media_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-blob handling, end-to-end: deterministically corrupt two
+    classes of blobs (truncate-to-5-bytes, magic-byte-zeroed —
+    operators/multimodal.py corrupt_media), then attempt every kind's
+    REAL decoder on every blob and count per kind. The Spark side decides
+    validity by actually parsing the corrupted bytes; the oracle derives
+    the expected counts from the corruption predicate alone — so a
+    decoder that crashed on (or wrongly accepted) a corrupt blob breaks
+    the hash. This is the counting half of the skip-and-count contract
+    every decode operator follows (on_error="skip")."""
+    from kafka_topic_analyzer_spark.operators.multimodal import (
+        corrupt_media,
+        documents_as_media,
+        media_decode_audit,
+    )
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return media_decode_audit(corrupt_media(media, modulus=CORRUPT_MOD))
+
+
+def _media_decode_audit_sql() -> str:
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 3 AS INTEGER)
+              WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         CASE WHEN doc_id % {CORRUPT_MOD} IN (0, 1) THEN 1 ELSE 0 END AS corrupt
+  FROM documents
+)
+SELECT kind,
+       CAST(count(*) AS BIGINT) AS n_media,
+       CAST(sum(1 - corrupt) AS BIGINT) AS n_ok,
+       CAST(sum(corrupt) AS BIGINT) AS n_invalid
+FROM m
+GROUP BY kind
+ORDER BY kind
+"""
+
+
+register("media_decode_audit", _media_decode_audit, _media_decode_audit_sql())

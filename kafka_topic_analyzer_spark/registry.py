@@ -43,9 +43,10 @@ def register(name: str, spark_fn: Callable[[SparkSession, str], DataFrame], orac
 # commits SELFCHECK_r{N}.json, so every query has fresh evidence every round
 # even when outside the driver window.
 CHECK_PRIORITY: tuple[str, ...] = (
-    # -- round 7: new deep-BPE queries, then 31 r4-stale, then oldest r5 --
+    # -- round 7: new r7 queries first, then 31 r4-stale, then oldest r5 --
     "bpe_train_merges_deep",
     "bpe_encode_deep",
+    "media_decode_audit",
     "balance_deciles",  # last row r4
     "monthly_order_growth",  # last row r4
     "q6_forecast_revenue",  # last row r4
@@ -93,7 +94,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "pii_redaction",  # last row r5
     "doc_repetition_stats",  # last row r5
     "doc_fingerprints",  # last row r5
-    "sentence_stats",  # last row r5
 )
 
 

@@ -301,3 +301,128 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis is baked in per TESTDATA
     pass
+
+
+# ---- corrupt-blob contract: skip-and-count (r7) ----
+
+_GARBAGE_CASES = [
+    b"",                                   # empty blob
+    b"\x00" * 64,                          # all-zero bytes
+    b"not a media file at all, sorry",     # plain text
+    b"P5",                                 # magic only, no header
+    b"P5\n9999999 9999999\n255\n\x00",     # header claims more pixels than data
+    b"P6\n4 4\n255\n" + b"\x00" * 48,      # wrong netpbm variant
+    b"P5\n4 4\n65535\n" + b"\x00" * 32,    # 16-bit maxval unsupported
+    b"RIFF\x10\x00\x00\x00WAVE",           # RIFF with no fmt/data chunks
+    b"RIFF\xff\xff\xff\xffWAVEfmt ",       # truncated fmt chunk
+    b"YUV4MPEG2 W4 H4 F2:1\nFRAME\n\x01",  # truncated Y4M frame payload
+    b"YUV4MPEG2 W4 H4 F2:1 Cweird\n",      # unknown colorspace
+]
+
+
+def test_decoders_reject_garbage_strictly():
+    """Every adversarial blob must raise a _DECODE_ERRORS member from
+    every decoder — never return garbage, never hang, never segfault."""
+    from kafka_topic_analyzer_spark.functions.codecs import (
+        pgm_decode,
+        wav_decode,
+        y4m_decode,
+    )
+    from kafka_topic_analyzer_spark.operators.multimodal import _DECODE_ERRORS
+
+    for blob in _GARBAGE_CASES:
+        for decoder in (pgm_decode, wav_decode, y4m_decode):
+            try:
+                decoder(blob)
+            except _DECODE_ERRORS:
+                continue
+            except Exception as e:  # pragma: no cover - contract violation
+                raise AssertionError(
+                    f"{decoder.__name__} raised unexpected {type(e).__name__} "
+                    f"on {blob[:20]!r}"
+                ) from e
+            else:
+                # a decoder may legitimately accept a blob of its OWN format
+                # family only if the bytes are genuinely well-formed; none of
+                # the cases above are
+                raise AssertionError(
+                    f"{decoder.__name__} accepted corrupt blob {blob[:20]!r}"
+                )
+
+
+def test_skip_mode_drops_exactly_corrupt_rows(spark, media):
+    from pyspark.sql import functions as F
+
+    from kafka_topic_analyzer_spark.operators.multimodal import (
+        corrupt_media,
+        decode_audio_features,
+        decode_image_features,
+        resize_images,
+        sample_video_frames,
+    )
+
+    bad = corrupt_media(media, modulus=7).cache()
+    try:
+        for decode in (decode_image_features, sample_video_frames, resize_images):
+            ids = {
+                r["media_id"]
+                for r in decode(bad, on_error="skip").select("media_id").collect()
+            }
+            kind = {"decode_image_features": "image",
+                    "sample_video_frames": "video",
+                    "resize_images": "image"}[decode.__name__]
+            expect = {
+                r["media_id"]
+                for r in bad.where(
+                    (F.col("kind") == kind) & (F.col("media_id") % 7 >= 2)
+                ).select("media_id").collect()
+            }
+            assert ids == expect, decode.__name__
+        audio_ids = {
+            r["media_id"]
+            for r in decode_audio_features(bad, on_error="skip")
+            .select("media_id").distinct().collect()
+        }
+        expect = {
+            r["media_id"]
+            for r in bad.where(
+                (F.col("kind") == "audio") & (F.col("media_id") % 7 >= 2)
+            ).select("media_id").collect()
+        }
+        assert audio_ids == expect
+    finally:
+        bad.unpersist()
+
+
+def test_fail_mode_raises_on_corrupt_rows(spark, media):
+    import pytest as _pytest
+
+    from kafka_topic_analyzer_spark.operators.multimodal import (
+        corrupt_media,
+        decode_image_features,
+    )
+    from pyspark.errors import PythonException
+
+    bad = corrupt_media(media, modulus=7)
+    with _pytest.raises(PythonException):
+        decode_image_features(bad, on_error="fail").collect()
+
+
+def test_audit_counts_match_predicate(spark, media):
+    from pyspark.sql import functions as F
+
+    from kafka_topic_analyzer_spark.operators.multimodal import (
+        corrupt_media,
+        media_decode_audit,
+    )
+
+    rows = media_decode_audit(corrupt_media(media, modulus=7)).collect()
+    got = {r["kind"]: (r["n_media"], r["n_ok"], r["n_invalid"]) for r in rows}
+    for kind in ("image", "audio", "video"):
+        base = media.where(F.col("kind") == kind)
+        n = base.count()
+        n_bad = base.where(F.col("media_id") % 7 < 2).count()
+        assert got[kind] == (n, n - n_bad, n_bad), kind
+    # and on the UNcorrupted fixture every blob decodes
+    clean = media_decode_audit(media).collect()
+    assert all(r["n_invalid"] == 0 for r in clean)
