@@ -356,6 +356,61 @@ def main() -> None:
         hits = truth.join(got, ["query_id", "neighbor_id"]).count()
         ivf_recall[str(nprobe)] = round(hits / max(n_truth, 1), 4)
 
+    # Z-order PAYOFF (not just layout): write the Morton frame both ways —
+    # natural order vs repartitionByRange(z)+sortWithinPartitions(z) — and
+    # count parquet row groups a footer-stats reader skips under a
+    # selective predicate. Structural and load-insensitive (footer
+    # arithmetic, no timing): on a cluster, skipped row groups ARE the
+    # I/O the layout saves. Predicates: a 16/256-wide band on each single
+    # dimension and their 2-D intersection.
+    import glob as _glob
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    import pyarrow.parquet as _pq
+
+    from kafka_topic_analyzer_spark.operators.pipeline import zordered_events
+
+    def _rowgroup_skips(path: str, lo: int, hi: int) -> dict[str, int]:
+        idx = {}
+        total = 0
+        skipped = {"ux": 0, "tx": 0, "both": 0}
+        for f in sorted(_glob.glob(os.path.join(path, "*.parquet"))):
+            md = _pq.ParquetFile(f).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            for rg in range(md.num_row_groups):
+                total += 1
+                overlap = {}
+                for col in ("ux", "tx"):
+                    st = md.row_group(rg).column(names.index(col)).statistics
+                    overlap[col] = st.min < hi and st.max >= lo
+                if not overlap["ux"]:
+                    skipped["ux"] += 1
+                if not overlap["tx"]:
+                    skipped["tx"] += 1
+                if not (overlap["ux"] and overlap["tx"]):
+                    skipped["both"] += 1
+        skipped["total"] = total
+        return skipped
+
+    zfr = zordered_events(load_table(spark, sf_dir, "events"))
+    zorder_skips: dict[str, dict] = {}
+    zdir = _tempfile.mkdtemp(prefix="zorder_probe_")
+    try:
+        plain_p = os.path.join(zdir, "plain")
+        zed_p = os.path.join(zdir, "zsorted")
+        n_files = 32
+        zfr.repartition(n_files).write.parquet(plain_p)
+        zfr.repartitionByRange(n_files, "z").sortWithinPartitions("z").write.parquet(
+            zed_p
+        )
+        zorder_skips = {
+            "plain": _rowgroup_skips(plain_p, 120, 136),
+            "zordered": _rowgroup_skips(zed_p, 120, 136),
+        }
+    finally:
+        _shutil.rmtree(zdir, ignore_errors=True)
+
     # Streaming state-growth evidence: a month of events in 5 time-ordered
     # chunks through one checkpointed windowed aggregation — state rows per
     # trigger must plateau (watermark expiry), not track history length.
@@ -502,6 +557,7 @@ def main() -> None:
                 "stream_session_state_input_rows": sum(
                     s.input_rows for s in session_stats
                 ),
+                "zorder_rowgroup_skips": zorder_skips,
             }
         )
     )

@@ -118,3 +118,32 @@ def shard_manifest(docs: DataFrame) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def zordered_events(e: DataFrame, bits: int = 8) -> DataFrame:
+    """events → (ux, tx, z): the production Morton frame behind Z-order
+    writes. Each dimension (user_id, event hour) is min-max-normalized
+    onto the full 2^bits range first — Delta's OPTIMIZE ZORDER uses
+    range/rank quantiles for the same reason: an un-normalized
+    low-cardinality dimension occupies only low interleave bits and gets
+    no pruning benefit. The z column is a pure-projection codegen
+    expression; the write itself is
+    ``repartitionByRange(n, "z").sortWithinPartitions("z")``.
+    """
+    from kafka_topic_analyzer_spark.queries.curation import _z_interleave_terms
+
+    scale = 1 << bits
+    tsec = F.floor(F.col("ts") / F.lit(1_000_000_000)).cast("long")
+    hour = F.floor(tsec / F.lit(3600)).cast("long")
+    base = e.select(F.col("user_id").alias("u"), hour.alias("h"))
+    lims = base.agg(
+        F.min("u").alias("u_lo"), F.max("u").alias("u_hi"),
+        F.min("h").alias("h_lo"), F.max("h").alias("h_hi"),
+    )
+    return (
+        base.crossJoin(F.broadcast(lims))
+        .withColumn("ux", F.expr(f"(u - u_lo) * {scale} div (u_hi - u_lo + 1)"))
+        .withColumn("tx", F.expr(f"(h - h_lo) * {scale} div (h_hi - h_lo + 1)"))
+        .withColumn("z", F.expr(_z_interleave_terms("ux", "tx")))
+        .select("ux", "tx", "z")
+    )

@@ -37,28 +37,13 @@ def _per_file_spans(path: str, col: str) -> list[int]:
 
 
 def test_zorder_write_tightens_footer_stats(spark):
-    from kafka_topic_analyzer_spark.queries.curation import _z_interleave_terms
+    from kafka_topic_analyzer_spark.operators.pipeline import zordered_events
     from kafka_topic_analyzer_spark.sources.tables import load_table
 
-    e = load_table(spark, SF_SMOKE, "events")
-    tsec = F.floor(F.col("ts") / F.lit(1_000_000_000)).cast("long")
-    hour = F.floor(tsec / F.lit(3600)).cast("long")
-    base = e.select(F.col("user_id").alias("u"), hour.alias("h"))
-    # production z-ordering min-max-normalizes each dimension onto the full
-    # 8-bit range first (Delta's OPTIMIZE ZORDER uses range/rank quantiles)
-    # — otherwise a low-cardinality dimension only occupies low interleave
-    # bits and gets no pruning benefit
-    lims = base.agg(
-        F.min("u").alias("u_lo"), F.max("u").alias("u_hi"),
-        F.min("h").alias("h_lo"), F.max("h").alias("h_hi"),
-    )
-    z = (
-        base.crossJoin(F.broadcast(lims))
-        .withColumn("ux", F.expr("(u - u_lo) * 256 div (u_hi - u_lo + 1)"))
-        .withColumn("tx", F.expr("(h - h_lo) * 256 div (h_hi - h_lo + 1)"))
-        .withColumn("z", F.expr(_z_interleave_terms("ux", "tx")))
-        .select("ux", "tx", "z")
-    )
+    # the shared production recipe: min-max-normalized dims + Morton key
+    # (operators/pipeline.py zordered_events — bench.py probes the same
+    # frame for row-group skip counts)
+    z = zordered_events(load_table(spark, SF_SMOKE, "events"))
     n_files = 8
     with tempfile.TemporaryDirectory() as tmp:
         plain, zsorted = os.path.join(tmp, "plain"), os.path.join(tmp, "zsorted")
@@ -76,3 +61,47 @@ def test_zorder_write_tightens_footer_stats(spark):
             assert zed_span < plain_span, (
                 f"z layout did not tighten {col}: {zed_span} vs {plain_span}"
             )
+
+
+def _rowgroup_skips(path: str, lo: int, hi: int) -> dict[str, int]:
+    total = 0
+    skipped = {"ux": 0, "tx": 0, "both": 0}
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        for rg in range(md.num_row_groups):
+            total += 1
+            ov = {}
+            for col in ("ux", "tx"):
+                st = md.row_group(rg).column(names.index(col)).statistics
+                ov[col] = st.min < hi and st.max >= lo
+            if not ov["ux"]:
+                skipped["ux"] += 1
+            if not ov["tx"]:
+                skipped["tx"] += 1
+            if not (ov["ux"] and ov["tx"]):
+                skipped["both"] += 1
+    skipped["total"] = total
+    return skipped
+
+
+def test_zorder_skips_rowgroups_on_selective_predicates(spark):
+    """The PAYOFF claim, not just the layout: under a selective band
+    predicate, a footer-stats reader must skip strictly more row groups
+    in the z-sorted layout than in the natural one — on EACH single
+    dimension and on their 2-D intersection (bench.py publishes the same
+    counts at sf0.1 as zorder_rowgroup_skips)."""
+    from kafka_topic_analyzer_spark.operators.pipeline import zordered_events
+    from kafka_topic_analyzer_spark.sources.tables import load_table
+
+    z = zordered_events(load_table(spark, SF_SMOKE, "events"))
+    with tempfile.TemporaryDirectory() as tmp:
+        plain_p, zed_p = os.path.join(tmp, "plain"), os.path.join(tmp, "z")
+        z.repartition(16).write.parquet(plain_p)
+        z.repartitionByRange(16, "z").sortWithinPartitions("z").write.parquet(zed_p)
+        plain = _rowgroup_skips(plain_p, 120, 136)
+        zed = _rowgroup_skips(zed_p, 120, 136)
+    for key in ("ux", "tx", "both"):
+        assert zed[key] > plain[key], (key, plain, zed)
+    # the 2-D predicate compounds: at least half the row groups skip
+    assert zed["both"] * 2 >= zed["total"], zed
