@@ -1,0 +1,127 @@
+"""IVF scale ladder: recall + latency at 1x/4x/16x the vector count.
+
+The r6 BENCH recall sweep fixed the corpus and turned nprobe; this probe
+fixes nprobe (12 — the >=0.9-recall knee) and turns CORPUS SIZE, the axis
+a growing deployment actually moves on. Two structural claims measured:
+
+* assignment/search cost scales ~linearly with the corpus (each vector is
+  quantized once; candidate lists grow with cell occupancy), and
+* recall is stable whether the quantizer is REUSED from the base corpus
+  or RETRAINED on the scaled one — the FAISS deployment question ("do I
+  have to re-cut the index artifact when the corpus grows?"). Replicated
+  vectors shift ids but keep the distribution, so a reused quantizer
+  should hold; a retrain trains on the same bounded 16k sample either
+  way (operators/similarity.ivf_centroids).
+
+Replication: base embeddings repeated with id shift, STORED to parquet
+and re-read so every timed run scans files like a real deployment
+(same discipline as tools/bpe_scale_probe.py).
+
+Usage: python tools/ivf_scale_probe.py [sf_dir] [scales-csv]
+Emits one JSON line {"metric": "ivf_scale_ladder", "rungs": [...]} —
+paste into SCALING.md per round.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+K = 10
+NPROBE = 12
+N_QUERIES = 100
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    scales = (
+        [int(x) for x in sys.argv[2].split(",")] if len(sys.argv) > 2 else [1, 4, 16]
+    )
+
+    from pyspark.sql import functions as F
+
+    from kafka_topic_analyzer_spark.operators.similarity import (
+        ivf_centroids,
+        knn_bruteforce,
+        knn_ivf_fixed,
+    )
+    from kafka_topic_analyzer_spark.session import get_spark
+    from kafka_topic_analyzer_spark.sources.tables import load_table
+
+    spark = get_spark("ivf-scale-probe")
+    base = load_table(spark, sf_dir, "embeddings")
+    n_base, max_id = base.agg(F.count(F.lit(1)), F.max("vec_id")).first()
+    id_shift = (max_id or 0) + 1
+
+    def tuples(arr) -> tuple[tuple[float, ...], ...]:
+        return tuple(tuple(float(x) for x in row) for row in arr)
+
+    reused = tuples(ivf_centroids(base, nlist=16, iters=3))
+
+    out = []
+    for scale in scales:
+        big = (
+            base.select(
+                "*", F.explode(F.expr(f"sequence(0, {scale - 1})")).alias("rep")
+            )
+            .withColumn("vec_id", F.col("vec_id") + F.col("rep") * F.lit(id_shift))
+            .drop("rep")
+        )
+        work = tempfile.mkdtemp(prefix="ivf_probe_")
+        try:
+            path = os.path.join(work, "embeddings")
+            big.repartition(
+                spark.sparkContext.defaultParallelism
+            ).write.mode("overwrite").parquet(path)
+            corpus = spark.read.parquet(path)
+            n_vec = corpus.count()
+            queries = corpus.where(F.col("vec_id") < N_QUERIES).localCheckpoint(
+                eager=True
+            )
+
+            t0 = time.perf_counter()
+            truth = (
+                knn_bruteforce(corpus, queries, k=K)
+                .select("query_id", "neighbor_id")
+                .localCheckpoint(eager=True)
+            )
+            n_truth = truth.count()
+            brute_sec = time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            retrained = tuples(ivf_centroids(corpus, nlist=16, iters=3))
+            retrain_sec = time.perf_counter() - t0
+
+            rung = {"scale": scale, "n_vectors": n_vec,
+                    "brute_sec": round(brute_sec, 2),
+                    "retrain_sec": round(retrain_sec, 2)}
+            for label, cents in (("reused", reused), ("retrained", retrained)):
+                t0 = time.perf_counter()
+                got = (
+                    knn_ivf_fixed(corpus, queries, cents, k=K, nprobe=NPROBE)
+                    .select("query_id", "neighbor_id")
+                    .localCheckpoint(eager=True)
+                )
+                got.count()
+                sec = time.perf_counter() - t0
+                hits = truth.join(got, ["query_id", "neighbor_id"]).count()
+                rung[label] = {
+                    "search_sec": round(sec, 2),
+                    "recall_at_10": round(hits / max(n_truth, 1), 4),
+                }
+            out.append(rung)
+            print(f"# {rung}", file=sys.stderr)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps({"metric": "ivf_scale_ladder", "nprobe": NPROBE,
+                      "nlist": 16, "rungs": out}))
+
+
+if __name__ == "__main__":
+    main()
