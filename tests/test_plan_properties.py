@@ -380,3 +380,14 @@ def test_bpe_deep_encode_joins_vocab_once(spark):
     assert plan.count("FileScan parquet") == 1
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_media_decode_audit_single_scan(spark):
+    import __spark_entry__ as E
+
+    plan = _executed(E.queries()["media_decode_audit"](spark, SF_SMOKE))
+    # one documents scan feeds encode -> corrupt -> decode-attempt; the
+    # per-kind rollup is a 3-group aggregate with map-side combine
+    assert plan.count("FileScan parquet") == 1
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") == 2
