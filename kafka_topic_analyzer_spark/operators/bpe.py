@@ -167,3 +167,85 @@ def bpe_train(
         "wc",
     )
     return merges, vocab
+
+
+def bpe_apply_merges(
+    words: list[str], merges: MergeLog
+) -> list[tuple[str, int]]:
+    """Serving-time BPE encode for arbitrary (including UNSEEN) words:
+    sequential rank-order replay of the learned merge log. Equivalent to
+    the classic lowest-rank-first encode loop because applying merge k
+    can only create pairs whose own merge rank is > k (a new symbol's
+    merges were learned after the symbol existed), so one left-to-right
+    non-overlapping pass per merge, in rank order, is exact.
+
+    Driver-local over a distinct-word list (vocabulary-sized — same
+    collect discipline as the trainer); ~1k merges x ~1k words is
+    millions of token ops, well under a second. For an above-gate word
+    set use :func:`bpe_apply_merges_df`.
+    """
+    out = []
+    for w in words:
+        syms = list(w)
+        for _, l, r, _, new in merges:
+            if len(syms) < 2:
+                break
+            # cheap containment precheck: both sides must appear in the
+            # original string for the pair to possibly be adjacent
+            if l not in w or r not in w:
+                continue
+            res: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == r:
+                    res.append(new)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            syms = res
+        out.append((w, len(syms)))
+    return out
+
+
+def bpe_apply_merges_df(
+    df: DataFrame, merges: MergeLog, checkpoint_every: int = 25
+) -> DataFrame:
+    """Distributed rank-order replay — the above-gate twin of
+    :func:`bpe_apply_merges`: each merge is one narrow sentinel-wrapped
+    ``replace`` over a (word, sym) frame, with ``localCheckpoint``
+    truncating the composed expression tree every ``checkpoint_every``
+    merges (1000 chained replaces would otherwise blow Catalyst's
+    optimizer depth). No shuffles at all — replay is map-only.
+
+    Input must carry ``word``; output adds ``n_syms``. Words containing
+    the sentinel must be filtered by the caller (same contract as the
+    census)."""
+    from kafka_topic_analyzer_spark.queries.terms import _BPE_SEP
+
+    s2 = _BPE_SEP + _BPE_SEP
+    cur = df.select(
+        "word",
+        F.concat(
+            F.lit(_BPE_SEP),
+            F.array_join(F.split(F.col("word"), ""), s2),
+            F.lit(_BPE_SEP),
+        ).alias("sym"),
+    )
+    for i, (_, l, r, _, new) in enumerate(merges, 1):
+        cur = cur.select(
+            "word",
+            F.replace(
+                F.col("sym"),
+                F.lit(_BPE_SEP + l + s2 + r + _BPE_SEP),
+                F.lit(_BPE_SEP + new + _BPE_SEP),
+            ).alias("sym"),
+        )
+        if i % checkpoint_every == 0:
+            cur = cur.localCheckpoint(eager=True)
+    return cur.select(
+        "word",
+        F.size(F.split(F.expr("substring(sym, 2, length(sym)-2)"), s2))
+        .cast("long")
+        .alias("n_syms"),
+    )

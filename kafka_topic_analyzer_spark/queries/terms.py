@@ -845,15 +845,22 @@ def _bpe_train_merges_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bpe_merge_log_df(spark, merges)
 
 
-_BPE_BIGRAM_CENSUS_SQL = f"""
+def _bpe_bigram_census_sql(pred: str = "TRUE") -> str:
+    """Fused-bigram census SQL, optionally over a document subset
+    (``pred`` filters the documents scan — used by the held-out encode
+    to train on half the corpus)."""
+    return f"""
 SELECT word, CAST(count(*) AS BIGINT) AS wc FROM (
   SELECT toks[CAST(i AS INT)] || '_' || toks[CAST(i+1 AS INT)] AS word
-  FROM (SELECT {_TOKS} AS toks FROM documents),
+  FROM (SELECT {_TOKS} AS toks FROM documents WHERE {pred}),
        unnest(range(1, CAST(len(toks) AS BIGINT))) AS t(i)
   WHERE len(toks) >= 2
 ) WHERE length(word) >= 2 AND NOT contains(word, '{_BPE_SEP}')
 GROUP BY word
 """
+
+
+_BPE_BIGRAM_CENSUS_SQL = _bpe_bigram_census_sql()
 
 
 def _bpe_recursive_blocks(census_sql: str, n_merges: int) -> str:
@@ -1012,3 +1019,150 @@ ORDER BY source
 
 
 register("bpe_encode_deep", _bpe_encode_deep, _bpe_encode_deep_sql())
+
+
+def _bpe_encode_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OOV serving path: train the 1000-merge tokenizer on HALF the
+    corpus (even doc_ids), then encode the WHOLE corpus — words never
+    seen in training are encoded by sequential rank-order REPLAY of the
+    learned merge log (operators/bpe.py bpe_apply_merges; exact, because
+    a merge can only create pairs of later rank), with per-source
+    unseen-occurrence counts surfacing the distribution shift. This is
+    the deployment shape: the tokenizer artifact is cut once, the corpus
+    it serves keeps growing past it.
+
+    Scale: training is the hybrid census->local loop; replay runs over
+    the DISTINCT word list (vocabulary-sized collect, same gate
+    discipline — bpe_apply_merges_df is the above-gate map-only twin);
+    the corpus-sized work is one bigram explode + two vocabulary-row
+    joins (AQE-broadcast) + one aggregate.
+
+    Oracle: the training recursive CTE feeds a SECOND recursive CTE that
+    replays the merge table step-by-step over the all-corpus word set
+    (LEFT JOIN per step so a short merge log no-ops to the depth bound).
+    """
+    from kafka_topic_analyzer_spark.operators.bpe import (
+        bpe_apply_merges,
+        bpe_train,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    train = d.where(F.col("doc_id") % 2 == 0)
+    merges, _ = bpe_train(spark, _bpe_bigram_vocab(train), BPE_DEEP_N_MERGES)
+
+    grams = (
+        d.select("source", tokens(F.lower(F.col("text"))).alias("toks"))
+        .where(F.size("toks") >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks)-1),"
+                    " i -> concat(toks[i-1], '_', toks[i]))"
+                )
+            ).alias("word"),
+        )
+    )
+    replayable = grams.where(
+        (F.length("word") >= 2) & (~F.col("word").contains(_BPE_SEP))
+    )
+    distinct_words = sorted(
+        r["word"] for r in replayable.select("word").distinct().collect()
+    )
+    enc = spark.createDataFrame(
+        bpe_apply_merges(distinct_words, merges), "word string, n_syms long"
+    )
+    seen = _bpe_bigram_vocab(train).select(
+        "word", F.lit(1).alias("seen")
+    )
+    flagged = (
+        grams.join(enc, "word", "left")
+        .join(seen, "word", "left")
+        .select(
+            "source",
+            F.coalesce(F.col("n_syms"), F.length("word").cast("long")).alias(
+                "n_tok"
+            ),
+            F.length("word").cast("long").alias("n_chars"),
+            F.coalesce(F.col("seen"), F.lit(0)).alias("seen"),
+        )
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.lit(1) - F.col("seen")).alias("n_unseen"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum("n_tok").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.sum("n_tok"), 4
+            ).alias("chars_per_token"),
+        )
+        .orderBy("source")
+    )
+
+
+def _bpe_encode_heldout_sql() -> str:
+    sep, s2 = _BPE_SEP, _BPE_SEP * 2
+    n = BPE_DEEP_N_MERGES
+    return (
+        "WITH RECURSIVE "
+        + _bpe_recursive_blocks(
+            _bpe_bigram_census_sql("doc_id % 2 = 0"), n
+        )
+        + f""",
+-- MATERIALIZED: ml derives from the 1000-iteration training recursion;
+-- inlined, every replay iteration of e would RE-RUN the whole training
+-- (the chained-CTE re-derivation trap, 1000x blowup)
+ml AS MATERIALIZED (
+  SELECT step, l, r FROM (SELECT DISTINCT step, l, r FROM t WHERE step >= 1)
+),
+grams AS (
+  SELECT source, toks[CAST(i AS INT)] || '_' || toks[CAST(i+1 AS INT)] AS word
+  FROM (SELECT source, {_TOKS} AS toks FROM documents),
+       unnest(range(1, CAST(len(toks) AS BIGINT))) AS tg(i)
+  WHERE len(toks) >= 2
+),
+allw AS (
+  SELECT DISTINCT word FROM grams
+  WHERE length(word) >= 2 AND NOT contains(word, '{sep}')
+),
+e AS (
+  SELECT 0 AS step, word,
+         concat('{sep}', array_to_string(string_split(word, ''), '{s2}'), '{sep}') AS sym
+  FROM allw
+  UNION ALL
+  SELECT e.step + 1, e.word,
+         CASE WHEN m.l IS NULL THEN e.sym
+              ELSE replace(e.sym, '{sep}' || m.l || '{s2}' || m.r || '{sep}',
+                           '{sep}' || m.l || m.r || '{sep}') END
+  FROM e LEFT JOIN ml m ON m.step = e.step + 1
+  WHERE e.step < {n}
+),
+vocab AS (
+  SELECT word,
+         CAST(len(string_split(substr(sym, 2, length(sym) - 2), '{s2}')) AS BIGINT) AS n_syms
+  FROM e WHERE step = {n}
+),
+seen AS (SELECT word, 1 AS seen FROM words),
+enc AS (
+  SELECT source,
+         COALESCE(n_syms, CAST(length(word) AS BIGINT)) AS n_tok,
+         CAST(length(word) AS BIGINT) AS n_chars,
+         COALESCE(seen, 0) AS seen
+  FROM grams LEFT JOIN vocab USING (word) LEFT JOIN seen USING (word)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(1 - seen) AS BIGINT) AS n_unseen,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens,
+       round(CAST(sum(n_chars) AS DOUBLE) / sum(n_tok), 4) AS chars_per_token
+FROM enc
+GROUP BY source
+ORDER BY source
+"""
+    )
+
+
+register("bpe_encode_heldout", _bpe_encode_heldout, _bpe_encode_heldout_sql())

@@ -47,6 +47,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "bpe_train_merges_deep",
     "bpe_encode_deep",
     "media_decode_audit",
+    "bpe_encode_heldout",
     "balance_deciles",  # last row r4
     "monthly_order_growth",  # last row r4
     "q6_forecast_revenue",  # last row r4
@@ -93,7 +94,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "text_cleaning",  # last row r5
     "pii_redaction",  # last row r5
     "doc_repetition_stats",  # last row r5
-    "doc_fingerprints",  # last row r5
 )
 
 

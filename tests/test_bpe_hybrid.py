@@ -118,3 +118,40 @@ def test_deep_encode_reconciles_with_char_budget(spark):
     total_tok = sum(r["n_bpe_tokens"] for r in rows)
     total_chars = sum(r["n_chars"] for r in rows)
     assert total_tok < total_chars / 2
+
+
+def test_distributed_replay_twin_matches_local(spark):
+    """bpe_apply_merges_df (the above-gate map-only replay) must equal
+    the driver-local replay on the same merge log and word set."""
+    from kafka_topic_analyzer_spark.operators.bpe import (
+        bpe_apply_merges,
+        bpe_apply_merges_df,
+        bpe_train,
+    )
+    from kafka_topic_analyzer_spark.queries.terms import _bpe_bigram_vocab
+    from kafka_topic_analyzer_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    census = _bpe_bigram_vocab(d)
+    merges, _ = bpe_train(spark, census, 60)
+    words_df = census.select("word")
+    local = dict(
+        bpe_apply_merges([r["word"] for r in words_df.collect()], merges)
+    )
+    dist = {
+        r["word"]: r["n_syms"]
+        for r in bpe_apply_merges_df(words_df, merges).collect()
+    }
+    assert dist == local
+
+
+def test_heldout_unseen_words_encode_consistently(spark):
+    import __spark_entry__ as E
+
+    rows = E.queries()["bpe_encode_heldout"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_unseen"] <= r["n_bigrams"]
+        assert r["n_bigrams"] <= r["n_bpe_tokens"] <= r["n_chars"]
+    # training on half the corpus must still compress the whole corpus
+    assert sum(r["n_bpe_tokens"] for r in rows) < sum(r["n_chars"] for r in rows) / 2

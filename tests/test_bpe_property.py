@@ -113,3 +113,18 @@ def test_overlap_run_semantics_exact():
     assert merges[0] == (1, "a", "a", 3, "aa")
     assert merges[1] == (2, "aa", "aa", 1, "aaaa")
     assert final == [("aaaa", 1, 1)]
+
+
+@given(words=WORDS, data=st.data())
+@settings(max_examples=150, deadline=None)
+def test_rank_replay_reproduces_trainer_final_state(words, data):
+    """Self-consistency of the serving path: replaying the learned merge
+    log in rank order over the TRAINING words must land exactly on the
+    trainer's final symbol counts — the property that lets the final
+    state double as the encoder table and the replay serve unseen words."""
+    from kafka_topic_analyzer_spark.operators.bpe import bpe_apply_merges
+
+    vocab = [(w, data.draw(WEIGHTS)) for w in words]
+    merges, final = bpe_local_merge_loop(list(vocab), 12)
+    replayed = dict(bpe_apply_merges([w for w, _ in vocab], merges))
+    assert replayed == {w: n for w, n, _ in final}

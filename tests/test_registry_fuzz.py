@@ -256,6 +256,10 @@ FUZZED_QUERIES = [
     "bpe_merge_candidates",
     "bpe_train_merges",
     "bpe_encode_corpus",
+    "bpe_train_merges_deep",
+    "bpe_encode_deep",
+    "bpe_encode_heldout",
+    "media_decode_audit",
     "quality_threshold_sweep",
     "lang_temperature_mix",
     "embedding_dim_moments",
