@@ -385,6 +385,11 @@ def test_bpe_deep_encode_joins_vocab_once(spark):
 def test_media_decode_audit_single_scan(spark):
     import __spark_entry__ as E
 
+    # test_multimodal's module-scoped fixture caches the same
+    # documents_as_media plan fragment; Spark's cache manager would then
+    # substitute InMemoryTableScan for the parquet scan and break the
+    # FileScan count below when the whole suite runs in one session
+    spark.catalog.clearCache()
     plan = _executed(E.queries()["media_decode_audit"](spark, SF_SMOKE))
     # one documents scan feeds encode -> corrupt -> decode-attempt; the
     # per-kind rollup is a 3-group aggregate with map-side combine
