@@ -305,9 +305,9 @@ def main() -> None:
                         )
                 finally:
                     spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
-                skew_ladder[str(rung_rows)]["plain_max_task_rows"] = plain_max
-                skew_ladder[str(rung_rows)]["salted_max_task_rows"] = salted_max
-                skew_ladder[str(rung_rows)]["straggler_reduction"] = round(
+                skew_ladder[str(target_rows)]["plain_max_task_rows"] = plain_max
+                skew_ladder[str(target_rows)]["salted_max_task_rows"] = salted_max
+                skew_ladder[str(target_rows)]["straggler_reduction"] = round(
                     plain_max / max(salted_max, 1), 2
                 )
             del hot
@@ -363,35 +363,13 @@ def main() -> None:
     # arithmetic, no timing): on a cluster, skipped row groups ARE the
     # I/O the layout saves. Predicates: a 16/256-wide band on each single
     # dimension and their 2-D intersection.
-    import glob as _glob
     import shutil as _shutil
     import tempfile as _tempfile
 
-    import pyarrow.parquet as _pq
-
-    from kafka_topic_analyzer_spark.operators.pipeline import zordered_events
-
-    def _rowgroup_skips(path: str, lo: int, hi: int) -> dict[str, int]:
-        idx = {}
-        total = 0
-        skipped = {"ux": 0, "tx": 0, "both": 0}
-        for f in sorted(_glob.glob(os.path.join(path, "*.parquet"))):
-            md = _pq.ParquetFile(f).metadata
-            names = [md.schema.column(i).name for i in range(md.num_columns)]
-            for rg in range(md.num_row_groups):
-                total += 1
-                overlap = {}
-                for col in ("ux", "tx"):
-                    st = md.row_group(rg).column(names.index(col)).statistics
-                    overlap[col] = st.min < hi and st.max >= lo
-                if not overlap["ux"]:
-                    skipped["ux"] += 1
-                if not overlap["tx"]:
-                    skipped["tx"] += 1
-                if not (overlap["ux"] and overlap["tx"]):
-                    skipped["both"] += 1
-        skipped["total"] = total
-        return skipped
+    from kafka_topic_analyzer_spark.operators.pipeline import (
+        rowgroup_band_skips,
+        zordered_events,
+    )
 
     zfr = zordered_events(load_table(spark, sf_dir, "events"))
     zorder_skips: dict[str, dict] = {}
@@ -405,8 +383,8 @@ def main() -> None:
             zed_p
         )
         zorder_skips = {
-            "plain": _rowgroup_skips(plain_p, 120, 136),
-            "zordered": _rowgroup_skips(zed_p, 120, 136),
+            "plain": rowgroup_band_skips(plain_p, 120, 136),
+            "zordered": rowgroup_band_skips(zed_p, 120, 136),
         }
     finally:
         _shutil.rmtree(zdir, ignore_errors=True)
@@ -460,11 +438,10 @@ def main() -> None:
         BPE_DEEP_N_MERGES,
         _bpe_bigram_vocab,
     )
-    from kafka_topic_analyzer_spark.sources.tables import load_table as _load_tbl
 
     t0 = time.perf_counter()
     deep_merges, _deep_vocab = bpe_train(
-        spark, _bpe_bigram_vocab(_load_tbl(spark, sf_dir, "documents")),
+        spark, _bpe_bigram_vocab(load_table(spark, sf_dir, "documents")),
         BPE_DEEP_N_MERGES,
     )
     bpe_deep_train_sec = time.perf_counter() - t0

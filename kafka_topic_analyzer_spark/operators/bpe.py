@@ -149,9 +149,15 @@ def bpe_train(
     """
     from kafka_topic_analyzer_spark.queries.terms import _BPE_SEP, _bpe_train_state
 
-    n = census.count()
-    if n <= collect_gate:
-        rows = census.select("word", "wc").collect()
+    # ONE census evaluation decides the dispatch AND feeds the local loop:
+    # limit(gate+1) fetches every row when the vocab fits the gate, and
+    # exactly gate+1 rows (proof of overflow, without counting the rest)
+    # when it doesn't — a separate count() would re-run the corpus-sized
+    # explode+groupBy a second time (review r7). Row order is irrelevant:
+    # the local loop's counts are additive and its argmax tie-break is
+    # value-based.
+    rows = census.select("word", "wc").limit(collect_gate + 1).collect()
+    if len(rows) <= collect_gate:
         merges, final = bpe_local_merge_loop(
             [(r["word"], r["wc"]) for r in rows], n_merges
         )

@@ -144,6 +144,41 @@ def zordered_events(e: DataFrame, bits: int = 8) -> DataFrame:
         base.crossJoin(F.broadcast(lims))
         .withColumn("ux", F.expr(f"(u - u_lo) * {scale} div (u_hi - u_lo + 1)"))
         .withColumn("tx", F.expr(f"(h - h_lo) * {scale} div (h_hi - h_lo + 1)"))
-        .withColumn("z", F.expr(_z_interleave_terms("ux", "tx")))
+        # interleave width MUST match the normalization range (review r7:
+        # a wider `bits` with the old 8-wide interleave silently dropped
+        # high-order bits and de-clustered the layout)
+        .withColumn("z", F.expr(_z_interleave_terms("ux", "tx", bits=bits)))
         .select("ux", "tx", "z")
     )
+
+
+def rowgroup_band_skips(path: str, lo: int, hi: int) -> dict[str, int]:
+    """Count parquet row groups a footer-stats reader SKIPS under the band
+    predicate ``lo <= v < hi`` on the ``ux`` / ``tx`` dimensions, and on
+    their 2-D intersection. Shared by bench.py (zorder_rowgroup_skips)
+    and tests/test_zorder_layout.py so the published payoff number and
+    the test assertion measure exactly the same thing."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    total = 0
+    skipped = {"ux": 0, "tx": 0, "both": 0}
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        for rg in range(md.num_row_groups):
+            total += 1
+            overlap = {}
+            for col in ("ux", "tx"):
+                st = md.row_group(rg).column(names.index(col)).statistics
+                overlap[col] = st.min < hi and st.max >= lo
+            if not overlap["ux"]:
+                skipped["ux"] += 1
+            if not overlap["tx"]:
+                skipped["tx"] += 1
+            if not (overlap["ux"] and overlap["tx"]):
+                skipped["both"] += 1
+    skipped["total"] = total
+    return skipped

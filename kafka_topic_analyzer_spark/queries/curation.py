@@ -680,14 +680,16 @@ ZORDER_BITS = 8  # 8 bits per dimension -> 16-bit z-values, 2^16 cells
 ZORDER_BUCKETS = 16  # audit granularity: z-range div 4096
 
 
-def _z_interleave_terms(ux: str, tx: str) -> str:
+def _z_interleave_terms(ux: str, tx: str, bits: int = ZORDER_BITS) -> str:
     """Bit-interleave SQL terms shared verbatim by Spark and DuckDB: both
     engines evaluate `&`, `<<` and integer `+` identically on BIGINT. The
     `>>` operator requires Spark >= 4.0 (it does not parse at all on Spark
-    3.x — substitute shiftright() there); this repo pins pyspark 4.1.2."""
+    3.x — substitute shiftright() there); this repo pins pyspark 4.1.2.
+    ``bits`` must match the caller's per-dimension normalization range
+    (2^bits) or high-order bits silently fall out of the key."""
     return " + ".join(
         f"(((({ux}) >> {i}) & 1) << {2 * i}) + (((({tx}) >> {i}) & 1) << {2 * i + 1})"
-        for i in range(ZORDER_BITS)
+        for i in range(bits)
     )
 
 

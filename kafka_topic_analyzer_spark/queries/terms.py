@@ -789,22 +789,35 @@ register("bpe_encode_corpus", _bpe_encode_corpus, _bpe_encode_sql())
 BPE_DEEP_N_MERGES = 1000
 
 
+def _bigram_stream(d: DataFrame, *extra_cols: str) -> DataFrame:
+    """The ONE fused-bigram explode every deep-BPE site shares: per input
+    row, ``tok_i + '_' + tok_{i+1}`` over the lowered whitespace tokens
+    (size>=2 guard — sequence(1,0) would descend, not empty), carrying
+    ``extra_cols`` through. Centralized so the bigram definition cannot
+    drift between the census, the deep encode and the held-out encode
+    (each paired with the same expression in its DuckDB oracle)."""
+    return (
+        d.select(*extra_cols, tokens(F.lower(F.col("text"))).alias("toks"))
+        .where(F.size("toks") >= 2)
+        .select(
+            *extra_cols,
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks)-1),"
+                    " i -> concat(toks[i-1], '_', toks[i]))"
+                )
+            ).alias("word"),
+        )
+    )
+
+
 def _bpe_bigram_vocab(d: DataFrame) -> DataFrame:
     """Fused-bigram census: (word, sym, wc) over compound forms
     ``tok_i + '_' + tok_{i+1}`` — same shape as _bpe_symbolized_vocab so
     either training path accepts it."""
     s2 = _BPE_SEP + _BPE_SEP
     grams = (
-        d.select(tokens(F.lower(F.col("text"))).alias("toks"))
-        .where(F.size("toks") >= 2)  # sequence(1,0) would descend, not empty
-        .select(
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(toks)-1),"
-                    " i -> concat(toks[i-1], '_', toks[i]))"
-                )
-            ).alias("word")
-        )
+        _bigram_stream(d)
         .where((F.length("word") >= 2) & (~F.col("word").contains(_BPE_SEP)))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wc"))
@@ -951,19 +964,7 @@ def _bpe_encode_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     _, vocab = bpe_train(spark, _bpe_bigram_vocab(d), BPE_DEEP_N_MERGES)
-    grams = (
-        d.select("source", tokens(F.lower(F.col("text"))).alias("toks"))
-        .where(F.size("toks") >= 2)
-        .select(
-            "source",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(toks)-1),"
-                    " i -> concat(toks[i-1], '_', toks[i]))"
-                )
-            ).alias("word"),
-        )
-    )
+    grams = _bigram_stream(d, "source")
     enc = grams.join(vocab.select("word", "n_syms"), "word", "left").select(
         "source",
         F.coalesce(F.col("n_syms"), F.length("word").cast("long")).alias("n_tok"),
@@ -1048,21 +1049,12 @@ def _bpe_encode_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     train = d.where(F.col("doc_id") % 2 == 0)
-    merges, _ = bpe_train(spark, _bpe_bigram_vocab(train), BPE_DEEP_N_MERGES)
+    # ONE train census feeds both the trainer and the seen-word flag
+    # (review r7: deriving it twice re-ran the corpus-sized explode)
+    train_census = _bpe_bigram_vocab(train)
+    merges, _ = bpe_train(spark, train_census, BPE_DEEP_N_MERGES)
 
-    grams = (
-        d.select("source", tokens(F.lower(F.col("text"))).alias("toks"))
-        .where(F.size("toks") >= 2)
-        .select(
-            "source",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(toks)-1),"
-                    " i -> concat(toks[i-1], '_', toks[i]))"
-                )
-            ).alias("word"),
-        )
-    )
+    grams = _bigram_stream(d, "source")
     replayable = grams.where(
         (F.length("word") >= 2) & (~F.col("word").contains(_BPE_SEP))
     )
@@ -1072,9 +1064,7 @@ def _bpe_encode_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = spark.createDataFrame(
         bpe_apply_merges(distinct_words, merges), "word string, n_syms long"
     )
-    seen = _bpe_bigram_vocab(train).select(
-        "word", F.lit(1).alias("seen")
-    )
+    seen = train_census.select("word", F.lit(1).alias("seen"))
     flagged = (
         grams.join(enc, "word", "left")
         .join(seen, "word", "left")

@@ -63,35 +63,16 @@ def test_zorder_write_tightens_footer_stats(spark):
             )
 
 
-def _rowgroup_skips(path: str, lo: int, hi: int) -> dict[str, int]:
-    total = 0
-    skipped = {"ux": 0, "tx": 0, "both": 0}
-    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
-        md = pq.ParquetFile(f).metadata
-        names = [md.schema.column(i).name for i in range(md.num_columns)]
-        for rg in range(md.num_row_groups):
-            total += 1
-            ov = {}
-            for col in ("ux", "tx"):
-                st = md.row_group(rg).column(names.index(col)).statistics
-                ov[col] = st.min < hi and st.max >= lo
-            if not ov["ux"]:
-                skipped["ux"] += 1
-            if not ov["tx"]:
-                skipped["tx"] += 1
-            if not (ov["ux"] and ov["tx"]):
-                skipped["both"] += 1
-    skipped["total"] = total
-    return skipped
-
-
 def test_zorder_skips_rowgroups_on_selective_predicates(spark):
     """The PAYOFF claim, not just the layout: under a selective band
     predicate, a footer-stats reader must skip strictly more row groups
     in the z-sorted layout than in the natural one — on EACH single
     dimension and on their 2-D intersection (bench.py publishes the same
     counts at sf0.1 as zorder_rowgroup_skips)."""
-    from kafka_topic_analyzer_spark.operators.pipeline import zordered_events
+    from kafka_topic_analyzer_spark.operators.pipeline import (
+        rowgroup_band_skips,
+        zordered_events,
+    )
     from kafka_topic_analyzer_spark.sources.tables import load_table
 
     z = zordered_events(load_table(spark, SF_SMOKE, "events"))
@@ -99,8 +80,8 @@ def test_zorder_skips_rowgroups_on_selective_predicates(spark):
         plain_p, zed_p = os.path.join(tmp, "plain"), os.path.join(tmp, "z")
         z.repartition(16).write.parquet(plain_p)
         z.repartitionByRange(16, "z").sortWithinPartitions("z").write.parquet(zed_p)
-        plain = _rowgroup_skips(plain_p, 120, 136)
-        zed = _rowgroup_skips(zed_p, 120, 136)
+        plain = rowgroup_band_skips(plain_p, 120, 136)
+        zed = rowgroup_band_skips(zed_p, 120, 136)
     for key in ("ux", "tx", "both"):
         assert zed[key] > plain[key], (key, plain, zed)
     # the 2-D predicate compounds: at least half the row groups skip
