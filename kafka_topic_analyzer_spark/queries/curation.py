@@ -11,10 +11,13 @@ the scan itself:
 - the histogram reduces to ~20 groups via map-side partial aggregation;
 - window-based operators (packing, percentile gate) partition by a
   bounded-cardinality key (source / lang). At 100 TB a single source
-  could still overload one task; the documented scale-out is a composite
-  partition key (source, shard) — packing is shard-local by design, and
-  the percentile gate swaps percent_rank for an approx-quantile
-  threshold join (see operators/skew.py for the general skew toolkit).
+  could still overload one task; the scale-out is a composite partition
+  key (source, shard) — IMPLEMENTED for packing as the two-level
+  distributed prefix sum `sequence_packing_scalable` (operators/
+  pipeline.py packed_offsets_scalable, bit-identical to the plain
+  window, proven by sharing its oracle) — and the percentile gate swaps
+  percent_rank for an approx-quantile threshold join (see
+  operators/skew.py for the general skew toolkit).
 
 Determinism/oracle discipline: "random" sampling is md5-bucket based —
 both engines produce identical lowercase hex for identical bytes, so the
@@ -249,6 +252,54 @@ SELECT doc_id, source, n_tokens, token_start,
   token_start % 2048 AS seq_offset
 FROM (
   -- DuckDB widens windowed sum(BIGINT) to HUGEINT; pin it back to BIGINT
+  SELECT doc_id, source, n_tokens,
+    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_start
+  FROM sized
+)
+ORDER BY source, doc_id
+""",
+)
+
+
+def _sequence_packing_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME packing plan as sequence_packing, computed by the
+    two-level distributed prefix sum (operators/pipeline.py
+    packed_offsets_scalable): rows split into 32 contiguous doc_id
+    ranges, per-(source, shard) local running sums in parallel, shard
+    bases from a tiny cumulative window, broadcast-joined back. A plain
+    per-source window materializes each source in ONE task — the
+    bottleneck this removes at 100 TB. Bit-identical output is the
+    point: this query shares sequence_packing's oracle verbatim, so the
+    driver hash proves the scalable plan computes exactly the
+    single-window semantics."""
+    from kafka_topic_analyzer_spark.operators.pipeline import (
+        packed_offsets_scalable,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = TX.token_count(F.col("text"))
+    sized = d.select("doc_id", "source", n_tok.alias("n_tokens"))
+    return (
+        packed_offsets_scalable(sized, "source", "doc_id", "n_tokens", shards=32)
+        .withColumn("seq_id", (F.col("token_start") / 2048).cast("long"))
+        .withColumn("seq_offset", F.col("token_start") % 2048)
+        .select(
+            "doc_id", "source", "n_tokens", "token_start", "seq_id", "seq_offset"
+        )
+        .orderBy("source", "doc_id")
+    )
+
+
+register(
+    "sequence_packing_scalable",
+    _sequence_packing_scalable,
+    f"""
+WITH sized AS (SELECT doc_id, source, {_NTOK_SQL} AS n_tokens FROM documents)
+SELECT doc_id, source, n_tokens, token_start,
+  CAST(floor(token_start / 2048) AS BIGINT) AS seq_id,
+  token_start % 2048 AS seq_offset
+FROM (
   SELECT doc_id, source, n_tokens,
     CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_start

@@ -48,6 +48,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "bpe_encode_deep",
     "media_decode_audit",
     "bpe_encode_heldout",
+    "sequence_packing_scalable",
     "balance_deciles",  # last row r4
     "monthly_order_growth",  # last row r4
     "q6_forecast_revenue",  # last row r4
@@ -93,7 +94,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q21_waiting_suppliers",  # last row r5
     "text_cleaning",  # last row r5
     "pii_redaction",  # last row r5
-    "doc_repetition_stats",  # last row r5
 )
 
 

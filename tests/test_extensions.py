@@ -777,3 +777,33 @@ def test_salted_join_bounds_the_hot_reduce_partition(spark):
     # the 64 partitions plus the background keys
     assert salted_max <= 3 * (n // 2) // 16 + n // 10, (plain_max, salted_max)
     assert salted_max * 4 <= plain_max
+
+
+def test_scalable_packing_equals_single_window(spark):
+    """The two-level distributed prefix sum must reproduce the plain
+    per-source window's offsets exactly, row for row — including at
+    shard boundaries (the off-by-one surface: the base must cover all
+    PRIOR shards, the local sum all prior rows within the shard)."""
+    import __spark_entry__ as E
+
+    simple = E.queries()["sequence_packing"](spark, SF_SMOKE).collect()
+    scalable = E.queries()["sequence_packing_scalable"](spark, SF_SMOKE).collect()
+    assert [tuple(r) for r in simple] == [tuple(r) for r in scalable]
+
+
+def test_scalable_packing_shards_the_heavy_window(spark):
+    """The parallelism claim, verified in the plan: the corpus-sized
+    running sum must window on (source, _shard) — never on source alone
+    (one task per source) — and the shard bases must come back via a
+    broadcast join."""
+    import __spark_entry__ as E
+
+    plan = (
+        E.queries()["sequence_packing_scalable"](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "_shard" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

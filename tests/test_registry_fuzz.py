@@ -260,6 +260,8 @@ FUZZED_QUERIES = [
     "bpe_encode_deep",
     "bpe_encode_heldout",
     "media_decode_audit",
+    "sequence_packing",
+    "sequence_packing_scalable",
     "quality_threshold_sweep",
     "lang_temperature_mix",
     "embedding_dim_moments",
