@@ -15,9 +15,11 @@ the scan itself:
   key (source, shard) — IMPLEMENTED for packing as the two-level
   distributed prefix sum `sequence_packing_scalable` (operators/
   pipeline.py packed_offsets_scalable, bit-identical to the plain
-  window, proven by sharing its oracle) — and the percentile gate swaps
-  percent_rank for an approx-quantile threshold join (see
-  operators/skew.py for the general skew toolkit).
+  window, proven by sharing its oracle) — and for the quality gate as
+  the histogram-quantile threshold (`quality_percentile_gate_scalable`:
+  integer micro-score histogram -> per-lang threshold -> scan-side
+  filter; no corpus-sized window). See operators/skew.py for the
+  general skew toolkit.
 
 Determinism/oracle discipline: "random" sampling is md5-bucket based —
 both engines produce identical lowercase hex for identical bytes, so the
@@ -207,6 +209,89 @@ SELECT doc_id, lang, quality_score, pctile FROM (
          round(percent_rank() OVER (PARTITION BY lang ORDER BY quality_score), 6) AS pctile
   FROM scored
 ) WHERE pctile >= 0.75
+ORDER BY lang, doc_id
+""",
+)
+
+
+def _quality_percentile_gate_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The window-free 100 TB form of the distribution-aware quality
+    gate: instead of percent_rank over every row (one task per lang),
+    derive the per-lang top-quartile THRESHOLD from a score histogram
+    and filter scan-side — the classic histogram-quantile two-pass.
+
+    Shape: scores quantize to exact integer micro-units (hash-safe — no
+    float interpolation anywhere); the histogram groupBy is map-side
+    combined and vocabulary-sized (distinct scores per lang); the
+    cumulative window runs over the HISTOGRAM rows, not the corpus; the
+    thresholds broadcast back null-safely and the keep-filter evaluates
+    next to the scan. Threshold semantics: the largest score whose
+    descending cumulative count reaches ceil(n/4) — the minimal
+    top-by-value set that includes boundary ties (so it can keep
+    slightly MORE than 25%, never less). NULL-quality docs (NULL text)
+    are excluded by explicit policy on both engines — a quality gate
+    cannot pass an unscorable doc.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    q = TX.quality_score(F.col("text"))
+    scored = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.round(q * 1000000).cast("long").alias("q_micro"),
+        )
+        .where(F.col("q_micro").isNotNull())
+    )
+    hist = scored.groupBy("lang", "q_micro").agg(F.count(F.lit(1)).alias("c"))
+    n_by_lang = scored.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    cum_w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("q_micro"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    thr = (
+        hist.withColumn("cum", F.sum("c").over(cum_w))
+        .join(n_by_lang.withColumnRenamed("lang", "_nl"),
+              F.col("lang").eqNullSafe(F.col("_nl")))
+        .where(F.col("cum") >= F.ceil(F.col("n") / F.lit(4.0)))
+        .groupBy("lang")
+        .agg(F.max("q_micro").alias("thr"))
+        .select(F.col("lang").alias("_tl"), "thr")
+    )
+    return (
+        scored.join(F.broadcast(thr), F.col("lang").eqNullSafe(F.col("_tl")))
+        .where(F.col("q_micro") >= F.col("thr"))
+        .select("doc_id", "lang", "q_micro", "thr")
+        .orderBy("lang", "doc_id")
+    )
+
+
+register(
+    "quality_percentile_gate_scalable",
+    _quality_percentile_gate_scalable,
+    f"""
+WITH scored AS (
+  SELECT doc_id, lang, CAST(round(({_QSCORE}) * 1000000) AS BIGINT) AS q_micro
+  FROM documents
+),
+nn AS (SELECT * FROM scored WHERE q_micro IS NOT NULL),
+hist AS (SELECT lang, q_micro, CAST(count(*) AS BIGINT) AS c FROM nn GROUP BY 1, 2),
+cum AS (
+  SELECT lang, q_micro,
+         CAST(sum(c) OVER (PARTITION BY lang ORDER BY q_micro DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM hist
+),
+n_by AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM nn GROUP BY 1),
+thr AS (
+  SELECT cum.lang, CAST(max(q_micro) AS BIGINT) AS thr
+  FROM cum JOIN n_by ON cum.lang IS NOT DISTINCT FROM n_by.lang
+  WHERE cum >= CAST(ceil(n / 4.0) AS BIGINT)
+  GROUP BY cum.lang
+)
+SELECT doc_id, nn.lang AS lang, q_micro, thr
+FROM nn JOIN thr ON nn.lang IS NOT DISTINCT FROM thr.lang
+WHERE q_micro >= thr
 ORDER BY lang, doc_id
 """,
 )

@@ -49,6 +49,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "media_decode_audit",
     "bpe_encode_heldout",
     "sequence_packing_scalable",
+    "quality_percentile_gate_scalable",
     "balance_deciles",  # last row r4
     "monthly_order_growth",  # last row r4
     "q6_forecast_revenue",  # last row r4
@@ -93,7 +94,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q19_disjunctive_revenue",  # last row r5
     "q21_waiting_suppliers",  # last row r5
     "text_cleaning",  # last row r5
-    "pii_redaction",  # last row r5
 )
 
 

@@ -807,3 +807,39 @@ def test_scalable_packing_shards_the_heavy_window(spark):
     assert "_shard" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_histogram_gate_is_a_true_by_value_gate(spark):
+    """The defining property of a by-value threshold gate, per lang:
+    every kept doc scores >= every dropped doc, the kept fraction is at
+    least a quarter (ties included) and under half, and ties at the
+    threshold are never split."""
+    import __spark_entry__ as E
+
+    from kafka_topic_analyzer_spark.functions import text as TX
+    from kafka_topic_analyzer_spark.sources.tables import load_table
+
+    kept = E.queries()["quality_percentile_gate_scalable"](spark, SF_SMOKE).collect()
+    d = load_table(spark, SF_SMOKE, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        F.round(TX.quality_score(F.col("text")) * 1000000)
+        .cast("long")
+        .alias("q_micro"),
+    ).where(F.col("q_micro").isNotNull()).collect()
+
+    kept_ids = {r["doc_id"] for r in kept}
+    by_lang: dict = {}
+    for r in scored:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in by_lang.items():
+        k = [r["q_micro"] for r in rows if r["doc_id"] in kept_ids]
+        drop = [r["q_micro"] for r in rows if r["doc_id"] not in kept_ids]
+        assert k, lang
+        if drop:
+            assert min(k) > max(drop), (lang, min(k), max(drop))
+        import math
+
+        assert len(k) >= math.ceil(len(rows) / 4), (lang, len(k), len(rows))
+        assert len(k) < max(len(rows) / 2, 2), (lang, len(k), len(rows))

@@ -262,6 +262,7 @@ FUZZED_QUERIES = [
     "media_decode_audit",
     "sequence_packing",
     "sequence_packing_scalable",
+    "quality_percentile_gate_scalable",
     "quality_threshold_sweep",
     "lang_temperature_mix",
     "embedding_dim_moments",
