@@ -43,57 +43,57 @@ def register(name: str, spark_fn: Callable[[SparkSession, str], DataFrame], orac
 # commits SELFCHECK_r{N}.json, so every query has fresh evidence every round
 # even when outside the driver window.
 CHECK_PRIORITY: tuple[str, ...] = (
-    # -- round 7: new r7 queries first, then 31 r4-stale, then oldest r5 --
-    "bpe_train_merges_deep",
-    "bpe_encode_deep",
-    "media_decode_audit",
-    "bpe_encode_heldout",
-    "sequence_packing_scalable",
-    "quality_percentile_gate_scalable",
-    "balance_deciles",  # last row r4
-    "monthly_order_growth",  # last row r4
-    "q6_forecast_revenue",  # last row r4
-    "q12_returnflag_priority",  # last row r4
-    "q14_promo_share",  # last row r4
-    "q4_late_ship_priority",  # last row r4
-    "q13_order_count_distribution",  # last row r4
-    "q22_idle_rich_customers",  # last row r4
-    "doc_token_stats",  # last row r4
-    "source_quality_summary",  # last row r4
-    "lang_id_confusion",  # last row r4
-    "compression_roundtrip_audit",  # last row r4
-    "bigram_familiarity",  # last row r4
-    "embedding_coverage_check",  # last row r4
-    "dup_graph_pagerank",  # last row r4
-    "semantic_dup_clusters",  # last row r4
-    "incremental_dedup_status",  # last row r4
-    "substring_dup_spans",  # last row r4
-    "near_dup_source_matrix",  # last row r4
-    "tfidf_cosine_pairs",  # last row r4
-    "dup_graph_triangles",  # last row r4
-    "salted_user_enrichment",  # last row r4
-    "enriched_segment_stats_streaming",  # last row r4
-    "video_frame_inventory",  # last row r4
-    "dataset_split_summary",  # last row r4
-    "quality_weighted_sample",  # last row r4
-    "zorder_layout_audit",  # last row r4
-    "documents_quality_checks",  # last row r4
-    "embeddings_quality_checks",  # last row r4
-    "event_value_quantiles_audit",  # last row r4
-    "bm25_doc_ranking",  # last row r4
-    "kafka_report_partition",  # last row r5
-    "kafka_report_global",  # last row r5
-    "kafka_alive_keys",  # last row r5
-    "kafka_compacted_state",  # last row r5
-    "kafka_consumer_config_audit",  # last row r5
-    "kafka_empty_topic_guard_audit",  # last row r5
-    "kafka_scan_observability_audit",  # last row r5
-    "rich_customers_per_segment",  # last row r5
-    "q17_small_quantity_revenue",  # last row r5
-    "q18_large_volume_orders",  # last row r5
-    "q19_disjunctive_revenue",  # last row r5
-    "q21_waiting_suppliers",  # last row r5
-    "text_cleaning",  # last row r5
+    # -- round 8: 36 r5-stale first (full rotation-floor cycle), then r6 --
+    "pii_redaction",  # last row r5
+    "doc_repetition_stats",  # last row r5
+    "doc_fingerprints",  # last row r5
+    "sentence_stats",  # last row r5
+    "exact_dup_summary",  # last row r5
+    "near_dup_pairs_jaccard",  # last row r5
+    "dup_cluster_assignment",  # last row r5
+    "minhash_signatures",  # last row r5
+    "minhash_near_dups",  # last row r5
+    "knn_bruteforce_cosine",  # last row r5
+    "knn_lsh_cosine",  # last row r5
+    "knn_ivf_cosine",  # last row r5
+    "embedding_pair_stats",  # last row r5
+    "embedding_quantization",  # last row r5
+    "embedding_label_stats",  # last row r5
+    "hybrid_retrieval_rrf",  # last row r5
+    "embedding_dim_moments",  # last row r5
+    "embedding_dim_covariance",  # last row r5
+    "embedding_outliers",  # last row r5
+    "embedding_near_dup_pairs",  # last row r5
+    "embedding_near_dups_lsh",  # last row r5
+    "simhash_fingerprints",  # last row r5
+    "simhash_near_dups",  # last row r5
+    "consensus_near_dups",  # last row r5
+    "fuzzy_match_pairs",  # last row r5
+    "hourly_event_counts",  # last row r5
+    "sliding_window_counts",  # last row r5
+    "user_session_stats",  # last row r5
+    "props_key_distribution",  # last row r5
+    "purchase_attribution_asof",  # last row r5
+    "value_percentiles",  # last row r5
+    "peak_window_event_counts",  # last row r5
+    "quality_threshold_sweep",  # last row r5
+    "lang_temperature_mix",  # last row r5
+    "bpe_merge_candidates",  # last row r5
+    "bpe_train_merges",  # last row r5
+    "kafka_alive_keys_hll_audit",  # last row r6
+    "report_metrics_unpivot",  # last row r6
+    "event_lateness_profile",  # last row r6
+    "kafka_report_rendered",  # last row r6
+    "kafka_summary_rendered",  # last row r6
+    "q1_pricing_summary",  # last row r6
+    "q3_shipping_priority",  # last row r6
+    "q5_regional_revenue",  # last row r6
+    "top3_customers_per_segment",  # last row r6
+    "orders_rollup",  # last row r6
+    "customers_without_recent_orders",  # last row r6
+    "priority_with_discounted_lines",  # last row r6
+    "large_parts_in_lineitem",  # last row r6
+    "order_status_pivot",  # last row r6
 )
 
 
