@@ -178,6 +178,11 @@ def y4m_decode(blob: bytes) -> tuple[dict, list[np.ndarray]]:
         # X<comment> and unknown tags are skipped per spec
     if "width" not in meta or "height" not in meta:
         raise ValueError("Y4M header missing W/H")
+    # F is required by the mjpegtools grammar; raising HERE keeps the
+    # failure inside _try_decode's skip-and-count contract — a foreign
+    # F-less stream must not KeyError past the decoder (advisor r7).
+    if "fps" not in meta:
+        raise ValueError("Y4M header missing F (frame rate)")
     w, h = meta["width"], meta["height"]
     cs = meta["colorspace"]
     if cs not in _Y4M_PLANE_RATIO:

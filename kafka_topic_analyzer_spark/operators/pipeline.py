@@ -172,7 +172,16 @@ def rowgroup_band_skips(path: str, lo: int, hi: int) -> dict[str, int]:
             total += 1
             overlap = {}
             for col in ("ux", "tx"):
+                # Real footer-stats reader semantics: a missing column or
+                # absent/None min-max statistics means the row group CANNOT
+                # be skipped — treat as overlapping (advisor r7).
+                if col not in names:
+                    overlap[col] = True
+                    continue
                 st = md.row_group(rg).column(names.index(col)).statistics
+                if st is None or st.min is None or st.max is None:
+                    overlap[col] = True
+                    continue
                 overlap[col] = st.min < hi and st.max >= lo
             if not overlap["ux"]:
                 skipped["ux"] += 1

@@ -317,6 +317,9 @@ _GARBAGE_CASES = [
     b"RIFF\xff\xff\xff\xffWAVEfmt ",       # truncated fmt chunk
     b"YUV4MPEG2 W4 H4 F2:1\nFRAME\n\x01",  # truncated Y4M frame payload
     b"YUV4MPEG2 W4 H4 F2:1 Cweird\n",      # unknown colorspace
+    # valid W/H/C but NO F tag: must raise inside the decoder, not
+    # KeyError past it in sample_video_frames (advisor r7)
+    b"YUV4MPEG2 W2 H2 Cmono\nFRAME\n\x00\x01\x02\x03",
 ]
 
 
@@ -426,3 +429,24 @@ def test_audit_counts_match_predicate(spark, media):
     # and on the UNcorrupted fixture every blob decodes
     clean = media_decode_audit(media).collect()
     assert all(r["n_invalid"] == 0 for r in clean)
+
+
+def test_video_sampler_skips_fps_less_y4m(spark):
+    """An F-less Y4M header must be a SKIP under on_error='skip' (it used
+    to KeyError on meta['fps'] outside _try_decode) and a raise under
+    on_error='fail' — same contract as every other corrupt blob."""
+    from kafka_topic_analyzer_spark.operators.multimodal import sample_video_frames
+
+    good = (
+        b"YUV4MPEG2 W2 H2 F2:1 Cmono\nFRAME\n\x00\x01\x02\x03"
+    )
+    fps_less = b"YUV4MPEG2 W2 H2 Cmono\nFRAME\n\x00\x01\x02\x03"
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(good)), (2, "video", bytearray(fps_less))],
+        "media_id long, kind string, data binary",
+    )
+    rows = sample_video_frames(df, on_error="skip").collect()
+    assert {r["media_id"] for r in rows} == {1}
+    with pytest.raises(Exception) as ei:
+        sample_video_frames(df, on_error="fail").collect()
+    assert "Y4M header missing F" in str(ei.value)

@@ -86,3 +86,27 @@ def test_zorder_skips_rowgroups_on_selective_predicates(spark):
         assert zed[key] > plain[key], (key, plain, zed)
     # the 2-D predicate compounds: at least half the row groups skip
     assert zed["both"] * 2 >= zed["total"], zed
+
+
+def test_band_skips_treats_missing_stats_as_overlap(tmp_path):
+    """A parquet file written WITHOUT column statistics (or missing the
+    band columns entirely) must count as non-skippable, matching real
+    footer-stats reader semantics — not raise (advisor r7)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka_topic_analyzer_spark.operators.pipeline import rowgroup_band_skips
+
+    nostats = str(tmp_path / "nostats")
+    (tmp_path / "nostats").mkdir()
+    t = pa.table({"ux": [1, 2, 3], "tx": [4, 5, 6]})
+    pq.write_table(t, nostats + "/part-0.parquet", write_statistics=False)
+    res = rowgroup_band_skips(nostats, 100, 200)
+    assert res["total"] >= 1
+    assert res["ux"] == res["tx"] == res["both"] == 0
+
+    nocol = str(tmp_path / "nocol")
+    (tmp_path / "nocol").mkdir()
+    pq.write_table(pa.table({"other": [1, 2]}), nocol + "/part-0.parquet")
+    res2 = rowgroup_band_skips(nocol, 100, 200)
+    assert res2["ux"] == res2["tx"] == res2["both"] == 0
