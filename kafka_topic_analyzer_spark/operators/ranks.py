@@ -1,0 +1,173 @@
+"""Window-free scalable twins for ranking and prefix-scan shapes.
+
+Spark executes a window over ``partitionBy(G)`` as ONE TASK per distinct
+G-group (after one hash exchange) — fine when groups are entity-bounded
+(per-user, per-supplier), a straggler/ spill wall when a group is
+corpus-sized (per-source, per-Kafka-partition, or GLOBAL). These
+operators re-express the three corpus-sized window shapes the catalog
+uses as compositions of balanced shuffles + tiny broadcast frames, each
+bit-identical to its exact-window sibling (the sibling's oracle SQL is
+shared verbatim, so the driver hash proves equivalence — the
+sequence_packing_scalable pattern, operators/pipeline.py:187):
+
+- :func:`topk_per_group` — rank-then-filter top-k: local per-task top-k
+  prune (any global top-k row is in its task's local top-k), then the
+  exact window over the k-x-n_tasks survivor set.
+- :func:`global_ranks_scalable` — full ``row_number() OVER (ORDER BY
+  ...)``: range-repartition on the order key (the terasort layout),
+  task-local row_number, plus broadcast per-range base offsets.
+- :func:`prefix_max_scalable` — exclusive running max per group ordered
+  by an integer column: the two-level scan of packed_offsets_scalable
+  with (max, greatest) replacing (sum, +).
+
+All three require the order columns to form a TOTAL order (include a
+unique tiebreaker) — the same requirement the deterministic-hash oracle
+already imposes on the exact siblings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def topk_per_group(
+    df: DataFrame,
+    part_cols: list[str],
+    order_cols: list[Column],
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Top-k rows per group with an exact 1-based ``rank_col``.
+
+    Stage 1 prunes inside each input task: a row outside its own task's
+    per-group top-k cannot be in the global top-k, so the exchange after
+    the prune carries at most k * n_tasks rows per group instead of the
+    whole group. Stage 2 is the exact window — now over a survivor set
+    bounded by cluster width, not data volume.
+    """
+    local_w = Window.partitionBy(*part_cols, "_pid").orderBy(*order_cols)
+    pruned = (
+        df.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lr", F.row_number().over(local_w))
+        .where(F.col("_lr") <= k)
+        .drop("_pid", "_lr")
+    )
+    final_w = Window.partitionBy(*part_cols).orderBy(*order_cols)
+    return pruned.withColumn(
+        rank_col, F.row_number().over(final_w).cast("int")
+    ).where(F.col(rank_col) <= k)
+
+
+def global_ranks_scalable(
+    df: DataFrame,
+    order_cols: list[Column],
+    shards: int = 32,
+    rank_col: str = "rank",
+    total_col: str = "total",
+) -> DataFrame:
+    """Exact global ``row_number() OVER (ORDER BY order_cols)`` without a
+    single-task global sort. Adds ``rank_col`` (1-based bigint) and
+    ``total_col`` (the global row count, for ntile-style arithmetic).
+
+    Range-repartition on the order key gives ordered, balanced shards
+    (shard i's rows all precede shard i+1's); each shard computes its
+    local row_number in parallel; the per-shard row counts — a
+    ``shards``-row frame — get an exclusive prefix sum and broadcast
+    back as base offsets. Shard boundaries never affect the result,
+    only balance: base+local is a valid row_number for ANY ordered
+    split. Two balanced shuffles total vs the window's
+    one-shuffle-into-one-task.
+    """
+    rp = df.repartitionByRange(shards, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local_w = Window.partitionBy("_pid").orderBy(*order_cols)
+    local = rp.withColumn("_lr", F.row_number().over(local_w).cast("long"))
+    base_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    tot_w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    bases = (
+        rp.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "_pid",
+            F.coalesce(F.sum("_n").over(base_w), F.lit(0)).alias("_base"),
+            F.sum("_n").over(tot_w).alias(total_col),
+        )
+    )
+    return (
+        local.join(F.broadcast(bases), "_pid")
+        .withColumn(rank_col, F.col("_base") + F.col("_lr"))
+        .drop("_pid", "_lr", "_base")
+    )
+
+
+def prefix_max_scalable(
+    df: DataFrame,
+    part_col: str,
+    order_col: str,
+    value: Column,
+    out_col: str,
+    shards: int = 32,
+) -> DataFrame:
+    """Exclusive running max of ``value`` per ``part_col`` in
+    ``order_col`` order — ``max(value) OVER (PARTITION BY part ORDER BY
+    ord ROWS UNBOUNDED PRECEDING TO 1 PRECEDING)`` without the
+    one-task-per-group window. ``order_col`` must be integral (offsets).
+
+    Two-level scan, max-monoid edition of packed_offsets_scalable:
+    rows split into ``shards`` contiguous order ranges per group (via
+    each group's min/max — a tiny broadcast aggregate); each
+    (group, shard) cell computes its local exclusive running max in
+    parallel; per-cell maxima get an exclusive cumulative max over the
+    shard index (a (groups x shards)-row frame) and join back as the
+    base; the global value is greatest(base, local) — F.greatest's
+    skip-null fold is exactly the max of two possibly-empty prefix
+    sets. NULL values never enter the max (same as the window form).
+    """
+    lims = df.groupBy(part_col).agg(
+        F.min(order_col).alias("_lo"), F.max(order_col).alias("_hi")
+    )
+    t = (
+        df.join(F.broadcast(lims), part_col)
+        .withColumn("_v", value)
+        .withColumn(
+            "_shard",
+            F.expr(
+                f"CAST(({order_col} - _lo) * {shards}"
+                f" div (_hi - _lo + 1) AS INT)"
+            ),
+        )
+        .drop("_lo", "_hi")
+    )
+    local_w = (
+        Window.partitionBy(part_col, "_shard")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = t.withColumn("_local", F.max("_v").over(local_w))
+    shard_w = (
+        Window.partitionBy(part_col)
+        .orderBy("_shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = (
+        t.groupBy(part_col, "_shard")
+        .agg(F.max("_v").alias("_smax"))
+        .withColumn("_base", F.max("_smax").over(shard_w))
+        .select(
+            F.col(part_col).alias("_bp"),
+            F.col("_shard").alias("_bs"),
+            "_base",
+        )
+    )
+    cond = F.col(part_col).eqNullSafe(F.col("_bp")) & F.col("_shard").eqNullSafe(
+        F.col("_bs")
+    )
+    return (
+        local.join(F.broadcast(bases), cond)
+        .withColumn(out_col, F.greatest("_base", "_local"))
+        .drop("_shard", "_v", "_local", "_base", "_bp", "_bs")
+    )

@@ -112,17 +112,49 @@ def _per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "per_group_sample",
-    _per_group_sample,
-    f"""
+_PER_GROUP_SAMPLE_ORACLE = f"""
 SELECT doc_id, source, CAST(draw_rank AS INT) AS draw_rank FROM (
   SELECT doc_id, source,
          row_number() OVER (PARTITION BY source ORDER BY {_MD5_PREFIX_SQL}, doc_id) AS draw_rank
   FROM documents
 ) WHERE draw_rank <= 3
 ORDER BY source, draw_rank
-""",
+"""
+
+
+def _per_group_sample_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-free twin of per_group_sample: the exact form's per-source
+    row_number is a corpus-sized window partition at 100 TB (one task
+    per source). The twin prunes each input task to its local 3-per-
+    source minimum-md5 rows first, then ranks the bounded survivor set
+    exactly (operators/ranks.py:topk_per_group) — the claim the exact
+    form's docstring only described, made real and hash-proven: shares
+    the oracle SQL VERBATIM."""
+    from kafka_topic_analyzer_spark.operators.ranks import topk_per_group
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        topk_per_group(
+            d.select("doc_id", "source", "text"),
+            ["source"],
+            [_md5_prefix(F.col("text")).asc(), F.col("doc_id").asc()],
+            3,
+            rank_col="draw_rank",
+        )
+        .select("doc_id", "source", "draw_rank")
+        .orderBy("source", "draw_rank")
+    )
+
+
+register(
+    "per_group_sample",
+    _per_group_sample,
+    _PER_GROUP_SAMPLE_ORACLE,
+)
+register(
+    "per_group_sample_scalable",
+    _per_group_sample_scalable,
+    _PER_GROUP_SAMPLE_ORACLE,
 )
 
 
@@ -366,7 +398,9 @@ def _sequence_packing_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tok = TX.token_count(F.col("text"))
     sized = d.select("doc_id", "source", n_tok.alias("n_tokens"))
     return (
-        packed_offsets_scalable(sized, "source", "doc_id", "n_tokens", shards=32)
+        # shards auto-scale from the input row count (~1M rows/shard,
+        # min 32) — the r8 sizing rule, SCALING.md
+        packed_offsets_scalable(sized, "source", "doc_id", "n_tokens")
         .withColumn("seq_id", (F.col("token_start") / 2048).cast("long"))
         .withColumn("seq_offset", F.col("token_start") % 2048)
         .select(

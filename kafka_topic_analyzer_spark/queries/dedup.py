@@ -92,19 +92,24 @@ def _dup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustered doc labeled with the min reachable doc_id + its cluster
     size (the "keep canonical, drop the rest" input). Iterative
     min-label propagation on Spark; the oracle states the same fixpoint
-    as a DuckDB recursive CTE."""
-    from pyspark.sql import Window
+    as a DuckDB recursive CTE.
 
+    cluster_size comes from a groupBy + shuffle join, not a
+    count-over-partition window: a window would give one task per
+    cluster, and a degenerate corpus (billions of copies of one text)
+    makes one cluster corpus-sized (r8 window audit, SCALING.md)."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.near_dup_pairs_jaccard(docs, k=3, threshold=0.7, max_df=50)
     edges = pairs.select(F.col("doc_i").alias("src"), F.col("doc_j").alias("dst"))
     labels = D.connected_components(edges)
-    w = Window.partitionBy("cluster_id")
-    return labels.select(
-        "doc_id",
-        "cluster_id",
-        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
-    ).orderBy("doc_id")
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return (
+        labels.join(sizes, "cluster_id")
+        .select("doc_id", "cluster_id", "cluster_size")
+        .orderBy("doc_id")
+    )
 
 
 register(
@@ -611,8 +616,6 @@ def _semantic_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline at scale (candidates via LSH buckets, exact verify, then one
     vertex-keyed iterative shuffle; see operators/dedup.py
     connected_components for the 100 TB notes)."""
-    from pyspark.sql import Window
-
     # Bounded slice (like embedding_pair_stats): the clustering cost is
     # iteration-latency-bound, not data-bound, so a fixed slice keeps the
     # bench/driver cost stable across scale factors while exercising the
@@ -625,13 +628,21 @@ def _semantic_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = pairs.select(F.col("vec_i").alias("src"), F.col("vec_j").alias("dst"))
     labels = D.connected_components(edges)
-    w = Window.partitionBy("cluster_id")
-    return labels.select(
-        F.col("doc_id").alias("vec_id"),
-        "cluster_id",
-        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
-        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
-    ).orderBy("vec_id")
+    # groupBy+join, not a count-over-partition window (r8 window audit:
+    # a degenerate mega-cluster would pin one task; see SCALING.md)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return (
+        labels.join(sizes, "cluster_id")
+        .select(
+            F.col("doc_id").alias("vec_id"),
+            "cluster_id",
+            "cluster_size",
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+        )
+        .orderBy("vec_id")
+    )
 
 
 def _semantic_dup_clusters_sql() -> str:

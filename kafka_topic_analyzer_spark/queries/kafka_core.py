@@ -251,15 +251,29 @@ def _event_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ts_ok = F.when(F.col("timestamp_ms") > 0, F.col("timestamp_ms"))
     run_max = F.max(ts_ok).over(w)
-    lateness = F.when(
-        (F.col("timestamp_ms") > 0) & run_max.isNotNull(),
-        F.greatest(run_max - F.col("timestamp_ms"), F.lit(0)),
-    )
     prof = kdf.select(
         "partition",
         F.col("timestamp_ms"),
-        lateness.alias("late_ms"),
+        _lateness_col(run_max).alias("late_ms"),
     )
+    return _lateness_rollup(prof)
+
+
+def _lateness_col(run_max):
+    """late_ms from a running-max column — shared by the exact window
+    form and the two-level scalable twin so the lateness definition
+    cannot drift between them."""
+    from pyspark.sql import functions as F
+
+    return F.when(
+        (F.col("timestamp_ms") > 0) & run_max.isNotNull(),
+        F.greatest(run_max - F.col("timestamp_ms"), F.lit(0)),
+    )
+
+
+def _lateness_rollup(prof: DataFrame) -> DataFrame:
+    from pyspark.sql import functions as F
+
     return (
         prof.groupBy("partition")
         .agg(
@@ -274,10 +288,34 @@ def _event_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "event_lateness_profile",
-    _event_lateness_profile,
-    kafka_oracle("""
+def _event_lateness_profile_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-free twin of event_lateness_profile for corpus-sized Kafka
+    partitions: the exact form's ``max() OVER (PARTITION BY partition
+    ORDER BY offset)`` materializes each topic-partition in ONE task —
+    at 100 TB a partition holds billions of offsets, so that task is
+    the job. This twin computes the identical exclusive running max via
+    the two-level scan (operators/ranks.py:prefix_max_scalable): 32
+    contiguous offset ranges per partition scan in parallel, their
+    maxima get a tiny cumulative pass, and greatest(base, local)
+    reassembles the global prefix. Shares the exact form's oracle SQL
+    VERBATIM — the driver hash proves the sharded plan computes the
+    same lateness profile (the sequence_packing_scalable pattern)."""
+    from pyspark.sql import functions as F
+
+    from kafka_topic_analyzer_spark.operators.ranks import prefix_max_scalable
+
+    kdf = kafka_frame_from_events(spark, sf_dir)
+    ts_ok = F.when(F.col("timestamp_ms") > 0, F.col("timestamp_ms"))
+    t = prefix_max_scalable(kdf, "partition", "offset", ts_ok, "run_max")
+    prof = t.select(
+        "partition",
+        F.col("timestamp_ms"),
+        _lateness_col(F.col("run_max")).alias("late_ms"),
+    )
+    return _lateness_rollup(prof)
+
+
+_LATENESS_ORACLE = kafka_oracle("""
 , prof AS (
   SELECT "partition", timestamp_ms,
          CASE WHEN timestamp_ms > 0 THEN
@@ -299,7 +337,14 @@ SELECT "partition",
 FROM prof
 GROUP BY "partition"
 ORDER BY "partition"
-"""),
+""")
+
+register("event_lateness_profile", _event_lateness_profile, _LATENESS_ORACLE)
+# the twin shares the oracle VERBATIM: same semantics, sharded plan
+register(
+    "event_lateness_profile_scalable",
+    _event_lateness_profile_scalable,
+    _LATENESS_ORACLE,
 )
 
 

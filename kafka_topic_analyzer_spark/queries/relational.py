@@ -187,10 +187,7 @@ def _top3_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "top3_customers_per_segment",
-    _top3_customers_per_segment,
-    """
+_TOP3_SEGMENT_ORACLE = """
 SELECT c_mktsegment, rank_in_segment, c_custkey, c_name, round(c_acctbal, 2) AS acctbal
 FROM (
   SELECT c_mktsegment, c_custkey, c_name, c_acctbal,
@@ -199,7 +196,41 @@ FROM (
   FROM customer
 )
 WHERE rank_in_segment <= 3
-""",
+"""
+
+register("top3_customers_per_segment", _top3_customers_per_segment, _TOP3_SEGMENT_ORACLE)
+
+
+def _top3_customers_per_segment_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-free twin of top3_customers_per_segment: the exact form
+    windows over c_mktsegment — FIVE distinct values, so at 100 TB five
+    tasks each sort a fifth of the table. The twin prunes to the local
+    top-3 per (segment, input task) first — any global top-3 row is in
+    its own task's top-3 — then runs the exact window over the
+    3-per-task survivor set (operators/ranks.py:topk_per_group). Shares
+    the exact form's oracle SQL VERBATIM."""
+    from kafka_topic_analyzer_spark.operators.ranks import topk_per_group
+
+    c = load_table(spark, sf_dir, "customer")
+    return topk_per_group(
+        c,
+        ["c_mktsegment"],
+        [F.desc("c_acctbal"), F.asc("c_custkey")],
+        3,
+        rank_col="rank_in_segment",
+    ).select(
+        "c_mktsegment",
+        "rank_in_segment",
+        "c_custkey",
+        "c_name",
+        F.round("c_acctbal", 2).alias("acctbal"),
+    )
+
+
+register(
+    "top3_customers_per_segment_scalable",
+    _top3_customers_per_segment_scalable,
+    _TOP3_SEGMENT_ORACLE,
 )
 
 
@@ -523,10 +554,7 @@ def _balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "balance_deciles",
-    _balance_deciles,
-    """
+_BALANCE_DECILES_ORACLE = """
 SELECT decile,
        CAST(count(*) AS BIGINT) AS n_customers,
        round(min(c_acctbal), 2) AS min_bal,
@@ -537,8 +565,50 @@ FROM (
   FROM customer
 )
 GROUP BY decile ORDER BY decile
-""",
-)
+"""
+
+register("balance_deciles", _balance_deciles, _BALANCE_DECILES_ORACLE)
+
+
+def _balance_deciles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-free twin of balance_deciles: a global ``NTILE(10) OVER
+    (ORDER BY ...)`` sorts the ENTIRE table in one task — the worst
+    window shape there is at 100 TB. This twin gets the identical
+    bucket assignment from an exact distributed global rank
+    (operators/ranks.py:global_ranks_scalable — range-repartitioned
+    local row_numbers plus broadcast per-range base offsets) and SQL
+    ntile's exact quota arithmetic: with q = total div 10 and
+    r = total % 10, the first r buckets take q+1 rows, the rest q —
+    all-integer, so the bucket is bit-identical on both engines.
+    Shares balance_deciles' oracle SQL VERBATIM: the driver hash proves
+    rank arithmetic == ntile."""
+    from kafka_topic_analyzer_spark.operators.ranks import global_ranks_scalable
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ranked = global_ranks_scalable(
+        c, [F.col("c_acctbal").asc(), F.col("c_custkey").asc()]
+    )
+    decile = F.expr(
+        "CAST(CASE WHEN rank <= (total % 10) * (total div 10 + 1)"
+        " THEN (rank - 1) div (total div 10 + 1) + 1"
+        " ELSE (total % 10)"
+        "      + (rank - (total % 10) * (total div 10 + 1) - 1)"
+        "        div greatest(total div 10, 1) + 1"
+        " END AS INT)"
+    )
+    return (
+        ranked.select("c_custkey", "c_acctbal", decile.alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+        .orderBy("decile")
+    )
+
+
+register("balance_deciles_scalable", _balance_deciles_scalable, _BALANCE_DECILES_ORACLE)
 
 
 def _monthly_order_growth(spark: SparkSession, sf_dir: str) -> DataFrame:

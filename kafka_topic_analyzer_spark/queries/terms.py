@@ -250,10 +250,17 @@ def _keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_terms_hit"),
         )
     )
+    # orderBy+limit first (TakeOrderedAndProject — distributed per-task
+    # top-k, no global sort task), THEN rank the <=K survivors: the
+    # bounded shape _bm25_doc_ranking already uses. The old global
+    # row_number-then-filter window ranked EVERY scored doc in one task
+    # (r8 corpus-sized-window sweep, SCALING.md).
+    topk = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(
+        SEARCH_TOP_K
+    )
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .where(F.col("rank") <= SEARCH_TOP_K)
+        topk.withColumn("rank", F.row_number().over(w).cast("int"))
         .select("rank", "doc_id", "score", "n_terms_hit")
         .orderBy("rank")
     )

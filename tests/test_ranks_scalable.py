@@ -1,0 +1,178 @@
+"""Window-free rank/prefix-scan twins (operators/ranks.py).
+
+Each twin shares its exact-window sibling's oracle SQL verbatim, so the
+driver/selfcheck hash already proves equivalence at sf0.01/sf0.1; these
+tests add the sf0.001 row-for-row pin, the plan-shape claims (the
+parallelism is real, not asserted), and the ntile quota arithmetic on
+totals the fixture can't produce (total % 10 != 0 and total < 10).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+PAIRS = [
+    ("event_lateness_profile", "event_lateness_profile_scalable"),
+    ("balance_deciles", "balance_deciles_scalable"),
+    ("top3_customers_per_segment", "top3_customers_per_segment_scalable"),
+    ("per_group_sample", "per_group_sample_scalable"),
+]
+
+
+@pytest.mark.parametrize("exact,twin", PAIRS)
+def test_twin_equals_exact_window(spark, exact, twin):
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    a = sorted(tuple(r) for r in qs[exact](spark, SF_SMOKE).collect())
+    b = sorted(tuple(r) for r in qs[twin](spark, SF_SMOKE).collect())
+    assert a == b
+    assert a, f"{exact} must be non-empty"
+
+
+def _plan(spark, name):
+    import __spark_entry__ as E
+
+    return (
+        E.queries()[name](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_lateness_twin_shards_the_partition_scan(spark):
+    plan = _plan(spark, "event_lateness_profile_scalable")
+    assert "_shard" in plan  # the running max windows on (partition, _shard)
+    assert "BroadcastHashJoin" in plan  # lims + shard bases come back broadcast
+    assert "CartesianProduct" not in plan
+
+
+def test_deciles_twin_range_partitions_the_rank(spark):
+    plan = _plan(spark, "balance_deciles_scalable")
+    assert "_pid" in plan  # local row_number per range shard
+    assert "rangepartitioning" in plan.lower()
+    assert "ntile" not in plan.lower()  # the global-sort window is gone
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "twin", ["top3_customers_per_segment_scalable", "per_group_sample_scalable"]
+)
+def test_topk_twin_prunes_locally(spark, twin):
+    plan = _plan(spark, twin)
+    assert "_pid" in plan  # local per-task top-k prune before the exact window
+    assert "CartesianProduct" not in plan
+
+
+def test_keyword_search_uses_distributed_topk(spark):
+    plan = _plan(spark, "keyword_search")
+    assert "TakeOrderedAndProject" in plan  # no global row_number window
+
+
+def test_ntile_quota_arithmetic_all_residues(spark):
+    """The scalable decile formula must equal F.ntile(10) for totals
+    covering every residue class mod 10 AND totals below 10 — the
+    fixture's 1500 customers only exercise residue 0."""
+    from kafka_topic_analyzer_spark.operators.ranks import global_ranks_scalable
+
+    for total in [1, 3, 7, 10, 11, 12, 19, 23, 40, 57]:
+        df = spark.range(total).select(F.col("id").alias("k"))
+        w = Window.orderBy(F.col("k").asc())
+        expected = {
+            r["k"]: r["d"]
+            for r in df.select("k", F.ntile(10).over(w).alias("d")).collect()
+        }
+        ranked = global_ranks_scalable(df, [F.col("k").asc()], shards=4)
+        formula = F.expr(
+            "CAST(CASE WHEN rank <= (total % 10) * (total div 10 + 1)"
+            " THEN (rank - 1) div (total div 10 + 1) + 1"
+            " ELSE (total % 10)"
+            "      + (rank - (total % 10) * (total div 10 + 1) - 1)"
+            "        div greatest(total div 10, 1) + 1"
+            " END AS INT)"
+        )
+        got = {
+            r["k"]: r["d"]
+            for r in ranked.select("k", formula.alias("d")).collect()
+        }
+        assert got == expected, f"total={total}"
+
+
+def test_global_ranks_scalable_is_exact_rownumber(spark):
+    """Rank must be an exact 1..N permutation matching the window's
+    row_number under the same total order, for shard counts that both
+    divide and straddle the row count."""
+    from kafka_topic_analyzer_spark.operators.ranks import global_ranks_scalable
+
+    df = spark.range(101).select(
+        (F.col("id") * 37 % 101).alias("k"), F.col("id").alias("uid")
+    )
+    w = Window.orderBy(F.col("k").asc(), F.col("uid").asc())
+    expected = {
+        (r["k"], r["uid"]): r["r"]
+        for r in df.select("k", "uid", F.row_number().over(w).alias("r")).collect()
+    }
+    for shards in (1, 7, 32):
+        got = {
+            (r["k"], r["uid"]): r["rank"]
+            for r in global_ranks_scalable(
+                df, [F.col("k").asc(), F.col("uid").asc()], shards=shards
+            ).collect()
+        }
+        assert got == expected, f"shards={shards}"
+
+
+def test_prefix_max_handles_all_null_prefixes(spark):
+    """Rows before the first non-null value must get a NULL running max
+    in the twin exactly as in the window form — including across shard
+    boundaries (a shard whose every value is null contributes no base)."""
+    from kafka_topic_analyzer_spark.operators.ranks import prefix_max_scalable
+
+    rows = [(0, i, None if i < 5 or i % 3 == 0 else i * 10) for i in range(12)]
+    rows += [(1, i, None) for i in range(6)]  # a group with NO values at all
+    df = spark.createDataFrame(rows, "g int, o int, v long")
+    w = (
+        Window.partitionBy("g")
+        .orderBy("o")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    expected = {
+        (r["g"], r["o"]): r["m"]
+        for r in df.select("g", "o", F.max("v").over(w).alias("m")).collect()
+    }
+    got = {
+        (r["g"], r["o"]): r["run"]
+        for r in prefix_max_scalable(
+            df, "g", "o", F.col("v"), "run", shards=4
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_packed_offsets_autoscale_shards(spark):
+    """shards=None derives the shard count from the input row count
+    (~1M rows/shard, min 32) plan-side; results are bit-identical to
+    any explicit shard count, and the auto split actually uses >= 32
+    shards on the fixture (balance, not correctness, is what changes)."""
+    from kafka_topic_analyzer_spark.operators.pipeline import (
+        packed_offsets_scalable,
+    )
+    from kafka_topic_analyzer_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "source", F.length("text").cast("long").alias("n_tokens")
+    )
+    auto = packed_offsets_scalable(d, "source", "doc_id", "n_tokens")
+    fixed = packed_offsets_scalable(d, "source", "doc_id", "n_tokens", shards=7)
+    key = lambda r: (r["source"], r["doc_id"])
+    a = {key(r): r["token_start"] for r in auto.collect()}
+    b = {key(r): r["token_start"] for r in fixed.collect()}
+    assert a == b
+    # the auto shard expression must appear in the plan (computed from _cnt)
+    plan = auto._jdf.queryExecution().optimizedPlan().toString()
+    assert "_cnt" in plan
