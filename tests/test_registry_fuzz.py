@@ -335,6 +335,7 @@ FUZZED_QUERIES = [
     "quality_weighted_sample",
     "stratified_sample_summary",
     "per_group_sample",
+    "per_group_sample_scalable",
     "mixed_sample_audit",
     "sequence_packing",
     "training_shard_manifest",
@@ -361,6 +362,7 @@ FUZZED_QUERIES = [
     "weekly_retention_cohorts",
     "peak_window_event_counts",
     "event_lateness_profile",
+    "event_lateness_profile_scalable",
     "kafka_report_partition",
     "kafka_report_global",
     "kafka_alive_keys",

@@ -54,6 +54,29 @@ def main() -> None:
     from kafka_topic_analyzer_spark.session import get_spark
     from kafka_topic_analyzer_spark.sources.tables import load_table
 
+    from kafka_topic_analyzer_spark.operators.similarity import ivf_assign_fixed
+
+    def scan_fraction(corpus, queries, cents, n_vec, n_q) -> float:
+        """Fraction of the corpus a query's nprobe cells actually touch —
+        the structural cost of the probe, immune to ambient load (the
+        z-order footer-count discipline). Recall without this lies under
+        drift: a mis-cut quantizer can reach recall 1.0 by degenerating
+        toward a full scan."""
+        occ = {
+            r["cell"]: r["n"]
+            for r in ivf_assign_fixed(corpus, cents, nprobe=1)
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        probed = (
+            ivf_assign_fixed(queries, cents, nprobe=NPROBE)
+            .select("vec_id", "cell")
+            .collect()
+        )
+        scanned = sum(occ.get(r["cell"], 0) for r in probed)
+        return round(scanned / max(n_vec * n_q, 1), 4)
+
     spark = get_spark("ivf-scale-probe")
     base = load_table(spark, sf_dir, "embeddings")
     n_base, max_id = base.agg(F.count(F.lit(1)), F.max("vec_id")).first()
@@ -114,11 +137,79 @@ def main() -> None:
                 rung[label] = {
                     "search_sec": round(sec, 2),
                     "recall_at_10": round(hits / max(n_truth, 1), 4),
+                    "scan_frac": scan_fraction(
+                        corpus, queries, cents, n_vec, N_QUERIES
+                    ),
                 }
             out.append(rung)
             print(f"# {rung}", file=sys.stderr)
         finally:
             shutil.rmtree(work, ignore_errors=True)
+
+    # ---- drifted-distribution rung (r8, judge item #7) ----------------
+    # The replication rungs above are distribution-PRESERVING, so the
+    # reused quantizer holding is expected. The harder deployment
+    # question is drift: the corpus the artifact serves moves away from
+    # the distribution the quantizer was cut on. Re-run the largest rung
+    # with every vector pushed through a deterministic affine drift
+    # (v -> a*v + b, compressing toward a corner — a large angular shift
+    # for cosine space), quantizer trained on the UNDRIFTED base vs
+    # retrained on the drifted corpus. The recall gap between the two IS
+    # the re-cut signal.
+    for a, b, label in ((1.0, 0.25, "shift"), (0.6, 0.5, "shift+rescale")):
+        scale = scales[-1]
+        drifted = (
+            base.select(
+                "*", F.explode(F.expr(f"sequence(0, {scale - 1})")).alias("rep")
+            )
+            .withColumn("vec_id", F.col("vec_id") + F.col("rep") * F.lit(id_shift))
+            .drop("rep")
+            .withColumn(
+                "embedding",
+                F.expr(
+                    f"transform(embedding, x -> CAST({a} * x + {b} AS FLOAT))"
+                ),
+            )
+        )
+        work = tempfile.mkdtemp(prefix="ivf_probe_drift_")
+        try:
+            path = os.path.join(work, "embeddings")
+            drifted.repartition(
+                spark.sparkContext.defaultParallelism
+            ).write.mode("overwrite").parquet(path)
+            corpus = spark.read.parquet(path)
+            n_vec = corpus.count()
+            queries = corpus.where(F.col("vec_id") < N_QUERIES).localCheckpoint(
+                eager=True
+            )
+            truth = (
+                knn_bruteforce(corpus, queries, k=K)
+                .select("query_id", "neighbor_id")
+                .localCheckpoint(eager=True)
+            )
+            n_truth = truth.count()
+            retrained = tuples(ivf_centroids(corpus, nlist=16, iters=3))
+            rung = {"scale": scale, "n_vectors": n_vec, "drift": label,
+                    "a": a, "b": b}
+            for clabel, cents in (("reused", reused), ("retrained", retrained)):
+                got = (
+                    knn_ivf_fixed(corpus, queries, cents, k=K, nprobe=NPROBE)
+                    .select("query_id", "neighbor_id")
+                    .localCheckpoint(eager=True)
+                )
+                got.count()
+                hits = truth.join(got, ["query_id", "neighbor_id"]).count()
+                rung[clabel] = {
+                    "recall_at_10": round(hits / max(n_truth, 1), 4),
+                    "scan_frac": scan_fraction(
+                        corpus, queries, cents, n_vec, N_QUERIES
+                    ),
+                }
+            out.append(rung)
+            print(f"# {rung}", file=sys.stderr)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
     print(json.dumps({"metric": "ivf_scale_ladder", "nprobe": NPROBE,
                       "nlist": 16, "rungs": out}))
 
