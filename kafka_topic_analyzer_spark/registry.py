@@ -43,7 +43,12 @@ def register(name: str, spark_fn: Callable[[SparkSession, str], DataFrame], orac
 # commits SELFCHECK_r{N}.json, so every query has fresh evidence every round
 # even when outside the driver window.
 CHECK_PRIORITY: tuple[str, ...] = (
-    # -- round 8: 36 r5-stale first (full rotation-floor cycle), then r6 --
+    # -- round 8: 5 new (rowless) first, then 36 r5-stale, then r6 --
+    "event_lateness_profile_scalable",
+    "top3_customers_per_segment_scalable",
+    "balance_deciles_scalable",
+    "per_group_sample_scalable",
+    "bpe_encode_from_artifact",
     "pii_redaction",  # last row r5
     "doc_repetition_stats",  # last row r5
     "doc_fingerprints",  # last row r5
@@ -89,11 +94,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q3_shipping_priority",  # last row r6
     "q5_regional_revenue",  # last row r6
     "top3_customers_per_segment",  # last row r6
-    "orders_rollup",  # last row r6
-    "customers_without_recent_orders",  # last row r6
-    "priority_with_discounted_lines",  # last row r6
-    "large_parts_in_lineitem",  # last row r6
-    "order_status_pivot",  # last row r6
 )
 
 

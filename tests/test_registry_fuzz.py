@@ -388,12 +388,14 @@ FUZZED_QUERIES = [
     "q21_waiting_suppliers",
     "q22_idle_rich_customers",
     "top3_customers_per_segment",
+    "top3_customers_per_segment_scalable",
     "orders_rollup",
     "orders_cube",
     "order_status_pivot",
     "supplier_running_revenue",
     "customer_retention_sets",
     "balance_deciles",
+    "balance_deciles_scalable",
     "monthly_order_growth",
     "customers_without_recent_orders",
     "priority_with_discounted_lines",
