@@ -39,10 +39,20 @@ def _top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rarity_score",
         F.col("n_occurrences") * F.expr(f"{IDF_SCALE} div doc_freq"),
     )
-    w = Window.partitionBy("source").orderBy(F.desc("rarity_score"), F.asc("term"))
+    # topk_per_group prunes each task to its local per-source top-5
+    # before the exact rank window — the per-source window partition is
+    # the source's whole VOCABULARY (Heaps-bounded but still 10^6-10^7
+    # rows at 100 TB); pruning makes it k x tasks (r8 window audit).
+    from kafka_topic_analyzer_spark.operators.ranks import topk_per_group
+
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 5)
+        topk_per_group(
+            scored,
+            ["source"],
+            [F.desc("rarity_score"), F.asc("term")],
+            5,
+            rank_col="rank",
+        )
         .select("source", "rank", "term", "n_occurrences", "doc_freq", "rarity_score")
         .orderBy("source", "rank")
     )
@@ -1080,7 +1090,19 @@ def _ensure_bpe_artifact(spark: SparkSession, sf_dir: str) -> str:
         return path
     d = load_table(spark, sf_dir, "documents")
     merges, vocab = bpe_train(spark, _bpe_bigram_vocab(d), BPE_DEEP_N_MERGES)
-    bpe_write_artifact(spark, merges, vocab, path)
+    # write to a session-unique temp dir, then rename into place: two
+    # concurrent sessions cutting the same fingerprint must not
+    # interleave writes into one directory. rename onto an existing
+    # non-empty dir fails on POSIX — the loser discards its copy (both
+    # trained the same deterministic artifact).
+    import shutil
+
+    tmp = f"{path}.tmp-{os.getpid()}"
+    bpe_write_artifact(spark, merges, vocab, tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
     return path
 
 
