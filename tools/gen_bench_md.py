@@ -88,22 +88,36 @@ def _tail_extract(tail: str) -> dict:
 
 
 def load_sources() -> tuple[dict, list[str]]:
-    fields: dict = {}
-    provenance: list[str] = []
+    """Take the NEWER of (driver round artifact, local bench run)
+    wholesale — never mix fields across runs, or the table quotes a
+    suite wall from one run against a query count from another. The
+    older source only fills keys the newer one is missing (a round
+    artifact's tail truncates its front)."""
     local_p = os.path.join(ROOT, "BENCH_LOCAL.json")
-    if os.path.exists(local_p):
-        fields.update(json.load(open(local_p)))
-        provenance.append("BENCH_LOCAL.json")
     rounds = sorted(
         glob.glob(os.path.join(ROOT, "BENCH_r*.json")),
         key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
     )
+    sources: list[tuple[str, dict]] = []
     if rounds:
-        newest = rounds[-1]
-        d = json.load(open(newest))
-        official = d.get("parsed") or _tail_extract(d.get("tail", ""))
-        fields.update(official)  # driver record wins where recoverable
-        provenance.insert(0, os.path.basename(newest))
+        d = json.load(open(rounds[-1]))
+        sources.append(
+            (
+                os.path.basename(rounds[-1]),
+                d.get("parsed") or _tail_extract(d.get("tail", "")),
+            )
+        )
+    if os.path.exists(local_p):
+        sources.append(("BENCH_LOCAL.json", json.load(open(local_p))))
+    if rounds and os.path.exists(local_p) and os.path.getmtime(local_p) > os.path.getmtime(rounds[-1]):
+        sources.reverse()  # local run is fresher: it wins
+    fields: dict = {}
+    provenance: list[str] = []
+    for name, d in sources:
+        gaps = {k: v for k, v in d.items() if k not in fields}
+        if gaps:
+            fields.update(gaps)
+            provenance.append(name)
     detail_p = os.path.join(ROOT, "BENCH_DETAIL.json")
     if "value" not in fields and os.path.exists(detail_p):
         det = json.load(open(detail_p))
