@@ -89,6 +89,100 @@ ORDER BY source, rank
 )
 
 
+VOCAB_BUDGETS = (100, 1_000, 10_000)
+
+
+def _vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-design curve: what fraction of all token OCCURRENCES is
+    covered by the top-k most frequent terms, for each vocab budget k —
+    the Zipf-curve question ("how big must the vocabulary be?") every
+    vocab/tokenizer cut answers before training.
+
+    Window-free by construction: term counts are a vocabulary-sized
+    groupBy; the frequency rank comes from operators/ranks.py
+    global_ranks_scalable (range-partitioned local row_numbers +
+    broadcast base offsets — no global-sort task even at a 10^8-form
+    vocabulary); the per-budget coverage is ONE conditional aggregate
+    over the ranked terms (sum(cnt) WHERE rank <= k per budget), not a
+    cumulative window; budgets explode from the single result row."""
+    from kafka_topic_analyzer_spark.operators.ranks import global_ranks_scalable
+
+    d = load_table(spark, sf_dir, "documents")
+    tc = (
+        d.select(F.explode(tokens(F.lower(F.col("text")))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ranked = global_ranks_scalable(
+        tc, [F.desc("cnt"), F.asc("term")], total_col="n_terms"
+    )
+    one = ranked.agg(
+        F.sum("cnt").alias("total_occurrences"),
+        # coalesce: on an EMPTY corpus max() is NULL and Spark's least()
+        # SKIPS nulls (would yield k), while the oracle's count(*) is 0
+        F.coalesce(F.max("n_terms"), F.lit(0)).alias("n_terms"),
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("rank") <= k, F.col("cnt"))), F.lit(0)
+            ).alias(f"_c{k}")
+            for k in VOCAB_BUDGETS
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("int").alias("vocab_budget"),
+                F.least(F.lit(k).cast("long"), F.col("n_terms")).alias(
+                    "n_terms_in_budget"
+                ),
+                F.col(f"_c{k}").alias("covered_occurrences"),
+            )
+            for k in VOCAB_BUDGETS
+        ]
+    )
+    return (
+        one.select(F.explode(rows).alias("b"), "total_occurrences")
+        .select(
+            "b.vocab_budget",
+            "b.n_terms_in_budget",
+            "b.covered_occurrences",
+            "total_occurrences",
+            F.round(
+                F.col("b.covered_occurrences").cast("double")
+                / F.col("total_occurrences"),
+                6,
+            ).alias("coverage"),
+        )
+        .orderBy("vocab_budget")
+    )
+
+
+register(
+    "vocab_coverage_curve",
+    _vocab_coverage_curve,
+    f"""
+WITH tok AS (
+  SELECT unnest({_TOKS}) AS term FROM documents
+),
+tc AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY term),
+ranked AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term ASC) AS r FROM tc
+),
+b AS (SELECT unnest([100, 1000, 10000]) AS k)
+SELECT CAST(k AS INT) AS vocab_budget,
+       least(CAST(k AS BIGINT), (SELECT count(*) FROM tc)) AS n_terms_in_budget,
+       CAST(COALESCE(sum(CASE WHEN r <= k THEN cnt END), 0) AS BIGINT)
+         AS covered_occurrences,
+       (SELECT sum(cnt) FROM tc) AS total_occurrences,
+       round(CAST(COALESCE(sum(CASE WHEN r <= k THEN cnt END), 0) AS DOUBLE)
+             / (SELECT sum(cnt) FROM tc), 6) AS coverage
+FROM b LEFT JOIN ranked ON true
+GROUP BY k
+ORDER BY vocab_budget
+""",
+)
+
+
 def _event_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate per-event-type quantiles via Spark's built-in sketch
     (`approx_percentile`, Greenwald-Khanna) — the scale path beside the

@@ -329,6 +329,7 @@ FUZZED_QUERIES = [
     "keyword_search",
     "bm25_doc_ranking",
     "top_terms_per_source",
+    "vocab_coverage_curve",
     "benchmark_contamination",
     # curation samplers / packing / manifests
     "dataset_split_summary",
