@@ -176,3 +176,71 @@ def test_packed_offsets_autoscale_shards(spark):
     # the auto shard expression must appear in the plan (computed from _cnt)
     plan = auto._jdf.queryExecution().optimizedPlan().toString()
     assert "_cnt" in plan
+
+
+# ---- property-based equivalence (hypothesis) ----
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(0, 3),          # group
+                st.integers(-50, 50),       # order value (ties likely)
+                st.integers(0, 5),          # weight-ish payload
+            ),
+            min_size=0,
+            max_size=60,
+        ),
+        k=st.integers(1, 4),
+        shards=st.sampled_from([1, 3, 8]),
+    )
+    def test_rank_ops_match_windows_property(spark, rows, k, shards):
+        """topk_per_group / global_ranks_scalable == their window forms on
+        arbitrary small frames — including ties in the order value (a
+        unique uid tiebreaker completes the total order, the operators'
+        documented contract) and empty inputs."""
+        from kafka_topic_analyzer_spark.operators.ranks import (
+            global_ranks_scalable,
+            topk_per_group,
+        )
+
+        data = [(g, v, w, i) for i, (g, v, w) in enumerate(rows)]
+        df = spark.createDataFrame(
+            data, "g int, v int, w int, uid int"
+        ) if data else spark.createDataFrame([], "g int, v int, w int, uid int")
+        order = [F.desc("v"), F.asc("uid")]
+
+        w_top = Window.partitionBy("g").orderBy(*order)
+        expect_top = {
+            (r["g"], r["uid"]): r["rk"]
+            for r in df.withColumn("rk", F.row_number().over(w_top))
+            .where(F.col("rk") <= k)
+            .collect()
+        }
+        got_top = {
+            (r["g"], r["uid"]): r["rank"]
+            for r in topk_per_group(df, ["g"], order, k).collect()
+        }
+        assert got_top == expect_top
+
+        w_glob = Window.orderBy(*order)
+        expect_glob = {
+            r["uid"]: r["rk"]
+            for r in df.withColumn("rk", F.row_number().over(w_glob)).collect()
+        }
+        got_glob = {
+            r["uid"]: r["rank"]
+            for r in global_ranks_scalable(df, order, shards=shards).collect()
+        }
+        assert got_glob == expect_glob
+
+except ImportError:  # pragma: no cover - hypothesis is baked in per TESTDATA
+    pass
