@@ -87,6 +87,107 @@ WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.7
 register("near_dup_pairs_jaccard", _near_dup_pairs, _JACCARD_SQL)
 
 
+NEAR_DUP_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def _near_dup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold calibration: how many near-dup pairs and how many
+    involved documents each Jaccard threshold would act on — the number
+    a pipeline owner looks at before picking theta (too low deletes
+    paraphrases, too high keeps templates). The quality-gate counterpart
+    is quality_threshold_sweep; this is its dedup sibling.
+
+    ONE candidate scan: the full capped-index pair set (threshold 0)
+    computes once; per-threshold pair counts are conditional aggregates
+    over the candidate-sized pair frame, per-threshold doc counts come
+    from each doc's MAX pair similarity (explode + groupBy, then the
+    same conditional aggregate) — never a rescan per threshold. Both
+    engines compare the ROUNDED jaccard against the same double
+    literals, so boundary ties agree."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.near_dup_pairs_jaccard(docs, k=3, threshold=0.0, max_df=50)
+    pair_aggs = pairs.agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("jaccard") >= t, 1)), F.lit(0)
+            ).cast("long").alias(f"_p{int(t * 10)}")
+            for t in NEAR_DUP_THRESHOLDS
+        ]
+    )
+    docmax = (
+        pairs.select(
+            F.explode(F.array("doc_i", "doc_j")).alias("doc_id"), "jaccard"
+        )
+        .groupBy("doc_id")
+        .agg(F.max("jaccard").alias("mj"))
+    )
+    doc_aggs = docmax.agg(
+        *[
+            F.coalesce(F.sum(F.when(F.col("mj") >= t, 1)), F.lit(0))
+            .cast("long")
+            .alias(f"_d{int(t * 10)}")
+            for t in NEAR_DUP_THRESHOLDS
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("threshold"),
+                F.col(f"_p{int(t * 10)}").alias("n_pairs"),
+                F.col(f"_d{int(t * 10)}").alias("n_docs"),
+            )
+            for t in NEAR_DUP_THRESHOLDS
+        ]
+    )
+    return (
+        pair_aggs.crossJoin(F.broadcast(doc_aggs))
+        .select(F.explode(rows).alias("b"))
+        .select("b.threshold", "b.n_pairs", "b.n_docs")
+        .orderBy("threshold")
+    )
+
+
+_THRESHOLD_SWEEP_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS shingle FROM documents
+),
+kept AS (
+  SELECT doc_id, shingle FROM sh
+  WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 50)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, count(*) AS shared
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pj AS (
+  SELECT doc_i, doc_j,
+         round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) AS jaccard
+  FROM pairs
+  JOIN sizes sa ON sa.doc_id = doc_i
+  JOIN sizes sb ON sb.doc_id = doc_j
+),
+dm AS (
+  SELECT doc_id, max(jaccard) AS mj FROM (
+    SELECT doc_i AS doc_id, jaccard FROM pj
+    UNION ALL
+    SELECT doc_j AS doc_id, jaccard FROM pj
+  ) GROUP BY doc_id
+),
+g AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold)
+SELECT threshold,
+       CAST(COALESCE((SELECT count(*) FROM pj WHERE jaccard >= threshold), 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE((SELECT count(*) FROM dm WHERE mj >= threshold), 0) AS BIGINT) AS n_docs
+FROM g
+ORDER BY threshold
+"""
+
+register(
+    "near_dup_threshold_sweep", _near_dup_threshold_sweep, _THRESHOLD_SWEEP_SQL
+)
+
+
 def _dup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs -> dedup clusters via connected components: every
     clustered doc labeled with the min reachable doc_id + its cluster

@@ -43,7 +43,8 @@ def register(name: str, spark_fn: Callable[[SparkSession, str], DataFrame], orac
 # commits SELFCHECK_r{N}.json, so every query has fresh evidence every round
 # even when outside the driver window.
 CHECK_PRIORITY: tuple[str, ...] = (
-    # -- round 8: 6 new (rowless) first, then 36 r5-stale, then r6 --
+    # -- round 8: 7 new (rowless) first, then 36 r5-stale, then r6 --
+    "near_dup_threshold_sweep",
     "vocab_coverage_curve",
     "event_lateness_profile_scalable",
     "top3_customers_per_segment_scalable",
@@ -93,7 +94,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "kafka_summary_rendered",  # last row r6
     "q1_pricing_summary",  # last row r6
     "q3_shipping_priority",  # last row r6
-    "q5_regional_revenue",  # last row r6
 )
 
 

@@ -287,6 +287,7 @@ FUZZED_QUERIES = [
     "source_char_dispersion",
     # dedup pair family on the adversarial docs
     "near_dup_pairs_jaccard",
+    "near_dup_threshold_sweep",
     "tfidf_cosine_pairs",
     "substring_dup_spans",
     "exact_dedup_streaming",
