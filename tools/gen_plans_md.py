@@ -108,6 +108,21 @@ SECTIONS: list[tuple[str, str | None, str]] = [
         "q21_waiting_suppliers",
         "The double correlation (EXISTS another supplier / NOT EXISTS another returned supplier) decorrelates to a LeftSemi + LeftAnti self-join pair over the deduplicated (order, supplier) pairs — no per-row subquery re-execution, no CartesianProduct.",
     ),
+    (
+        "event_lateness_profile_scalable",
+        "event_lateness_profile_scalable",
+        "The two-level prefix-max twin (r8): the running-max Window partitions on (partition, _shard) — never on partition alone, so no one-task-per-Kafka-partition sort — with the per-group lims and the cumulative shard bases coming back as BroadcastExchanges. Compare the exact sibling's single Window over hash(partition).",
+    ),
+    (
+        "balance_deciles_scalable",
+        "balance_deciles_scalable",
+        "Global ntile without a global sort task (r8): REPARTITION_BY_RANGE on the order key feeds task-local row_number Windows partitioned on _pid; the shards-row base-offset frame broadcasts back; no `ntile` and no empty-partitionBy Window appears anywhere in the plan.",
+    ),
+    (
+        "vocab_coverage_curve",
+        "vocab_coverage_curve",
+        "Zipf coverage by vocab budget (r8): vocabulary-sized term counts -> the range-partitioned global rank -> ONE conditional HashAggregate for all budgets (no cumulative window, no per-budget rescan); budgets explode from the single aggregate row.",
+    ),
 ]
 
 
