@@ -173,7 +173,7 @@ SELECT CAST(k AS INT) AS vocab_budget,
        least(CAST(k AS BIGINT), (SELECT count(*) FROM tc)) AS n_terms_in_budget,
        CAST(COALESCE(sum(CASE WHEN r <= k THEN cnt END), 0) AS BIGINT)
          AS covered_occurrences,
-       (SELECT sum(cnt) FROM tc) AS total_occurrences,
+       CAST((SELECT sum(cnt) FROM tc) AS BIGINT) AS total_occurrences,
        round(CAST(COALESCE(sum(CASE WHEN r <= k THEN cnt END), 0) AS DOUBLE)
              / (SELECT sum(cnt) FROM tc), 6) AS coverage
 FROM b LEFT JOIN ranked ON true

@@ -36,7 +36,7 @@ def main() -> int:
 
     from kafka_topic_analyzer_spark.registry import all_queries
     from kafka_topic_analyzer_spark.schema import TESTDATA_TABLES
-    from oracle_util import canonicalize
+    from oracle_util import canonicalize, dtype_leaks
 
     # Vanilla session, like the grading driver's (no engine confs) — each
     # query wrapper must fix timezone/nanos confs itself via prepare_session.
@@ -75,18 +75,27 @@ def main() -> int:
         }
         t0 = time.time()
         try:
-            sp = canonicalize(wrapped[name](spark, args.sf).toPandas())
+            sp_raw = wrapped[name](spark, args.sf).toPandas()
+            sp = canonicalize(sp_raw)
             rec["spark_rows"] = len(sp)
             if spec.oracle is None:
                 rec["rows_match"] = rec["spark_rows"] >= 0
                 n_rows_only += 1
             else:
-                du = canonicalize(con.execute(spec.oracle).df())
+                du_raw = con.execute(spec.oracle).df()
+                du = canonicalize(du_raw)
+                # The driver's hash is stricter than canonicalize(): an
+                # int-vs-float dtype pair (uncast DuckDB HUGEINT sum) passes
+                # the normalized compare but fails the driver (r8
+                # vocab_coverage_curve). Surface it as a FAIL locally.
+                leaks = dtype_leaks(sp_raw, du_raw)
+                if leaks:
+                    rec["err"] = f"dtype leak (int vs float): {leaks} — uncast oracle aggregate"
                 rec["oracle_rows"] = len(du)
                 rec["rows_match"] = len(sp) == len(du)
                 rec["schema_match"] = list(sp.columns) == list(du.columns)
                 rec["hash_match"] = bool(
-                    rec["rows_match"] and rec["schema_match"] and sp.equals(du)
+                    rec["rows_match"] and rec["schema_match"] and sp.equals(du) and not leaks
                 )
                 if rec["hash_match"]:
                     n_green += 1
