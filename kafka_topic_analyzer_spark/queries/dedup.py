@@ -98,14 +98,19 @@ def _near_dup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     is quality_threshold_sweep; this is its dedup sibling.
 
     ONE candidate scan: the full capped-index pair set (threshold 0)
-    computes once; per-threshold pair counts are conditional aggregates
-    over the candidate-sized pair frame, per-threshold doc counts come
-    from each doc's MAX pair similarity (explode + groupBy, then the
-    same conditional aggregate) — never a rescan per threshold. Both
-    engines compare the ROUNDED jaccard against the same double
-    literals, so boundary ties agree."""
+    computes once and is MATERIALIZED (``localCheckpoint``) before its
+    two aggregate consumers — without that, the scan-once property would
+    hinge on Spark's ReusedExchange deduping the subtree rather than on
+    the plan itself (advisor r8); per-threshold pair counts are
+    conditional aggregates over the candidate-sized pair frame,
+    per-threshold doc counts come from each doc's MAX pair similarity
+    (explode + groupBy, then the same conditional aggregate) — never a
+    rescan per threshold. Both engines compare the ROUNDED jaccard
+    against the same double literals, so boundary ties agree."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.near_dup_pairs_jaccard(docs, k=3, threshold=0.0, max_df=50)
+    pairs = D.near_dup_pairs_jaccard(
+        docs, k=3, threshold=0.0, max_df=50
+    ).localCheckpoint(eager=True)
     pair_aggs = pairs.agg(
         *[
             F.coalesce(

@@ -898,6 +898,9 @@ register("bpe_encode_corpus", _bpe_encode_corpus, _bpe_encode_sql())
 # loop exhausts at ~1047). Both engines derive the bigram corpus with the
 # same expression, so this stays a pure function of the shared tables.
 BPE_DEEP_N_MERGES = 1000
+# artifact cache format version: participates in the _bpe_artifact_path
+# sha1 key so layout/algorithm changes invalidate cached tokenizers
+_BPE_ARTIFACT_FORMAT = 2
 
 
 def _bigram_stream(d: DataFrame, *extra_cols: str) -> DataFrame:
@@ -1141,10 +1144,13 @@ register("bpe_encode_deep", _bpe_encode_deep, _bpe_encode_deep_sql())
 
 
 def _bpe_artifact_path(spark: SparkSession, sf_dir: str) -> str:
-    """Artifact location for a given corpus, keyed by a fingerprint of
-    the documents parquet bytes (path + size + mtime): regenerated
-    testdata gets a fresh key, so a stale tokenizer can never serve a
-    newer corpus. Lives under the session's spark-warehouse dir (the
+    """Artifact location for a given corpus + trainer configuration,
+    keyed by a fingerprint of the documents parquet bytes (path + size +
+    mtime) PLUS the merge budget and an artifact format-version salt:
+    regenerated testdata, a changed ``BPE_DEEP_N_MERGES``, or a new
+    merge-log schema each get a fresh key, so a stale tokenizer trained
+    under old parameters can never serve the current configuration
+    (advisor r8). Lives under the session's spark-warehouse dir (the
     natural managed-table location; gitignored)."""
     import hashlib
     import os
@@ -1155,7 +1161,10 @@ def _bpe_artifact_path(spark: SparkSession, sf_dir: str) -> str:
         if os.path.isdir(doc)
         else [doc]
     )
-    parts = []
+    # bump _BPE_ARTIFACT_FORMAT whenever bpe_write_artifact's layout or
+    # the training algorithm changes semantics — it invalidates every
+    # cached artifact without touching the corpus files
+    parts = [f"fmt={_BPE_ARTIFACT_FORMAT}", f"n_merges={BPE_DEEP_N_MERGES}"]
     for p in files:
         st = os.stat(p)
         parts.append(f"{p}:{st.st_size}:{int(st.st_mtime)}")

@@ -117,7 +117,9 @@ def test_global_ranks_scalable_is_exact_rownumber(spark):
         (r["k"], r["uid"]): r["r"]
         for r in df.select("k", "uid", F.row_number().over(w).alias("r")).collect()
     }
-    for shards in (1, 7, 32):
+    # 257 > row count exercises empty range shards; None is the
+    # cluster-derived default (max(32, defaultParallelism), r9)
+    for shards in (1, 7, 32, 257, None):
         got = {
             (r["k"], r["uid"]): r["rank"]
             for r in global_ranks_scalable(
@@ -125,6 +127,63 @@ def test_global_ranks_scalable_is_exact_rownumber(spark):
             ).collect()
         }
         assert got == expected, f"shards={shards}"
+
+
+def test_prefix_max_shard_counts_including_default(spark):
+    """Shard boundaries never change prefix-max results: sweep fixed
+    counts that divide, straddle, and exceed the per-group row count,
+    plus the cluster-derived default (r9)."""
+    from kafka_topic_analyzer_spark.operators.ranks import prefix_max_scalable
+
+    rows = [(g, i, (i * 7 + g) % 13 if i % 4 else None) for g in range(3) for i in range(40)]
+    df = spark.createDataFrame(rows, "g int, o int, v long")
+    w = (
+        Window.partitionBy("g")
+        .orderBy("o")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    expected = {
+        (r["g"], r["o"]): r["m"]
+        for r in df.select("g", "o", F.max("v").over(w).alias("m")).collect()
+    }
+    for shards in (1, 7, 32, 257, None):
+        got = {
+            (r["g"], r["o"]): r["run"]
+            for r in prefix_max_scalable(
+                df, "g", "o", F.col("v"), "run", shards=shards
+            ).collect()
+        }
+        assert got == expected, f"shards={shards}"
+
+
+def test_default_shards_is_cluster_derived(spark):
+    from kafka_topic_analyzer_spark.operators.ranks import _default_shards
+
+    df = spark.range(1)
+    assert _default_shards(df) == max(
+        32, spark.sparkContext.defaultParallelism
+    )
+
+
+def test_reserved_temp_name_collision_raises(spark):
+    """A caller column named like an internal temp would be silently
+    overwritten then dropped (advisor r8) — the operators must refuse."""
+    import pytest
+
+    from kafka_topic_analyzer_spark.operators.ranks import (
+        global_ranks_scalable,
+        prefix_max_scalable,
+        topk_per_group,
+    )
+
+    df = spark.createDataFrame([(1, 2)], "g int, _pid int")
+    with pytest.raises(ValueError, match="_pid"):
+        topk_per_group(df, ["g"], [F.col("_pid").asc()], 3)
+    with pytest.raises(ValueError, match="_pid"):
+        global_ranks_scalable(df, [F.col("g").asc()])
+    df2 = spark.createDataFrame([(1, 2, 3)], "g int, o int, _shard int")
+    with pytest.raises(ValueError, match="_shard"):
+        prefix_max_scalable(df2, "g", "o", F.col("o"), "run")
 
 
 def test_prefix_max_handles_all_null_prefixes(spark):
