@@ -407,6 +407,63 @@ def ivf_assign_fixed(
     )
 
 
+def ivf_assign_fixed_scored(
+    df: DataFrame,
+    centroids: tuple[tuple[float, ...], ...],
+) -> DataFrame:
+    """Best fixed cell per vector WITH its raw quantizer cosine — the
+    drift-audit companion of :func:`ivf_assign_fixed` (which keeps only
+    the cell id). Adds ``cell`` (int) and ``sim`` (double, unrounded).
+
+    Same fold-deterministic math and tie/zero-norm conventions as
+    :func:`ivf_assign_fixed`: sequential per-dim accumulation (the SQL
+    left fold), stable argsort so ties pick the lowest cell id,
+    zero-norm vectors score 0 everywhere and land in cell 0 — so the
+    assignment here is bit-identical to the serving path's, which is
+    what makes the occupancy/quantization-error audit trustworthy.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    c = np.array(centroids, dtype=np.float64)  # nlist x dim
+    cn = np.array(centroid_norms(centroids), dtype=np.float64)
+
+    @pandas_udf("cell int, sim double")
+    def _best(col: pd.Series) -> pd.DataFrame:
+        if len(col) == 0:
+            return pd.DataFrame(
+                {
+                    "cell": pd.Series([], dtype="int32"),
+                    "sim": pd.Series([], dtype="float64"),
+                }
+            )
+        m = np.array(col.tolist(), dtype=np.float64)  # N x dim
+        dots = np.zeros((len(m), c.shape[0]))
+        qacc = np.zeros(len(m))
+        for d in range(m.shape[1]):
+            dots += np.outer(m[:, d], c[:, d])  # sequential == left fold
+            qacc = qacc + m[:, d] * m[:, d]
+        qn = np.sqrt(qacc)
+        ok = (qn[:, None] > 0) & (cn[None, :] > 0)
+        sims = np.where(ok, dots / np.where(ok, qn[:, None] * cn[None, :], 1.0), 0.0)
+        best = np.argsort(-sims, axis=1, kind="stable")[:, 0]
+        return pd.DataFrame(
+            {
+                "cell": best.astype(np.int32),
+                "sim": sims[np.arange(len(m)), best],
+            }
+        )
+
+    # evaluate the (asNondeterministic — see ivf_assign_fixed) struct ONCE
+    # in its own projection, then extract fields from the materialized
+    # alias: two getFields on the raw UDF expression could duplicate it
+    best_udf = _best.asNondeterministic()
+    return (
+        df.select("*", best_udf(as_double(F.col("embedding"))).alias("_best"))
+        .select("*", F.col("_best.cell").alias("cell"), F.col("_best.sim").alias("sim"))
+        .drop("_best")
+    )
+
+
 def knn_ivf_fixed(
     corpus: DataFrame,
     queries: DataFrame,

@@ -193,6 +193,115 @@ register(
 )
 
 
+EMB_SWEEP_THRESHOLDS = (0.1, 0.2, 0.3, 0.4, 0.5)
+
+
+def _embedding_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup-threshold calibration: how many vector pairs and
+    how many involved vectors each cosine threshold would act on — the
+    embedding-space sibling of ``near_dup_threshold_sweep`` (r8), giving
+    the curve an owner reads before cutting a cosine theta for semantic
+    dedup (too low merges topical neighbors, too high keeps paraphrase
+    embeddings).
+
+    ONE candidate scan: the gated pair operator
+    (operators/dedup.py:embedding_near_dup_pairs — broadcast under 1M
+    rows, blocked block-nested-loop above) runs once at the sweep's
+    LOWEST theta and is materialized (``localCheckpoint``) before its
+    two aggregate consumers; per-theta pair counts are conditional
+    aggregates over that candidate frame, per-theta vector counts come
+    from each vector's MAX pair cosine — never a rescan per theta. Both
+    engines compare the ROUNDED cosine against the same double
+    literals, so boundary ties agree."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = D.embedding_near_dup_pairs(
+        emb, threshold=EMB_SWEEP_THRESHOLDS[0]
+    ).localCheckpoint(eager=True)
+    pair_aggs = pairs.agg(
+        *[
+            F.coalesce(F.sum(F.when(F.col("cosine") >= t, 1)), F.lit(0))
+            .cast("long")
+            .alias(f"_p{int(t * 10)}")
+            for t in EMB_SWEEP_THRESHOLDS
+        ]
+    )
+    vecmax = (
+        pairs.select(
+            F.explode(F.array("vec_i", "vec_j")).alias("vec_id"), "cosine"
+        )
+        .groupBy("vec_id")
+        .agg(F.max("cosine").alias("mc"))
+    )
+    vec_aggs = vecmax.agg(
+        *[
+            F.coalesce(F.sum(F.when(F.col("mc") >= t, 1)), F.lit(0))
+            .cast("long")
+            .alias(f"_d{int(t * 10)}")
+            for t in EMB_SWEEP_THRESHOLDS
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("threshold"),
+                F.col(f"_p{int(t * 10)}").alias("n_pairs"),
+                F.col(f"_d{int(t * 10)}").alias("n_vecs"),
+            )
+            for t in EMB_SWEEP_THRESHOLDS
+        ]
+    )
+    return (
+        pair_aggs.crossJoin(F.broadcast(vec_aggs))
+        .select(F.explode(rows).alias("b"))
+        .select("b.threshold", "b.n_pairs", "b.n_vecs")
+        .orderBy("threshold")
+    )
+
+
+def _emb_threshold_sweep_sql() -> str:
+    from kafka_topic_analyzer_spark.queries.similarity import _dot_sql
+
+    lo = EMB_SWEEP_THRESHOLDS[0]
+    thetas = ", ".join(str(t) for t in EMB_SWEEP_THRESHOLDS)
+    # pj/dm are referenced once per theta subquery — MATERIALIZED stops
+    # DuckDB inlining the all-pairs scoring into every subquery
+    return f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         sqrt({_dot_sql("embedding", "embedding")}) AS nrm
+  FROM embeddings
+),
+scored AS MATERIALIZED (
+  SELECT a.vec_id AS vec_i, b.vec_id AS vec_j,
+         round(CASE WHEN a.nrm > 0 AND b.nrm > 0
+                    THEN {_dot_sql("a.e", "b.e")} / (a.nrm * b.nrm) END, 6) AS cosine
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+),
+pj AS MATERIALIZED (SELECT vec_i, vec_j, cosine FROM scored WHERE cosine >= {lo}),
+dm AS MATERIALIZED (
+  SELECT vec_id, max(cosine) AS mc FROM (
+    SELECT vec_i AS vec_id, cosine FROM pj
+    UNION ALL
+    SELECT vec_j AS vec_id, cosine FROM pj
+  ) GROUP BY vec_id
+),
+g AS (SELECT unnest([{thetas}]) AS threshold)
+SELECT threshold,
+       CAST(COALESCE((SELECT count(*) FROM pj WHERE cosine >= threshold), 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE((SELECT count(*) FROM dm WHERE mc >= threshold), 0) AS BIGINT) AS n_vecs
+FROM g
+ORDER BY threshold
+"""
+
+
+register(
+    "embedding_threshold_sweep",
+    _embedding_threshold_sweep,
+    _emb_threshold_sweep_sql(),
+)
+
+
 def _dup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs -> dedup clusters via connected components: every
     clustered doc labeled with the min reachable doc_id + its cluster

@@ -234,6 +234,103 @@ SELECT query_id, rank, neighbor_id, score FROM ranked WHERE rank <= {TOP_K}
 register("knn_ivf_cosine", _knn_ivf, _knn_ivf_sql())
 
 
+def _ivf_quantizer_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantizer-drift signal as a registered query: assign the CURRENT
+    corpus to the checked-in quantizer artifact and report the statistics
+    that tell a pipeline owner when to re-cut it (r8 scale probe finding,
+    SCALING.md: under corpus drift recall stays ~1.0 while the touched
+    fraction inflates — so the re-train trigger is OCCUPANCY SKEW, not
+    recall).
+
+    One UDF scan (operators/similarity.ivf_assign_fixed_scored — the
+    serving path's exact assignment, with the quantizer cosine kept),
+    one nlist-sized groupBy, one 1-row summary:
+
+    - ``occupancy_skew``: max cell occupancy / ideal (n/nlist). The IVF
+      touched-fraction per probe of the hottest cell scales with this —
+      at 1.0 the index is balanced; growth means drifted centroids.
+    - ``n_empty_cells``: dead capacity (probes that can never prune).
+    - ``mean_quant_err``: mean (1 - cosine-to-assigned-centroid), the
+      quantization-error ratio — rises as the corpus moves away from
+      the training distribution. Decimal-exact mean (parity rules).
+    """
+    from kafka_topic_analyzer_spark.operators.ivf_centroids_v1 import (
+        CENTROIDS,
+        NLIST,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = S.ivf_assign_fixed_scored(emb, CENTROIDS)
+    per_cell = (
+        assigned.select("cell", F.round(F.col("sim"), 6).alias("sim_r"))
+        .withColumn(
+            "err",
+            F.round(F.lit(1.0) - F.col("sim_r"), 6).cast("decimal(18,6)"),
+        )
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("err").alias("errs"))
+    )
+    return per_cell.agg(
+        F.sum("n").cast("long").alias("n_vecs"),
+        F.lit(NLIST).cast("int").alias("n_cells"),
+        (F.lit(NLIST) - F.count(F.lit(1))).cast("long").alias("n_empty_cells"),
+        F.max("n").cast("long").alias("max_occupancy"),
+        F.round(
+            F.max("n").cast("double") * NLIST / F.sum("n"), 6
+        ).alias("occupancy_skew"),
+        F.round(
+            F.sum("errs").cast("double") / F.sum("n"), 6
+        ).alias("mean_quant_err"),
+    )
+
+
+def _ivf_drift_audit_sql() -> str:
+    """Oracle: the same 16 fold-computed sims per vector as the
+    knn_ivf_cosine oracle, rk=1 assignment, then the identical
+    decimal-exact aggregate sequence."""
+    from kafka_topic_analyzer_spark.operators.ivf_centroids_v1 import NLIST
+
+    structs = ", ".join(
+        f"{{'cell': {ci}, 'sim': {_ivf_sim_sql(ci)}}}" for ci in range(NLIST)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding,
+         sqrt({_dot_sql("embedding", "embedding")}) AS qn
+  FROM embeddings
+),
+exploded AS (
+  SELECT vec_id, unnest([{structs}]) AS u FROM base
+),
+cells AS (
+  SELECT vec_id, u.cell AS cell, u.sim AS sim,
+         row_number() OVER (PARTITION BY vec_id
+              ORDER BY u.sim DESC, u.cell ASC) AS rk
+  FROM exploded
+),
+best AS (SELECT cell, round(sim, 6) AS sim_r FROM cells WHERE rk = 1),
+per_cell AS (
+  SELECT cell, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(round(1.0 - sim_r, 6) AS DECIMAL(18,6))) AS errs
+  FROM best GROUP BY cell
+)
+SELECT CAST(sum(n) AS BIGINT) AS n_vecs,
+       CAST({NLIST} AS INT) AS n_cells,
+       CAST({NLIST} - count(*) AS BIGINT) AS n_empty_cells,
+       CAST(max(n) AS BIGINT) AS max_occupancy,
+       round(CAST(max(n) AS DOUBLE) * {NLIST} / sum(n), 6) AS occupancy_skew,
+       round(CAST(sum(errs) AS DOUBLE) / sum(n), 6) AS mean_quant_err
+FROM per_cell
+"""
+
+
+register(
+    "ivf_quantizer_drift_audit",
+    _ivf_quantizer_drift_audit,
+    _ivf_drift_audit_sql(),
+)
+
+
 def _embedding_self_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise-cosine corpus stats on a bounded slice (near-dup screening).
 

@@ -329,6 +329,30 @@ def test_quality_threshold_sweep_single_scan(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_embedding_threshold_sweep_single_candidate_scan(spark):
+    import __spark_entry__ as E
+
+    plan = _executed(E.queries()["embedding_threshold_sweep"](spark, SF_SMOKE))
+    # the gated pair operator ran ONCE at localCheckpoint time; both
+    # aggregate consumers (pair counts, per-vec max) read the
+    # materialized candidate frame — no parquet rescan per branch, and
+    # the only crossJoin is the two 1-row aggregate frames (broadcast)
+    assert "FileScan parquet" not in plan
+    assert plan.count("Scan ExistingRDD") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_drift_audit_single_scan_partial_agg(spark):
+    import __spark_entry__ as E
+
+    plan = _executed(E.queries()["ivf_quantizer_drift_audit"](spark, SF_SMOKE))
+    # one embeddings scan through the assignment UDF; the nlist-sized
+    # groupBy partial-aggregates map-side, the summary folds 16 rows
+    assert plan.count("FileScan parquet") == 1
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") == 4, "lost partial aggregation"
+
+
 def test_bpe_train_merges_emits_local_log(spark):
     import __spark_entry__ as E
 

@@ -297,6 +297,7 @@ FUZZED_QUERIES = [
     "embedding_pair_stats",
     "embedding_label_stats",
     "embedding_near_dup_pairs",
+    "embedding_threshold_sweep",
     # expectation-check and salted-join queries
     "salted_user_enrichment",
     "documents_quality_checks",
@@ -464,6 +465,7 @@ FUZZED_QUERIES_DIM64 = [
     "embedding_near_dups_lsh",
     "semantic_dup_clusters",
     "embedding_quantization",
+    "ivf_quantizer_drift_audit",
 ]
 
 
