@@ -43,57 +43,59 @@ def register(name: str, spark_fn: Callable[[SparkSession, str], DataFrame], orac
 # commits SELFCHECK_r{N}.json, so every query has fresh evidence every round
 # even when outside the driver window.
 CHECK_PRIORITY: tuple[str, ...] = (
-    # -- round 8: 7 new (rowless) first, then 36 r5-stale, then r6 --
-    "near_dup_threshold_sweep",
-    "vocab_coverage_curve",
-    "event_lateness_profile_scalable",
-    "top3_customers_per_segment_scalable",
-    "balance_deciles_scalable",
-    "per_group_sample_scalable",
-    "bpe_encode_from_artifact",
-    "pii_redaction",  # last row r5
-    "doc_repetition_stats",  # last row r5
-    "doc_fingerprints",  # last row r5
-    "sentence_stats",  # last row r5
-    "exact_dup_summary",  # last row r5
-    "near_dup_pairs_jaccard",  # last row r5
-    "dup_cluster_assignment",  # last row r5
-    "minhash_signatures",  # last row r5
-    "minhash_near_dups",  # last row r5
-    "knn_bruteforce_cosine",  # last row r5
-    "knn_lsh_cosine",  # last row r5
-    "knn_ivf_cosine",  # last row r5
-    "embedding_pair_stats",  # last row r5
-    "embedding_quantization",  # last row r5
-    "embedding_label_stats",  # last row r5
-    "hybrid_retrieval_rrf",  # last row r5
-    "embedding_dim_moments",  # last row r5
-    "embedding_dim_covariance",  # last row r5
-    "embedding_outliers",  # last row r5
-    "embedding_near_dup_pairs",  # last row r5
-    "embedding_near_dups_lsh",  # last row r5
-    "simhash_fingerprints",  # last row r5
-    "simhash_near_dups",  # last row r5
-    "consensus_near_dups",  # last row r5
-    "fuzzy_match_pairs",  # last row r5
-    "hourly_event_counts",  # last row r5
-    "sliding_window_counts",  # last row r5
-    "user_session_stats",  # last row r5
-    "props_key_distribution",  # last row r5
-    "purchase_attribution_asof",  # last row r5
-    "value_percentiles",  # last row r5
-    "peak_window_event_counts",  # last row r5
-    "quality_threshold_sweep",  # last row r5
-    "lang_temperature_mix",  # last row r5
-    "bpe_merge_candidates",  # last row r5
-    "bpe_train_merges",  # last row r5
-    "kafka_alive_keys_hll_audit",  # last row r6
-    "report_metrics_unpivot",  # last row r6
-    "event_lateness_profile",  # last row r6
-    "kafka_report_rendered",  # last row r6
-    "kafka_summary_rendered",  # last row r6
-    "q1_pricing_summary",  # last row r6
-    "q3_shipping_priority",  # last row r6
+    # -- round 9: the r8 hash-fail (now fixed) first, then the 2 new
+    # rowless queries, then 43 r6-stale (incl. all streaming
+    # representatives, judge item 8), then r7 --
+    "vocab_coverage_curve",  # r8 FAIL (oracle dtype, fixed) -> must re-green
+    "ivf_quantizer_drift_audit",
+    "embedding_threshold_sweep",
+    "q5_regional_revenue",  # last row r6
+    "top3_customers_per_segment",  # last row r6
+    "orders_rollup",  # last row r6
+    "customers_without_recent_orders",  # last row r6
+    "priority_with_discounted_lines",  # last row r6
+    "large_parts_in_lineitem",  # last row r6
+    "order_status_pivot",  # last row r6
+    "supplier_running_revenue",  # last row r6
+    "customer_retention_sets",  # last row r6
+    "orders_cube",  # last row r6
+    "hourly_spike_detection",  # last row r6
+    "event_funnel",  # last row r6
+    "weekly_retention_cohorts",  # last row r6
+    "user_state_history",  # last row r6
+    "events_quality_checks",  # last row r6
+    "kafka_report_partition_streaming",  # last row r6
+    "kafka_compacted_state_streaming",  # last row r6
+    "windowed_counts_streaming",  # last row r6
+    "purchase_click_join_streaming",  # last row r6
+    "exact_dedup_streaming",  # last row r6
+    "dedup_within_watermark_streaming",  # last row r6
+    "session_windows_streaming",  # last row r6
+    "image_feature_stats",  # last row r6
+    "audio_chunk_stats",  # last row r6
+    "image_resize_inventory",  # last row r6
+    "stratified_sample_summary",  # last row r6
+    "per_group_sample",  # last row r6
+    "event_value_histogram",  # last row r6
+    "quality_percentile_gate",  # last row r6
+    "sequence_packing",  # last row r6
+    "training_shard_manifest",  # last row r6
+    "doc_chunking",  # last row r6
+    "source_char_dispersion",  # last row r6
+    "per_lang_length_norm",  # last row r6
+    "source_mixing_weights",  # last row r6
+    "corpus_summary",  # last row r6
+    "mixed_sample_audit",  # last row r6
+    "top_terms_per_source",  # last row r6
+    "term_postings",  # last row r6
+    "keyword_search",  # last row r6
+    "bpe_encode_corpus",  # last row r6
+    "benchmark_contamination",  # last row r6
+    "kafka_report_partition",  # last row r7
+    "kafka_report_global",  # last row r7
+    "kafka_alive_keys",  # last row r7
+    "kafka_compacted_state",  # last row r7
+    "kafka_consumer_config_audit",  # last row r7
 )
 
 
