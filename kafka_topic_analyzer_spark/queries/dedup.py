@@ -368,6 +368,109 @@ ORDER BY doc_id
 )
 
 
+def _dedup_keep_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decision table a dedup pass actually executes: for every
+    clustered doc, WHICH copy survives. Clusters come from connected
+    components over the near-dup pairs (same fixpoint as
+    dup_cluster_assignment); the kept representative is the member with
+    the highest quality score (functions/text.quality_score — the same
+    signal the quality gates use), ties broken toward the lowest doc_id.
+    Emits doc_id, cluster_id, quality_score, kept_doc_id, keep — the
+    ``keep=false`` rows are the drop list.
+
+    Scale shape: representative selection is ``max_by(struct(q,
+    -doc_id))`` in a groupBy — an aggregation with map-side partial
+    combine, NOT a rank window, so a degenerate corpus whose one
+    cluster is corpus-sized still balances (the r8 window audit rule).
+    NULL quality orders below every real score via coalesce(-1.0) in
+    BOTH engines (engines disagree on NULL sort order)."""
+    from kafka_topic_analyzer_spark.functions.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.near_dup_pairs_jaccard(docs, k=3, threshold=0.7, max_df=50)
+    edges = pairs.select(F.col("doc_i").alias("src"), F.col("doc_j").alias("dst"))
+    labels = D.connected_components(edges)
+    scored = labels.join(
+        docs.select("doc_id", quality_score(F.col("text")).alias("quality_score")),
+        "doc_id",
+    )
+    reps = scored.groupBy("cluster_id").agg(
+        F.max_by(
+            "doc_id",
+            F.struct(
+                F.coalesce(F.col("quality_score"), F.lit(-1.0)).alias("_q"),
+                (-F.col("doc_id")).alias("_nid"),
+            ),
+        ).alias("kept_doc_id")
+    )
+    return (
+        scored.join(reps, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "quality_score",
+            "kept_doc_id",
+            (F.col("doc_id") == F.col("kept_doc_id")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _dedup_keep_policy_sql() -> str:
+    from kafka_topic_analyzer_spark.queries.curation import _QSCORE
+
+    return f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS shingle FROM documents
+),
+kept AS (
+  SELECT doc_id, shingle FROM sh
+  WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 50)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+p AS (
+  SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, count(*) AS shared
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+nd AS MATERIALIZED (
+  SELECT doc_i, doc_j FROM p
+  JOIN sizes sa ON sa.doc_id = doc_i
+  JOIN sizes sb ON sb.doc_id = doc_j
+  WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.7
+),
+edges AS (
+  SELECT doc_i AS src, doc_j AS dst FROM nd
+  UNION SELECT doc_j, doc_i FROM nd
+),
+reach AS (
+  SELECT src AS doc_id, src AS r FROM edges
+  UNION
+  SELECT e.src AS doc_id, reach.r FROM edges e JOIN reach ON reach.doc_id = e.dst
+),
+labels AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+sq AS MATERIALIZED (
+  SELECT l.doc_id, l.cluster_id, {_QSCORE} AS quality_score
+  FROM labels l JOIN documents USING (doc_id)
+),
+reps AS (
+  SELECT cluster_id, doc_id AS kept_doc_id FROM (
+    SELECT cluster_id, doc_id,
+           row_number() OVER (PARTITION BY cluster_id
+                ORDER BY COALESCE(quality_score, -1.0) DESC, doc_id ASC) AS rn
+    FROM sq
+  ) WHERE rn = 1
+)
+SELECT sq.doc_id, sq.cluster_id, sq.quality_score, reps.kept_doc_id,
+       sq.doc_id = reps.kept_doc_id AS keep
+FROM sq JOIN reps USING (cluster_id)
+ORDER BY sq.doc_id
+"""
+
+
+register("dedup_keep_policy", _dedup_keep_policy, _dedup_keep_policy_sql())
+
+
 def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_signatures(load_table(spark, sf_dir, "documents"))
 

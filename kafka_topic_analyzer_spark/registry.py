@@ -49,6 +49,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "vocab_coverage_curve",  # r8 FAIL (oracle dtype, fixed) -> must re-green
     "ivf_quantizer_drift_audit",
     "embedding_threshold_sweep",
+    "dedup_keep_policy",
     "q5_regional_revenue",  # last row r6
     "top3_customers_per_segment",  # last row r6
     "orders_rollup",  # last row r6

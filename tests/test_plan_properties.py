@@ -353,6 +353,17 @@ def test_ivf_drift_audit_single_scan_partial_agg(spark):
     assert plan.count("HashAggregate") == 4, "lost partial aggregation"
 
 
+def test_dedup_keep_policy_no_rank_window(spark):
+    import __spark_entry__ as E
+
+    plan = _executed(E.queries()["dedup_keep_policy"](spark, SF_SMOKE))
+    # representative selection must be a max_by aggregation (map-side
+    # partial combine), never a rank window — one corpus-sized cluster
+    # would otherwise serialize into a single window task
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_bpe_train_merges_emits_local_log(spark):
     import __spark_entry__ as E
 

@@ -288,6 +288,7 @@ FUZZED_QUERIES = [
     # dedup pair family on the adversarial docs
     "near_dup_pairs_jaccard",
     "near_dup_threshold_sweep",
+    "dedup_keep_policy",
     "tfidf_cosine_pairs",
     "substring_dup_spans",
     "exact_dedup_streaming",
