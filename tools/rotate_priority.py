@@ -25,14 +25,28 @@ def main() -> None:
     window = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     seen: dict[str, int] = {}  # name -> last round with any row
+    latest: dict[str, dict] = {}  # name -> the newest row itself
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         rnd = int(path.rsplit("_r", 1)[-1].split(".")[0])
         try:
             rows = json.load(open(path))
         except Exception:
             continue
-        for name in rows:
-            seen[name] = max(seen.get(name, 0), rnd)
+        for name, row in rows.items():
+            if rnd >= seen.get(name, 0):
+                seen[name] = max(seen.get(name, 0), rnd)
+                latest[name] = row if isinstance(row, dict) else {}
+
+    # A FAIL/error row is not evidence — a query whose NEWEST driver row
+    # is red must lead the next window (r8 lesson: vocab_coverage_curve's
+    # hash-fail row made it look "fresh" and the default sort buried it).
+    failing = {
+        n
+        for n, row in latest.items()
+        if row.get("err") or (row.get("hash_match") is False)
+    }
+    for n in failing:
+        seen[n] = -1  # sorts before every real round number
 
     from kafka_topic_analyzer_spark.registry import _REGISTRY
 
@@ -50,7 +64,12 @@ def main() -> None:
     print(f"# {len(names)} registered; {len(rowless)} rowless; window={window}")
     print("CHECK_PRIORITY = (")
     for n in ordered[:window]:
-        tag = "" if n not in seen else f"  # last row r{seen[n]}"
+        if n in failing:
+            tag = "  # newest driver row is FAIL/error -> must re-green"
+        elif n in seen:
+            tag = f"  # last row r{seen[n]}"
+        else:
+            tag = ""
         print(f'    "{n}",{tag}')
     print(")")
     print("# beyond window:", ", ".join(ordered[window:]))
