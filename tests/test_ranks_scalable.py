@@ -156,6 +156,32 @@ def test_prefix_max_shard_counts_including_default(spark):
         assert got == expected, f"shards={shards}"
 
 
+def test_global_ranks_correct_without_exchange_reuse(spark):
+    """The advisor-r8 failure scenario: with exchange reuse disabled the
+    two consumers of the range-repartitioned frame would re-sample range
+    boundaries independently and base+local could duplicate/skip ranks.
+    The localCheckpoint makes the shared partitioning structural — the
+    rank must stay an exact 1..N permutation with reuse OFF."""
+    from kafka_topic_analyzer_spark.operators.ranks import global_ranks_scalable
+
+    key = "spark.sql.exchange.reuse"
+    old = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        df = spark.range(500).select(
+            (F.col("id") * 131 % 499).alias("k"), F.col("id").alias("uid")
+        )
+        got = sorted(
+            r["rank"]
+            for r in global_ranks_scalable(
+                df, [F.col("k").asc(), F.col("uid").asc()], shards=7
+            ).collect()
+        )
+        assert got == list(range(1, 501))
+    finally:
+        spark.conf.set(key, old)
+
+
 def test_default_shards_is_cluster_derived(spark):
     from kafka_topic_analyzer_spark.operators.ranks import _default_shards
 

@@ -259,6 +259,7 @@ FUZZED_QUERIES = [
     "bpe_train_merges_deep",
     "bpe_encode_deep",
     "bpe_encode_heldout",
+    "bpe_encode_from_artifact",  # trains+persists a fresh artifact for the fuzz corpus fingerprint
     "media_decode_audit",
     "sequence_packing",
     "sequence_packing_scalable",
