@@ -567,6 +567,184 @@ register(
 )
 
 
+LSH_SWEEP_BANDINGS = (2, 4, 8, 16)  # r = 8, 4, 2, 1 of the 16 permutations
+
+
+def _lsh_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH S-curve calibration: candidate volume, verified-true pairs and
+    precision for every (bands, rows) split of the 16-permutation MinHash
+    signature — the number an owner reads before fixing the banding
+    (more bands = smaller rows-per-band = higher recall at steeper
+    candidate cost; the collision probability is 1-(1-j^r)^b).
+
+    Cost shape: signatures compute ONCE and materialize
+    (``localCheckpoint``); each banding leg is a bare-id
+    (band_idx, band_key) bucket self-join over the materialized
+    signature table; the union of candidates materializes once and the
+    exact-Jaccard verification runs over the DISTINCT pair set only —
+    a pair surfaced by three bandings verifies once. Final counts are
+    per-banding conditional aggregates over the flagged candidate
+    frame.
+
+    Reading the output: the FINEST banding's ``n_true_pairs`` is the
+    effective truth-set size (a jaccard ≥ 0.7 pair escapes all 16
+    single-permutation bands with probability (1-0.7)^16 ≈ 4e-9), so
+    per-banding recall is ``n_true_pairs / n_true_pairs[finest]`` —
+    at sf0.1: 242/256 at (2,8), 255/256 at (4,4), 256/256 at (8,2)
+    for 4.4x the candidates, and (16,1) pays 157k candidates at 0.16%
+    precision for the same recall. That knee is the banding answer."""
+    from functools import reduce
+
+    from kafka_topic_analyzer_spark.functions.text import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs).localCheckpoint(eager=True)
+    legs = [
+        D.lsh_candidate_pairs(sigs, bands=b).withColumn("bands", F.lit(b))
+        for b in LSH_SWEEP_BANDINGS
+    ]
+    cands = reduce(lambda a, b: a.unionByName(b), legs).localCheckpoint(eager=True)
+    uniq = cands.select("doc_i", "doc_j").distinct()
+    sh = docs.select(
+        "doc_id", F.array_distinct(word_shingles(F.col("text"), 3)).alias("sh")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_i"), F.col("sh_j")))
+    union = F.size(F.col("sh_i")) + F.size(F.col("sh_j")) - inter
+    ver07 = (
+        uniq.join(
+            sh.select(F.col("doc_id").alias("doc_i"), F.col("sh").alias("sh_i")),
+            "doc_i",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_j"), F.col("sh").alias("sh_j")),
+            "doc_j",
+        )
+        .select(
+            "doc_i", "doc_j", F.round(inter.cast("double") / union, 6).alias("jaccard")
+        )
+        .where(F.col("jaccard") >= 0.7)
+        .withColumn("is_true", F.lit(1))
+        .drop("jaccard")
+    )
+    flagged = cands.join(ver07, ["doc_i", "doc_j"], "left")
+    one = flagged.agg(
+        *[
+            F.coalesce(F.sum(F.when(F.col("bands") == b, 1)), F.lit(0))
+            .cast("long")
+            .alias(f"_c{b}")
+            for b in LSH_SWEEP_BANDINGS
+        ],
+        *[
+            F.coalesce(
+                F.sum(F.when((F.col("bands") == b) & (F.col("is_true") == 1), 1)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"_t{b}")
+            for b in LSH_SWEEP_BANDINGS
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("bands"),
+                F.lit(D.N_PERMUTATIONS // b).cast("int").alias("rows_per_band"),
+                F.col(f"_c{b}").alias("n_candidates"),
+                F.col(f"_t{b}").alias("n_true_pairs"),
+                F.when(
+                    F.col(f"_c{b}") > 0,
+                    F.round(
+                        F.col(f"_t{b}").cast("double") / F.col(f"_c{b}"), 6
+                    ),
+                ).alias("candidate_precision"),
+            )
+            for b in LSH_SWEEP_BANDINGS
+        ]
+    )
+    return (
+        one.select(F.explode(rows).alias("b"))
+        .select(
+            "b.bands",
+            "b.rows_per_band",
+            "b.n_candidates",
+            "b.n_true_pairs",
+            "b.candidate_precision",
+        )
+        .orderBy("bands")
+    )
+
+
+def _lsh_banding_sweep_sql() -> str:
+    n_perm = D.N_PERMUTATIONS
+    sig_cols = []
+    for i in range(n_perm):
+        a, b = D.minhash_coeffs(i + 1)
+        sig_cols.append(
+            f"list_min(list_transform(hs, x -> ({a} * x + {b}) % {D.MINHASH_P})) AS sig_{i}"
+        )
+    band_unions = []
+    for bands in LSH_SWEEP_BANDINGS:
+        rows = n_perm // bands
+        for bi in range(bands):
+            keys = ", ".join(f"sig_{bi * rows + r}" for r in range(rows))
+            band_unions.append(
+                f"SELECT {bands} AS bands, doc_id, {bi} AS band_idx,"
+                f" concat_ws(':', {keys}) AS band_key FROM sig WHERE sig_0 IS NOT NULL"
+            )
+    banded = " UNION ALL ".join(band_unions)
+    thetas = ", ".join(str(b) for b in LSH_SWEEP_BANDINGS)
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES} AS shingles FROM documents
+),
+hashed AS (
+  SELECT doc_id, list_transform(shingles, s -> {_ROLL}) AS hs FROM sh
+),
+sig AS MATERIALIZED (SELECT doc_id, {", ".join(sig_cols)} FROM hashed),
+banded AS ({banded}),
+allc AS MATERIALIZED (
+  SELECT DISTINCT a.bands AS bands, a.doc_id AS doc_i, b.doc_id AS doc_j
+  FROM banded a
+  JOIN banded b ON a.bands = b.bands AND a.band_idx = b.band_idx
+              AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+uniq AS (SELECT DISTINCT doc_i, doc_j FROM allc),
+dsh AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
+kept AS (SELECT doc_id, unnest(s) AS shingle FROM dsh),
+sizes AS (SELECT doc_id, len(s) AS n FROM dsh),
+shared AS (
+  SELECT u.doc_i, u.doc_j, count(*) AS shared
+  FROM uniq u
+  JOIN kept a ON a.doc_id = u.doc_i
+  JOIN kept b ON b.doc_id = u.doc_j AND b.shingle = a.shingle
+  GROUP BY u.doc_i, u.doc_j
+),
+ver07 AS MATERIALIZED (
+  SELECT doc_i, doc_j
+  FROM shared
+  JOIN sizes sa ON sa.doc_id = doc_i
+  JOIN sizes sb ON sb.doc_id = doc_j
+  WHERE round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) >= 0.7
+),
+g AS (SELECT unnest([{thetas}]) AS bands)
+SELECT CAST(g.bands AS INT) AS bands,
+       CAST({n_perm} // g.bands AS INT) AS rows_per_band,
+       CAST(COALESCE((SELECT count(*) FROM allc WHERE allc.bands = g.bands), 0) AS BIGINT) AS n_candidates,
+       CAST(COALESCE((SELECT count(*) FROM allc JOIN ver07 USING (doc_i, doc_j)
+                      WHERE allc.bands = g.bands), 0) AS BIGINT) AS n_true_pairs,
+       CASE WHEN (SELECT count(*) FROM allc WHERE allc.bands = g.bands) > 0
+            THEN round(CAST((SELECT count(*) FROM allc JOIN ver07 USING (doc_i, doc_j)
+                             WHERE allc.bands = g.bands) AS DOUBLE)
+                       / (SELECT count(*) FROM allc WHERE allc.bands = g.bands), 6)
+       END AS candidate_precision
+FROM g
+ORDER BY bands
+"""
+
+
+register("lsh_banding_sweep", _lsh_banding_sweep, _lsh_banding_sweep_sql())
+
+
 EMB_NEAR_DUP_THRESHOLD = 0.4  # fixture embeddings are weakly clustered
 # (max off-diagonal cosine ~0.51 at sf0.01); production near-dup dedup
 # runs at >=0.9 where LSH recall is ~0.997 (operators/dedup.py).

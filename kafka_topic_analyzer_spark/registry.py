@@ -50,6 +50,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "ivf_quantizer_drift_audit",
     "embedding_threshold_sweep",
     "dedup_keep_policy",
+    "lsh_banding_sweep",
     "q5_regional_revenue",  # last row r6
     "top3_customers_per_segment",  # last row r6
     "orders_rollup",  # last row r6

@@ -353,6 +353,17 @@ def test_ivf_drift_audit_single_scan_partial_agg(spark):
     assert plan.count("HashAggregate") == 4, "lost partial aggregation"
 
 
+def test_lsh_banding_sweep_single_signature_scan(spark):
+    import __spark_entry__ as E
+
+    plan = _executed(E.queries()["lsh_banding_sweep"](spark, SF_SMOKE))
+    # signatures + the unioned candidates are materialized before the
+    # final aggregate; the only parquet rescans are the verification
+    # pass's two shingle-set joins (doc_i / doc_j sides)
+    assert "CartesianProduct" not in plan
+    assert plan.count("FileScan parquet") <= 2
+
+
 def test_dedup_keep_policy_no_rank_window(spark):
     import __spark_entry__ as E
 

@@ -306,6 +306,7 @@ FUZZED_QUERIES = [
     "embeddings_quality_checks",
     # banded/minhash text dedup + hybrid retrieval (dim-free)
     "minhash_near_dups",
+    "lsh_banding_sweep",
     "simhash_near_dups",
     "fuzzy_match_pairs",
     "hybrid_retrieval_rrf",
