@@ -43,14 +43,19 @@ def register(name: str, spark_fn: Callable[[SparkSession, str], DataFrame], orac
 # commits SELFCHECK_r{N}.json, so every query has fresh evidence every round
 # even when outside the driver window.
 CHECK_PRIORITY: tuple[str, ...] = (
-    # -- round 9: the r8 hash-fail (now fixed) first, then the 2 new
-    # rowless queries, then 43 r6-stale (incl. all streaming
-    # representatives, judge item 8), then r7 --
-    "vocab_coverage_curve",  # r8 FAIL (oracle dtype, fixed) -> must re-green
+    # -- round 9 (refreshed after the lm_quality adds): 7 rowless new
+    # queries first, then the r8 FAIL (fixed), then all 42 r6-stale
+    # (incl. every streaming representative, judge item 8) -- exactly
+    # fills the 50-row driver window
+
     "ivf_quantizer_drift_audit",
     "embedding_threshold_sweep",
     "dedup_keep_policy",
     "lsh_banding_sweep",
+    "unigram_logprob_quality",
+    "source_unigram_kl",
+    "boilerplate_coverage",
+    "vocab_coverage_curve",  # newest driver row is FAIL/error -> must re-green
     "q5_regional_revenue",  # last row r6
     "top3_customers_per_segment",  # last row r6
     "orders_rollup",  # last row r6
@@ -93,11 +98,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "keyword_search",  # last row r6
     "bpe_encode_corpus",  # last row r6
     "benchmark_contamination",  # last row r6
-    "kafka_report_partition",  # last row r7
-    "kafka_report_global",  # last row r7
-    "kafka_alive_keys",  # last row r7
-    "kafka_compacted_state",  # last row r7
-    "kafka_consumer_config_audit",  # last row r7
 )
 
 
