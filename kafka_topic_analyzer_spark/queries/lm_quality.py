@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from kafka_topic_analyzer_spark.functions import text as TX
 from kafka_topic_analyzer_spark.registry import register
 from kafka_topic_analyzer_spark.sources.tables import load_table
 
@@ -318,3 +319,261 @@ FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
 ORDER BY d.doc_id
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# curation_funnel — sequential gate-survival audit
+# ---------------------------------------------------------------------------
+
+# Gate constants, fixed so the funnel is reproducible run-to-run. Calibrated
+# on the synthetic corpus so every gate visibly drops documents at sf0.01
+# AND sf0.1 (lang-unknown ~9%, quality<0.6 ~13%, boiler>=1/4 a handful,
+# surprisal>3.5 ~1.7%) — a real pipeline would read these from config.
+FUNNEL_QUALITY_MIN = 0.6
+FUNNEL_BOILER_NUM = 1  # boiler gate: coverage < 1/4, tested as integers
+FUNNEL_BOILER_DEN = 4  # (den*n_boiler < num*n_positions -> float-free)
+FUNNEL_SURP_MAX = 3.5  # mean unigram surprisal cap (nats)
+
+
+def _curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential curation-funnel audit: where documents die.
+
+    The one-page diagnostic a training-data pipeline owner reads before
+    re-cutting a corpus: documents flow through the standard gate order
+    (language identified -> quality score -> boilerplate coverage ->
+    unigram surprisal) and each row reports how many entered the gate,
+    how many survived it, and the cumulative yield. Sequential semantics:
+    a document is evaluated at gate k only if it passed gates < k, so
+    ``dropped`` attributes each loss to the FIRST gate that caught it —
+    the number that tells you which knob to turn.
+
+    Built from the already-proven per-doc signals (predicted_lang /
+    quality_score from functions/text.py, boilerplate + surprisal from
+    this module); gate survivorship is ONE conditional aggregate over the
+    per-doc flag frame (sum of gate-prefix conjunctions), and the 5-row
+    funnel is exploded from that single aggregate row — never one pass
+    per gate. The boiler gate compares ``4*n_boiler < 1*n_positions`` in
+    exact integers; the surprisal gate thresholds the 6-decimal rounded
+    mean, so both engines agree at the boundary.
+
+    Scale shape: three column-pruned scans of documents (flags, shingle
+    positions, token occurrences), two doc_id-keyed left joins, then a
+    map-side-combinable aggregate to ONE row. Signal frames are the same
+    shapes proven in boilerplate_coverage / unigram_logprob_quality.
+    """
+    k, bar = BOILER_K, BOILER_MIN_DF
+    d = load_table(spark, sf_dir, "documents")
+
+    base = d.select(
+        "doc_id",
+        (TX.predicted_lang(F.col("text")) != "unknown").alias("lang_ok"),
+        (TX.quality_score(F.col("text")) >= F.lit(FUNNEL_QUALITY_MIN)).alias("q_ok"),
+    )
+
+    pos = d.select("doc_id", _spark_ltoks().alias("t")).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(t) < {k} THEN array() "
+                f"ELSE transform(sequence(1, size(t) - {k - 1}), "
+                f"i -> concat_ws(' ', slice(t, CAST(i AS INT), {k}))) END"
+            )
+        ).alias("sh"),
+    )
+    df_tbl = pos.distinct().groupBy("sh").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    boiler = (
+        pos.join(df_tbl, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_positions"),
+            F.sum((F.col("df") >= bar).cast("long")).cast("long").alias("n_boiler"),
+        )
+    )
+
+    occ = d.select("doc_id", F.explode(_spark_ltoks()).alias("tok"))
+    counts = occ.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    total = counts.agg(F.sum("cnt").cast("long").alias("total"))
+    surp = counts.crossJoin(total).select(
+        "tok",
+        F.round(F.log(F.col("total").cast("double") / F.col("cnt")), 6)
+        .cast("decimal(18,6)")
+        .alias("surp"),
+    )
+    ms = (
+        occ.join(surp, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+            F.sum("surp").alias("ssum"),
+        )
+        .select(
+            "doc_id",
+            F.round(F.col("ssum").cast("double") / F.col("n_toks"), 6).alias("ms"),
+        )
+    )
+
+    n_pos = F.coalesce(F.col("n_positions"), F.lit(0))
+    n_boil = F.coalesce(F.col("n_boiler"), F.lit(0))
+    flags = (
+        base.join(boiler, "doc_id", "left")
+        .join(ms, "doc_id", "left")
+        .select(
+            F.col("lang_ok"),
+            F.col("q_ok"),
+            # a doc too short to shingle has no boilerplate -> passes;
+            # otherwise coverage < NUM/DEN tested in exact integers
+            (
+                (n_pos == 0)
+                | (n_boil * FUNNEL_BOILER_DEN < n_pos * FUNNEL_BOILER_NUM)
+            ).alias("b_ok"),
+            (F.coalesce(F.col("ms"), F.lit(0.0)) <= F.lit(FUNNEL_SURP_MAX)).alias(
+                "s_ok"
+            ),
+        )
+    )
+
+    one = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum(F.col("lang_ok").cast("long")).cast("long").alias("n1"),
+        F.sum((F.col("lang_ok") & F.col("q_ok")).cast("long")).cast("long").alias("n2"),
+        F.sum((F.col("lang_ok") & F.col("q_ok") & F.col("b_ok")).cast("long"))
+        .cast("long")
+        .alias("n3"),
+        F.sum(
+            (F.col("lang_ok") & F.col("q_ok") & F.col("b_ok") & F.col("s_ok")).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("n4"),
+    )
+    stage = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("gate_order"),
+                F.lit(name).alias("gate"),
+                F.col(ev).cast("long").alias("evaluated"),
+                F.col(sv).cast("long").alias("survivors"),
+            )
+            for i, (name, ev, sv) in enumerate(
+                [
+                    ("ingest", "n0", "n0"),
+                    ("lang_identified", "n0", "n1"),
+                    ("quality_min", "n1", "n2"),
+                    ("boilerplate_max", "n2", "n3"),
+                    ("surprisal_max", "n3", "n4"),
+                ]
+            )
+        ]
+    )
+    return (
+        one.select(F.col("n0"), F.explode(stage).alias("s"))
+        .select(
+            F.col("s.gate_order").alias("gate_order"),
+            F.col("s.gate").alias("gate"),
+            F.col("s.evaluated").alias("evaluated"),
+            F.col("s.survivors").alias("survivors"),
+            (F.col("s.evaluated") - F.col("s.survivors")).cast("long").alias("dropped"),
+            F.when(F.col("s.evaluated") > 0,
+                   F.round(F.col("s.survivors").cast("double") / F.col("s.evaluated"), 6))
+            .otherwise(F.lit(0.0))
+            .alias("survival_rate"),
+            F.when(F.col("n0") > 0,
+                   F.round(F.col("s.survivors").cast("double") / F.col("n0"), 6))
+            .otherwise(F.lit(0.0))
+            .alias("cumulative_rate"),
+        )
+        .orderBy("gate_order")
+    )
+
+
+def _funnel_oracle() -> str:
+    # mirror the Spark gates from the proven SQL twins in queries/text.py
+    from kafka_topic_analyzer_spark.queries.text import (
+        _LANG_PRED,
+        _NTOK,
+        _PUNCT,
+        _STOP_HITS,
+    )
+
+    k, bar = BOILER_K, BOILER_MIN_DF
+    q_sql = f"""round(0.5 * least(1.0, CAST({_NTOK} AS DOUBLE) / 100.0)
+      + 0.3 * (1.0 - round(CASE WHEN {_NTOK} > 0
+                THEN CAST({_STOP_HITS} AS DOUBLE) / {_NTOK} ELSE 0.0 END, 4))
+      + 0.2 * (1.0 - round(CASE WHEN length(text) > 0
+                THEN CAST({_PUNCT} AS DOUBLE) / length(text) ELSE 0.0 END, 4)), 6)"""
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         ({_LANG_PRED}) <> 'unknown' AS lang_ok,
+         ({q_sql}) >= {FUNNEL_QUALITY_MIN} AS q_ok
+  FROM documents
+),
+t AS (SELECT doc_id, {_LTOKS} AS toks FROM documents),
+pos AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) < {k} THEN []
+                ELSE [array_to_string(toks[i:i + {k - 1}], ' ')
+                      FOR i IN range(1, len(toks) - {k} + 2)] END) AS sh
+  FROM t
+),
+df_tbl AS (
+  SELECT sh, CAST(count(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT doc_id, sh FROM pos) GROUP BY sh
+),
+boiler AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_positions,
+         CAST(sum(CASE WHEN df >= {bar} THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+  FROM pos JOIN df_tbl USING (sh)
+  GROUP BY doc_id
+),
+occ AS (SELECT doc_id, unnest({_LTOKS}) AS tok FROM documents),
+counts AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM occ GROUP BY tok),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts),
+surp AS (
+  SELECT tok,
+         CAST(round(ln(CAST(total AS DOUBLE) / cnt), 6) AS DECIMAL(18,6)) AS surp
+  FROM counts CROSS JOIN tot
+),
+msf AS (
+  SELECT doc_id, round(CAST(sum(surp) AS DOUBLE) / count(*), 6) AS ms
+  FROM occ JOIN surp USING (tok) GROUP BY doc_id
+),
+flags AS (
+  SELECT lang_ok, q_ok,
+         (COALESCE(n_positions, 0) = 0 OR
+          COALESCE(n_boiler, 0) * {FUNNEL_BOILER_DEN}
+            < COALESCE(n_positions, 0) * {FUNNEL_BOILER_NUM}) AS b_ok,
+         COALESCE(ms, 0.0) <= {FUNNEL_SURP_MAX} AS s_ok
+  FROM base LEFT JOIN boiler USING (doc_id) LEFT JOIN msf USING (doc_id)
+),
+one AS (
+  SELECT CAST(count(*) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN lang_ok AND q_ok THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN lang_ok AND q_ok AND b_ok THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+         CAST(sum(CASE WHEN lang_ok AND q_ok AND b_ok AND s_ok THEN 1 ELSE 0 END) AS BIGINT) AS n4
+  FROM flags
+),
+rows_ AS (
+  SELECT CAST(0 AS BIGINT) AS gate_order, 'ingest' AS gate, n0 AS evaluated, n0 AS survivors, n0 FROM one
+  UNION ALL SELECT 1, 'lang_identified', n0, n1, n0 FROM one
+  UNION ALL SELECT 2, 'quality_min', n1, n2, n0 FROM one
+  UNION ALL SELECT 3, 'boilerplate_max', n2, n3, n0 FROM one
+  UNION ALL SELECT 4, 'surprisal_max', n3, n4, n0 FROM one
+)
+SELECT gate_order, gate,
+       CAST(evaluated AS BIGINT) AS evaluated,
+       CAST(survivors AS BIGINT) AS survivors,
+       CAST(evaluated - survivors AS BIGINT) AS dropped,
+       CASE WHEN evaluated > 0
+            THEN round(CAST(survivors AS DOUBLE) / evaluated, 6) ELSE 0.0 END AS survival_rate,
+       CASE WHEN n0 > 0
+            THEN round(CAST(survivors AS DOUBLE) / n0, 6) ELSE 0.0 END AS cumulative_rate
+FROM rows_
+ORDER BY gate_order
+"""
+
+
+register("curation_funnel", _curation_funnel, _funnel_oracle())

@@ -43,11 +43,10 @@ def register(name: str, spark_fn: Callable[[SparkSession, str], DataFrame], orac
 # commits SELFCHECK_r{N}.json, so every query has fresh evidence every round
 # even when outside the driver window.
 CHECK_PRIORITY: tuple[str, ...] = (
-    # -- round 9 (refreshed after the lm_quality adds): 7 rowless new
-    # queries first, then the r8 FAIL (fixed), then all 42 r6-stale
-    # (incl. every streaming representative, judge item 8) -- exactly
-    # fills the 50-row driver window
-
+    # -- round 9 (refreshed after lm_quality + curation_funnel): 8
+    # rowless new queries first, then the r8 FAIL (fixed), then 41 of
+    # the 42 r6-stale (incl. every streaming representative, judge
+    # item 8); benchmark_contamination rotates to the r10 window --
     "ivf_quantizer_drift_audit",
     "embedding_threshold_sweep",
     "dedup_keep_policy",
@@ -55,6 +54,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "unigram_logprob_quality",
     "source_unigram_kl",
     "boilerplate_coverage",
+    "curation_funnel",
     "vocab_coverage_curve",  # newest driver row is FAIL/error -> must re-green
     "q5_regional_revenue",  # last row r6
     "top3_customers_per_segment",  # last row r6
@@ -97,7 +97,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "term_postings",  # last row r6
     "keyword_search",  # last row r6
     "bpe_encode_corpus",  # last row r6
-    "benchmark_contamination",  # last row r6
 )
 
 

@@ -119,3 +119,52 @@ def test_boilerplate_short_doc_zero_positions(spark, tmp_path):
     sf = _write_docs(tmp_path, [(0, "one two", "en", "s0")])
     row = _boilerplate_coverage(spark, sf).collect()[0]
     assert row["n_positions"] == 0 and row["boiler_coverage"] == 0.0
+
+
+def test_curation_funnel_planted_cascade(spark, tmp_path):
+    """One doc planted to die at each gate; attribution goes to the FIRST
+    failing gate (the lang-fail doc is also rare-token soup, yet counts
+    only at lang_identified)."""
+    from kafka_topic_analyzer_spark.queries.lm_quality import _curation_funnel
+
+    pool = ["kestrel", "bramble", "orchid", "galleon", "meridian"]
+    clone_pool = ["anvil", "bucket", "copper", "dynamo"]
+    cycle = " ".join(clone_pool[(i % 4)] for i in range(100))
+    rows = []
+    # 3 clean docs: marker + 5-word cycle (shingle df=3 < BOILER_MIN_DF,
+    # pool tokens common enough for low surprisal)
+    for i in range(3):
+        shifted = " ".join(pool[(i + j) % 5] for j in range(100))
+        rows.append((i, "the " + shifted, "en", "s0"))
+    # dies at gate 1: no language markers at all
+    rows.append((10, " ".join(f"qq{j}" for j in range(100)), "en", "s1"))
+    # dies at gate 2: marker but only 10 tokens -> quality < 0.6
+    rows.append((11, "the alpha bravo charlie delta echo foxtrot golf hotel india", "en", "s1"))
+    # dies at gate 3: BOILER_MIN_DF identical docs -> every trigram df=5
+    for i in range(5):
+        rows.append((20 + i, "the " + cycle, "en", "s2"))
+    # dies at gate 4: marker + 99 hapaxes -> mean surprisal >> 3.5
+    rows.append((30, "the " + " ".join(f"uq{j}" for j in range(99)), "en", "s3"))
+    sf = _write_docs(tmp_path, rows)
+    out = {r["gate"]: r for r in _curation_funnel(spark, sf).collect()}
+    assert out["ingest"]["evaluated"] == 11 and out["ingest"]["survivors"] == 11
+    assert out["lang_identified"]["dropped"] == 1
+    assert out["quality_min"]["evaluated"] == 10 and out["quality_min"]["dropped"] == 1
+    assert out["boilerplate_max"]["evaluated"] == 9 and out["boilerplate_max"]["dropped"] == 5
+    assert out["surprisal_max"]["evaluated"] == 4 and out["surprisal_max"]["dropped"] == 1
+    assert out["surprisal_max"]["survivors"] == 3
+    assert out["surprisal_max"]["cumulative_rate"] == pytest.approx(3 / 11, abs=1e-6)
+    assert out["boilerplate_max"]["survival_rate"] == pytest.approx(4 / 9, abs=1e-6)
+
+
+def test_curation_funnel_short_doc_passes_boiler(spark, tmp_path):
+    """A doc too short to shingle has no boilerplate -> boiler gate passes
+    it (it still dies at quality, attribution stays sequential)."""
+    from kafka_topic_analyzer_spark.queries.lm_quality import _curation_funnel
+
+    sf = _write_docs(tmp_path, [(0, "the and", "en", "s0")])
+    out = {r["gate"]: r for r in _curation_funnel(spark, sf).collect()}
+    assert out["lang_identified"]["survivors"] == 1
+    assert out["quality_min"]["dropped"] == 1  # 2 tokens -> q < 0.6
+    assert out["boilerplate_max"]["evaluated"] == 0
+    assert out["boilerplate_max"]["survival_rate"] == 0.0
