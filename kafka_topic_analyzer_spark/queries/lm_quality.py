@@ -48,6 +48,21 @@ def _spark_ltoks() -> F.Column:
     )
 
 
+def _r6(x: F.Column) -> F.Column:
+    """Tie-safe 6-decimal round: floor(x*1e6 + 0.5)/1e6 — the same IEEE
+    multiply/add/floor/divide on both engines (quantize_int8's rule).
+    round()'s half-way behavior differs between Spark (shortest-decimal
+    HALF_UP) and DuckDB (binary-value), and quotients of 6-dp DECIMAL
+    sums by small integer counts land on 7th-decimal ties routinely
+    (fuzz: ssum 8.000682 / 4 = 2.0001705)."""
+    return F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+
+def _r6_sql(expr: str) -> str:
+    """DuckDB twin of _r6 — identical op sequence, identical doubles."""
+    return f"floor(({expr}) * 1e6 + 0.5) / 1e6"
+
+
 def _unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc mean token surprisal under the corpus unigram LM (nats).
 
@@ -91,7 +106,7 @@ def _unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
             F.coalesce(
-                F.round(F.col("ssum").cast("double") / F.col("n_tokens"), 6),
+                _r6(F.col("ssum").cast("double") / F.col("n_tokens")),
                 F.lit(0.0),
             ).alias("mean_surprisal"),
             F.coalesce(F.col("smax").cast("double"), F.lit(0.0)).alias(
@@ -126,7 +141,7 @@ per_doc AS (
 )
 SELECT d.doc_id,
        CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
-       COALESCE(round(CAST(ssum AS DOUBLE) / n_tokens, 6), 0.0) AS mean_surprisal,
+       COALESCE(floor((CAST(ssum AS DOUBLE) / n_tokens) * 1e6 + 0.5) / 1e6, 0.0) AS mean_surprisal,
        COALESCE(CAST(smax AS DOUBLE), 0.0) AS max_surprisal
 FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
 ORDER BY d.doc_id
@@ -188,7 +203,7 @@ def _source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.col("n_s").alias("n_tokens"),
             "vocab_size",
-            F.round(F.col("tsum").cast("double") / F.col("n_s"), 6).alias("kl_nats"),
+            _r6(F.col("tsum").cast("double") / F.col("n_s")).alias("kl_nats"),
         )
         .orderBy("source")
     )
@@ -216,7 +231,7 @@ terms AS (
 SELECT source,
        n_s AS n_tokens,
        CAST(count(*) AS BIGINT) AS vocab_size,
-       round(CAST(sum(term) AS DOUBLE) / n_s, 6) AS kl_nats
+       floor((CAST(sum(term) AS DOUBLE) / n_s) * 1e6 + 0.5) / 1e6 AS kl_nats
 FROM terms
 GROUP BY source, n_s
 ORDER BY source
@@ -278,9 +293,7 @@ def _boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_positions", F.lit(0)).cast("long").alias("n_positions"),
             F.coalesce("n_boiler", F.lit(0)).cast("long").alias("n_boiler"),
             F.coalesce(
-                F.round(
-                    F.col("n_boiler").cast("double") / F.col("n_positions"), 6
-                ),
+                _r6(F.col("n_boiler").cast("double") / F.col("n_positions")),
                 F.lit(0.0),
             ).alias("boiler_coverage"),
         )
@@ -314,7 +327,7 @@ per_doc AS (
 SELECT d.doc_id,
        CAST(COALESCE(n_positions, 0) AS BIGINT) AS n_positions,
        CAST(COALESCE(n_boiler, 0) AS BIGINT) AS n_boiler,
-       COALESCE(round(CAST(n_boiler AS DOUBLE) / n_positions, 6), 0.0) AS boiler_coverage
+       COALESCE(floor((CAST(n_boiler AS DOUBLE) / n_positions) * 1e6 + 0.5) / 1e6, 0.0) AS boiler_coverage
 FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
 ORDER BY d.doc_id
 """,
@@ -408,7 +421,7 @@ def _curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "doc_id",
-            F.round(F.col("ssum").cast("double") / F.col("n_toks"), 6).alias("ms"),
+            _r6(F.col("ssum").cast("double") / F.col("n_toks")).alias("ms"),
         )
     )
 
@@ -475,11 +488,11 @@ def _curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.survivors").alias("survivors"),
             (F.col("s.evaluated") - F.col("s.survivors")).cast("long").alias("dropped"),
             F.when(F.col("s.evaluated") > 0,
-                   F.round(F.col("s.survivors").cast("double") / F.col("s.evaluated"), 6))
+                   _r6(F.col("s.survivors").cast("double") / F.col("s.evaluated")))
             .otherwise(F.lit(0.0))
             .alias("survival_rate"),
             F.when(F.col("n0") > 0,
-                   F.round(F.col("s.survivors").cast("double") / F.col("n0"), 6))
+                   _r6(F.col("s.survivors").cast("double") / F.col("n0")))
             .otherwise(F.lit(0.0))
             .alias("cumulative_rate"),
         )
@@ -537,7 +550,7 @@ surp AS (
   FROM counts CROSS JOIN tot
 ),
 msf AS (
-  SELECT doc_id, round(CAST(sum(surp) AS DOUBLE) / count(*), 6) AS ms
+  SELECT doc_id, floor((CAST(sum(surp) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6 AS ms
   FROM occ JOIN surp USING (tok) GROUP BY doc_id
 ),
 flags AS (
@@ -568,9 +581,9 @@ SELECT gate_order, gate,
        CAST(survivors AS BIGINT) AS survivors,
        CAST(evaluated - survivors AS BIGINT) AS dropped,
        CASE WHEN evaluated > 0
-            THEN round(CAST(survivors AS DOUBLE) / evaluated, 6) ELSE 0.0 END AS survival_rate,
+            THEN floor((CAST(survivors AS DOUBLE) / evaluated) * 1e6 + 0.5) / 1e6 ELSE 0.0 END AS survival_rate,
        CASE WHEN n0 > 0
-            THEN round(CAST(survivors AS DOUBLE) / n0, 6) ELSE 0.0 END AS cumulative_rate
+            THEN floor((CAST(survivors AS DOUBLE) / n0) * 1e6 + 0.5) / 1e6 ELSE 0.0 END AS cumulative_rate
 FROM rows_
 ORDER BY gate_order
 """

@@ -336,6 +336,11 @@ FUZZED_QUERIES = [
     "top_terms_per_source",
     "vocab_coverage_curve",
     "benchmark_contamination",
+    # LM-quality family (r9): unigram LM, KL, boilerplate, gate funnel
+    "unigram_logprob_quality",
+    "source_unigram_kl",
+    "boilerplate_coverage",
+    "curation_funnel",
     # curation samplers / packing / manifests
     "dataset_split_summary",
     "quality_weighted_sample",
