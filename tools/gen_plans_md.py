@@ -123,6 +123,11 @@ SECTIONS: list[tuple[str, str | None, str]] = [
         "vocab_coverage_curve",
         "Zipf coverage by vocab budget (r8): vocabulary-sized term counts -> the range-partitioned global rank -> ONE conditional HashAggregate for all budgets (no cumulative window, no per-budget rescan); budgets explode from the single aggregate row.",
     ),
+    (
+        "curation_funnel",
+        "curation_funnel",
+        "Sequential gate-survival audit (r9): every scan is column-pruned to (doc_id, text); the per-doc flag frame joins boiler/surprisal signals by doc_id (BroadcastHashJoin at this SF, plain hash join at corpus scale); survivorship for ALL four gates is ONE conditional HashAggregate of gate-prefix conjunctions; the 5-row funnel explodes from that single row. Zero Windows; the only nested-loop join is the 1-row corpus-total broadcast.",
+    ),
 ]
 
 
