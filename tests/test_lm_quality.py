@@ -168,3 +168,37 @@ def test_curation_funnel_short_doc_passes_boiler(spark, tmp_path):
     assert out["quality_min"]["dropped"] == 1  # 2 tokens -> q < 0.6
     assert out["boilerplate_max"]["evaluated"] == 0
     assert out["boilerplate_max"]["survival_rate"] == 0.0
+
+
+def test_r6_tie_rule_matches_engines(spark):
+    """The tie-safe round contract: Spark _r6, DuckDB's floor twin, and
+    Python floor(x*1e6+0.5)/1e6 agree bit-for-bit — including exact
+    7th-decimal ties (the 2.0001705 class where round() split the
+    engines) and negative values."""
+    import duckdb
+    import math
+
+    from kafka_topic_analyzer_spark.queries.lm_quality import _r6
+
+    vals = [
+        2.0001705,        # the fuzz-found tie: 8.000682 / 4
+        8.000682 / 4,
+        0.10000005,       # (0.1 + 0.1000001) / 2
+        -2.0001705,
+        0.0, 1.0, 3.5, 3.4999995, 27.631021, 1e-7, 5e-7,
+        123456.1234565,
+    ]
+    vals += [v / 4 for v in (0.000001, 0.000002, 0.000003, 8.000682, 13.999998)]
+    from pyspark.sql import functions as F
+
+    sp = (
+        spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, x double")
+        .select("i", _r6(F.col("x")).alias("r"))
+        .orderBy("i")
+        .collect()
+    )
+    con = duckdb.connect()
+    for i, v in enumerate(vals):
+        py = math.floor(v * 1e6 + 0.5) / 1e6
+        du = con.execute("SELECT floor(? * 1e6 + 0.5) / 1e6", [v]).fetchone()[0]
+        assert sp[i]["r"] == py == du, (v, sp[i]["r"], py, du)
