@@ -36,6 +36,23 @@ def main() -> None:
     spark.range(2).select(rolling_hash_udf(F.lit("warmup"))).collect()
     spark.range(2).mapInPandas(lambda it: it, "id long").collect()
 
+    # Ambient-speed sentinel: a FIXED data-free pure-codegen aggregate
+    # (no I/O, no shuffle variance — 2B-row range sum, identical plan
+    # every round; ~2 s so fixed job-scheduling latency is noise, not
+    # the measurement), min-of-3. This VM's speed drifts between rounds
+    # (r9: two full suite runs 60 min apart measured 131s vs 169s with
+    # identical plans, uniform across untouched queries). Dividing any
+    # cross-round per-query delta by the sentinel ratio separates a code
+    # regression from host drift.
+    sentinel_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(2_000_000_000).select(
+            F.sum(F.col("id") % 7).alias("s")
+        ).collect()
+        sentinel_times.append(time.perf_counter() - t0)
+    ambient_sentinel_sec = round(min(sentinel_times), 4)
+
     def run_once(spec) -> tuple[float, int]:
         t0 = time.perf_counter()
         df = spec.spark(spark, sf_dir)
@@ -495,6 +512,10 @@ def main() -> None:
                 "queries": slowest,
                 "n_queries": len(per_query),
                 "detail": "BENCH_DETAIL.json",
+                # machine-speed canary (fixed data-free codegen aggregate,
+                # min-of-3): normalize cross-round timings by this before
+                # reading a per-query delta as a regression
+                "ambient_sentinel_sec": ambient_sentinel_sec,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "report_msgs_per_sec": round(n_msgs / report_sec, 1),
                 "report_rows": n_msgs,

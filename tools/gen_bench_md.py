@@ -168,7 +168,15 @@ def render_readme_block(f: dict, prov: list[str]) -> str:
         " scale-evidence series — skew-join ladder with straggler"
         " reduction, IVF recall sweep, the three streaming state-plateau"
         " series, BPE per-iteration timings and the z-order row-group-skip"
-        " counts; see `SCALING.md`.)",
+        " counts; see `SCALING.md`."
+        + (
+            f" `ambient_sentinel_sec` = {f['ambient_sentinel_sec']:.2f} s is the"
+            " machine-speed canary — a fixed data-free codegen aggregate,"
+            " min-of-3; normalize cross-round per-query deltas by the"
+            " sentinel ratio before reading one as a regression.)"
+            if f.get("ambient_sentinel_sec")
+            else ")"
+        ),
         "<!-- BENCH:END -->",
     ]
     return "\n".join(lines)
