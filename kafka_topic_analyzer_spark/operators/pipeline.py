@@ -3,13 +3,16 @@ nightly — dedup, quality-gate, downsample, pack, write shards.
 
 Single declarative plan from scan to sink (Catalyst sees the whole
 pipeline, so column pruning reaches the parquet scan and the only
-shuffles are the dedup window and the final shard routing):
+shuffles are the dedup groupBy, the sharded packing scan, and the final
+shard routing — no corpus-partitioned Window anywhere on this path):
 
 1. exact dedup   — keep the lowest doc_id per normalized-md5 fingerprint
+                   (min_by groupBy: map-side combine, no per-fp window)
 2. quality gate  — fixed-threshold scan-side filter (distribution-aware
                    variant: queries/curation.py quality_percentile_gate)
 3. downsample    — deterministic md5-bucket rate (re-run stable)
-4. pack          — per-(lang) context-window assignment (curation.py)
+4. pack          — per-(lang) context-window assignment via the
+                   two-level distributed prefix sum (packed_offsets_scalable)
 5. write         — hive-partitioned parquet shards (sources/sinks.py)
 
 `shard_manifest` is the pipeline's audit artifact (per-language doc/token
@@ -38,14 +41,23 @@ def select_training_docs(docs: DataFrame) -> DataFrame:
 
     Returns the selected docs with fingerprint, token count and quality
     attached (columns: doc_id, lang, source, text, fp, n_tokens, quality).
+
+    Dedup-keep is ``groupBy(fp).agg(min_by(struct, doc_id))`` — ONE
+    shuffle with map-side partial combine, no per-fingerprint window.
+    A `Window.partitionBy("fp")` materializes each fingerprint group in
+    a single task, so a degenerate corpus (billions of copies of one
+    document — precisely what a dedup pass exists for) stalls one task
+    regardless of cluster size. Same rule as the oracle-proven
+    dedup_keep_policy query (queries/dedup.py); keep-set is identical
+    (the minimum doc_id per fingerprint — doc_id is unique, no ties).
     """
-    w = Window.partitionBy("fp")
     # NULL-text policy (explicit, mirrored in the manifest oracle): a doc
     # with no text carries no trainable tokens, so it is excluded up front.
     # Without this filter NULL text would slip through BOTH gates below —
     # quality_score(NULL) evaluates to 1.0 (least() skips the NULL length
     # credit on both engines) and the NULL md5 bucket coalesces to '0000',
     # the always-kept end of the sample range.
+    row = F.struct("doc_id", "lang", "source", "text", "n_tokens", "quality")
     return (
         docs.where(F.col("text").isNotNull())
         .select(
@@ -57,23 +69,36 @@ def select_training_docs(docs: DataFrame) -> DataFrame:
             token_count(F.col("text")).alias("n_tokens"),
             quality_score(F.col("text")).alias("quality"),
         )
-        .withColumn("_keep", F.min("doc_id").over(w))
-        .where(F.col("doc_id") == F.col("_keep"))
-        .drop("_keep")
+        .groupBy("fp")
+        .agg(F.min_by(row, F.col("doc_id")).alias("_r"))
+        .select(
+            F.col("_r.doc_id").alias("doc_id"),
+            F.col("_r.lang").alias("lang"),
+            F.col("_r.source").alias("source"),
+            F.col("_r.text").alias("text"),
+            "fp",
+            F.col("_r.n_tokens").alias("n_tokens"),
+            F.col("_r.quality").alias("quality"),
+        )
         .where(F.col("quality") >= QUALITY_MIN)
         .where(md5_bucket_prefix(F.col("text")) < SAMPLE_HEX_BOUND)
     )
 
 
 def pack_sequences(selected: DataFrame) -> DataFrame:
-    """Step 4: contiguous token-offset packing per language."""
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    """Step 4: contiguous token-offset packing per language.
+
+    Delegates to the two-level distributed prefix sum
+    ``packed_offsets_scalable`` (this file) — bit-identical to
+    ``Window.partitionBy("lang").orderBy("doc_id")`` (hash-proven: the
+    sequence_packing_scalable query shares sequence_packing's oracle
+    VERBATIM), but without the one-task-per-language bottleneck: a
+    100 TB mostly-English corpus would otherwise pack on ~1 task.
+    """
+    packed = packed_offsets_scalable(
+        selected, part_col="lang", order_col="doc_id", weight_col="n_tokens"
     )
-    tok_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    return selected.withColumn("token_start", tok_before).withColumn(
+    return packed.withColumn(
         "seq_id", (F.col("token_start") / WINDOW_TOKENS).cast("long")
     )
 

@@ -175,16 +175,52 @@ def test_incremental_dedup_no_cartesian(spark):
 
 
 def test_shard_pipeline_single_dedup_shuffle(spark):
-    """The pipeline's selection (dedup window + filters) must not shuffle
-    more than once before packing: fp window -> quality/sample filters
-    are all post-shuffle, pre-pack."""
+    """The pipeline's selection (dedup groupBy + filters) must not shuffle
+    more than once before packing, and the dedup-keep must be a
+    map-side-combinable aggregate — NOT a per-fingerprint window (a
+    degenerate corpus makes one fp group corpus-sized)."""
     from kafka_topic_analyzer_spark.operators.pipeline import select_training_docs
     from kafka_topic_analyzer_spark.sources.tables import load_table
 
     plan = _executed(select_training_docs(load_table(spark, SF_SMOKE, "documents")))
     # exchanges: documented scan-spread repartition (tables.py) + the fp
-    # window shuffle — and nothing else
+    # groupBy shuffle — and nothing else
     assert plan.count("Exchange") <= 2, "selection grew an extra shuffle"
+    assert "Window" not in plan, "dedup-keep regressed to a per-fp window"
+    assert plan.count("HashAggregate") >= 2 or "SortAggregate" in plan, (
+        "dedup-keep lost its partial (map-side) aggregate"
+    )
+
+
+def test_shard_writer_has_no_corpus_partitioned_window(spark):
+    """The PRODUCTION shard-write plan (select -> pack) must never contain
+    a corpus-partitioned Window: every window spec that orders rows by
+    doc_id must also partition by the packing shard (_shard), so no
+    single task ever owns a whole language at 100 TB. The only other
+    window allowed is the shard-bases cumulative sum, which runs over the
+    tiny (langs x shards) aggregate frame (orders by _shard, not doc_id)."""
+    from kafka_topic_analyzer_spark.operators.pipeline import (
+        pack_sequences,
+        select_training_docs,
+    )
+    from kafka_topic_analyzer_spark.sources.tables import load_table
+
+    packed = pack_sequences(
+        select_training_docs(load_table(spark, SF_SMOKE, "documents"))
+    )
+    plan = _executed(packed)
+    specs = [
+        line
+        for line in plan.splitlines()
+        if "windowspecdefinition" in line and "doc_id" in line
+    ]
+    assert specs, "packing lost its sharded local prefix-sum window"
+    for line in specs:
+        assert "_shard" in line, (
+            "corpus-partitioned window in the shard writer plan:\n" + line
+        )
+    # the writer output still carries the packing columns
+    assert {"token_start", "seq_id"} <= set(packed.columns)
 
 
 def test_bm25_topk_avoids_global_sort(spark):
