@@ -3,11 +3,17 @@
 The CCNet / RefinedWeb curation stage this models: score every document
 against a corpus-trained language model and use the score to gate or
 re-weight training data. A full KenLM 5-gram model is not SQL-expressible,
-but its standard large-scale proxy — a corpus-trained UNIGRAM model — is:
-train = one token-count aggregate over the corpus; score = join each token
-occurrence to its corpus probability and average the surprisal
-(-ln p(token)) per document. Low mean surprisal = common, fluent text;
-high = rare-token soup (gibberish, code dumps, wrong-language residue).
+but its standard large-scale proxies are:
+
+- UNIGRAM: train = one token-count aggregate over the corpus; score = join
+  each token occurrence to its corpus probability and average the surprisal
+  (-ln p(token)) per document. Low mean surprisal = common, fluent text;
+  high = rare-token soup (gibberish, code dumps, wrong-language residue).
+- BIGRAM (the next rung, strongest SQL-expressible perplexity proxy):
+  p(w2|w1) = c(w1 w2) / c(w1 ·) from one adjacent-pair census; per-doc mean
+  -ln p(w2|w1). Unigram counts cannot tell fluent prose from the same
+  tokens shuffled — the bigram score can (pinned by the planted
+  fluent-vs-shuffled test in tests/test_lm_quality.py).
 
 Reference scope note: the reference (kafka-topic-analyzer, Rust CLI) has
 no text pipeline — these operators are part of the training-data extension
@@ -15,12 +21,24 @@ surface the build brief prescribes, built on the same documents table and
 oracle discipline as queries/text.py.
 
 Float-parity discipline (same as similarity.py): every per-item double is
-``round(.., k)`` then cast ``decimal`` BEFORE the order-nondeterministic
-SUM, so the aggregate is exact and the driver hash cannot be flipped by
-summation order; the only doubles projected are final rounded divisions.
+rounded with the TIE-SAFE floor rule (``_r6``/``_r9`` below — identical
+IEEE multiply/add/floor/divide on Spark, DuckDB and Python; plain round()
+diverges between Spark's shortest-decimal HALF_UP and DuckDB's
+binary-value rule at representation ties) and cast ``decimal`` BEFORE the
+order-nondeterministic SUM, so the aggregate is exact and the driver hash
+cannot be flipped by summation order; the only doubles projected are final
+rounded divisions.
+
+Shared-builder discipline (advisor r9): the funnel consumes the SAME
+per-doc signal builders — Spark (`_per_doc_surprisal`, `_boiler_per_doc`)
+and SQL fragments (`_SURP_CTES`, `_boiler_ctes`) — as the standalone
+queries, so a change to either signal cannot silently desynchronize the
+funnel's gates from the standalone scores.
 """
 
 from __future__ import annotations
+
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -63,15 +81,158 @@ def _r6_sql(expr: str) -> str:
     return f"floor(({expr}) * 1e6 + 0.5) / 1e6"
 
 
+def _r9(x: F.Column) -> F.Column:
+    """Tie-safe 9-decimal round, for the KL per-term rounding (advisor r9:
+    plain round(x, 9) is the same tie-divergent construct _r6 exists to
+    avoid — uniformity of the contract matters more than the tiny tie
+    probability on log-valued doubles)."""
+    return F.floor(x * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+
+
+def _r9_sql(expr: str) -> str:
+    return f"floor(({expr}) * 1e9 + 0.5) / 1e9"
+
+
+# ---------------------------------------------------------------------------
+# shared per-doc signal builders (Spark) — used by the standalone queries
+# AND the curation funnel, so the two can never drift apart
+# ---------------------------------------------------------------------------
+
+
+def _occ(d: DataFrame) -> DataFrame:
+    """(doc_id, tok): one row per token occurrence."""
+    return d.select("doc_id", F.explode(_spark_ltoks()).alias("tok"))
+
+
+def _surprisal_table(occ: DataFrame) -> DataFrame:
+    """(tok, surp): per-TYPE unigram surprisal ln(total/cnt), tie-safe
+    6-dp rounded then DECIMAL(18,6) — computed once on the count table so
+    per-doc sums are exact decimal arithmetic. The 1-row corpus total is
+    a broadcast cross join; the census groupBy is map-side combinable."""
+    counts = occ.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    total = counts.agg(F.sum("cnt").cast("long").alias("total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "tok",
+        _r6(F.log(F.col("total").cast("double") / F.col("cnt")))
+        .cast("decimal(18,6)")
+        .alias("surp"),
+    )
+
+
+def _per_doc_surprisal(d: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, ssum, smax) for docs with >=1 token: the exact
+    decimal per-doc surprisal aggregate both unigram_logprob_quality and
+    the funnel's surprisal gate divide down to a mean."""
+    occ = _occ(d)
+    return (
+        occ.join(_surprisal_table(occ), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("surp").alias("ssum"),
+            F.max("surp").alias("smax"),
+        )
+    )
+
+
+def _shingle_positions(d: DataFrame, k: int = BOILER_K) -> DataFrame:
+    """(doc_id, sh): one row per word-k-gram position. Pure JVM
+    expressions (sequence + slice + concat_ws) — no UDF."""
+    return d.select("doc_id", _spark_ltoks().alias("t")).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(t) < {k} THEN array() "
+                f"ELSE transform(sequence(1, size(t) - {k - 1}), "
+                f"i -> concat_ws(' ', slice(t, CAST(i AS INT), {k}))) END"
+            )
+        ).alias("sh"),
+    )
+
+
+def _boiler_per_doc(
+    d: DataFrame, k: int = BOILER_K, bar: int = BOILER_MIN_DF
+) -> DataFrame:
+    """(doc_id, n_positions, n_boiler) for docs with >=1 shingle position.
+    Document frequency is one groupBy(shingle) with a distinct pre-step;
+    instead of materializing a hot-shingle set and joining twice, every
+    position joins its shingle's df ONCE and boilerplate positions are a
+    conditional aggregate (df >= bar) — the same single-scan sweep shape
+    as near_dup_threshold_sweep. All-integer, so the hash is exact."""
+    pos = _shingle_positions(d, k)
+    df_tbl = pos.distinct().groupBy("sh").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    return (
+        pos.join(df_tbl, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_positions"),
+            F.sum((F.col("df") >= bar).cast("long")).cast("long").alias("n_boiler"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB) — verbatim twins of the builders above
+# ---------------------------------------------------------------------------
+
+_OCC_CTE = f"occ AS (SELECT doc_id, unnest({_LTOKS}) AS tok FROM documents)"
+
+_SURP_CTES = f"""counts AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM occ GROUP BY tok),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts),
+surp AS (
+  SELECT tok,
+         CAST({_r6_sql("ln(CAST(total AS DOUBLE) / cnt)")} AS DECIMAL(18,6)) AS surp
+  FROM counts CROSS JOIN tot
+)"""
+
+_PER_DOC_SURP_CTE = """per_doc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         sum(surp) AS ssum,
+         max(surp) AS smax
+  FROM occ JOIN surp USING (tok)
+  GROUP BY doc_id
+)"""
+
+
+def _boiler_ctes(k: int = BOILER_K, bar: int = BOILER_MIN_DF) -> str:
+    return f"""t AS (SELECT doc_id, {_LTOKS} AS toks FROM documents),
+pos AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) < {k} THEN []
+                ELSE [array_to_string(toks[i:i + {k - 1}], ' ')
+                      FOR i IN range(1, len(toks) - {k} + 2)] END) AS sh
+  FROM t
+),
+df_tbl AS (
+  SELECT sh, CAST(count(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT doc_id, sh FROM pos) GROUP BY sh
+),
+boiler AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_positions,
+         CAST(sum(CASE WHEN df >= {bar} THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+  FROM pos JOIN df_tbl USING (sh)
+  GROUP BY doc_id
+)"""
+
+
+# ---------------------------------------------------------------------------
+# unigram_logprob_quality
+# ---------------------------------------------------------------------------
+
+
 def _unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc mean token surprisal under the corpus unigram LM (nats).
 
     The quality score a CCNet-style filter thresholds on. Per token type
     the surprisal ``ln(total/cnt)`` is computed ONCE on the count table
-    (rounded to 6 decimals, then decimal(18,6)); each occurrence joins to
-    that value and the per-doc SUM is exact decimal arithmetic — order
-    cannot perturb the driver hash. ``max_surprisal`` flags the single
-    rarest token in the doc (the gibberish spike a mean can hide).
+    (tie-safe 6-dp, then decimal(18,6)); each occurrence joins to that
+    value and the per-doc SUM is exact decimal arithmetic — order cannot
+    perturb the driver hash. ``max_surprisal`` flags the single rarest
+    token in the doc (the gibberish spike a mean can hide).
 
     Scale shape: occurrences never collect — one map-combinable
     groupBy(tok) trains the LM; the 1-row corpus total is a broadcast
@@ -81,24 +242,7 @@ def _unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc aggregate is map-side combinable.
     """
     d = load_table(spark, sf_dir, "documents")
-    occ = d.select("doc_id", F.explode(_spark_ltoks()).alias("tok"))
-    counts = occ.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    total = counts.agg(F.sum("cnt").cast("long").alias("total"))
-    surp = counts.crossJoin(total).select(
-        "tok",
-        F.round(F.log(F.col("total").cast("double") / F.col("cnt")), 6)
-        .cast("decimal(18,6)")
-        .alias("surp"),
-    )
-    per_doc = (
-        occ.join(surp, "tok")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.sum("surp").alias("ssum"),
-            F.max("surp").alias("smax"),
-        )
-    )
+    per_doc = _per_doc_surprisal(d)
     return (
         d.select("doc_id")
         .join(per_doc, "doc_id", "left")
@@ -121,32 +265,182 @@ register(
     "unigram_logprob_quality",
     _unigram_logprob_quality,
     f"""
-WITH occ AS (
-  SELECT doc_id, unnest({_LTOKS}) AS tok FROM documents
-),
-counts AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM occ GROUP BY tok),
-tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts),
-surp AS (
-  SELECT tok,
-         CAST(round(ln(CAST(total AS DOUBLE) / cnt), 6) AS DECIMAL(18,6)) AS surp
-  FROM counts CROSS JOIN tot
-),
-per_doc AS (
-  SELECT doc_id,
-         CAST(count(*) AS BIGINT) AS n_tokens,
-         sum(surp) AS ssum,
-         max(surp) AS smax
-  FROM occ JOIN surp USING (tok)
-  GROUP BY doc_id
-)
+WITH {_OCC_CTE},
+{_SURP_CTES},
+{_PER_DOC_SURP_CTE}
 SELECT d.doc_id,
        CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
-       COALESCE(floor((CAST(ssum AS DOUBLE) / n_tokens) * 1e6 + 0.5) / 1e6, 0.0) AS mean_surprisal,
+       COALESCE({_r6_sql("CAST(ssum AS DOUBLE) / n_tokens")}, 0.0) AS mean_surprisal,
        COALESCE(CAST(smax AS DOUBLE), 0.0) AS max_surprisal
 FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
 ORDER BY d.doc_id
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# bigram_logprob_quality — the next perplexity-proxy rung
+# ---------------------------------------------------------------------------
+
+
+def _bigram_pairs(d: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2): one row per ADJACENT token pair. Pure JVM
+    expressions; docs with <2 tokens contribute no rows (and are
+    left-joined back to zero in the final projection)."""
+    return (
+        d.select("doc_id", _spark_ltoks().alias("t"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(t) < 2 THEN "
+                    "CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) "
+                    "ELSE transform(sequence(1, size(t) - 1), "
+                    "i -> struct(element_at(t, CAST(i AS INT)) AS w1, "
+                    "element_at(t, CAST(i AS INT) + 1) AS w2)) END"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+
+
+def _bigram_surprisal_table(pairs: DataFrame) -> DataFrame:
+    """(w1, w2, bsurp): per bigram TYPE the MLE conditional surprisal
+    -ln p(w2|w1) = ln(c(w1 ·)/c(w1 w2)), tie-safe 6-dp then DECIMAL.
+    The history census c(w1 ·) derives FROM the bigram census (one
+    groupBy of the already-aggregated frame) — never a second corpus
+    scan; both aggregates are map-side combinable."""
+    big = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c_big")
+    )
+    hist = big.groupBy("w1").agg(F.sum("c_big").cast("long").alias("c_hist"))
+    return big.join(hist, "w1").select(
+        "w1",
+        "w2",
+        _r6(F.log(F.col("c_hist").cast("double") / F.col("c_big")))
+        .cast("decimal(18,6)")
+        .alias("bsurp"),
+    )
+
+
+def bigram_surprisal_per_doc(score: DataFrame, train: DataFrame) -> DataFrame:
+    """Per-doc bigram surprisal of ``score`` docs under a bigram LM
+    trained on ``train`` docs, with add-nothing backoff: a score-side
+    bigram unseen in training falls back to the trained UNIGRAM surprisal
+    of its second token; a token unseen even as a unigram falls back to
+    ln(total) (the hapax ceiling — the most surprising score the trained
+    model can express). When score IS train (the registered query) every
+    bigram is seen and no backoff branch fires, but the operator is the
+    general incremental-scoring shape: score tomorrow's crawl against
+    today's model. Returns (doc_id, n_bigrams, ssum, smax).
+    """
+    tr_pairs = _bigram_pairs(train)
+    bsurp = _bigram_surprisal_table(tr_pairs)
+    occ = _occ(train)
+    usurp = _surprisal_table(occ).withColumnRenamed("tok", "w2").withColumnRenamed(
+        "surp", "usurp"
+    )
+    total = occ.groupBy().agg(F.count(F.lit(1)).cast("long").alias("total"))
+    ceiling = total.select(
+        _r6(F.log(F.col("total").cast("double"))).cast("decimal(18,6)").alias("ceil_surp")
+    )
+    sc = _bigram_pairs(score)
+    scored = (
+        sc.join(bsurp, ["w1", "w2"], "left")
+        .join(usurp, "w2", "left")
+        .crossJoin(F.broadcast(ceiling))
+        .select(
+            "doc_id",
+            F.coalesce("bsurp", "usurp", "ceil_surp").alias("s"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("s").alias("ssum"),
+        F.max("s").alias("smax"),
+    )
+
+
+def _bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean ADJACENT-pair surprisal -ln p(w2|w1) under the corpus
+    bigram LM (nats) — the strongest SQL-expressible perplexity proxy,
+    one rung above unigram_logprob_quality: unigram counts cannot tell
+    fluent prose from the same tokens shuffled, the bigram conditional
+    can (a shuffled doc's pairs are rare, so p(w2|w1) collapses).
+
+    Train = score = the corpus (the registered, oracle-checked form), so
+    every bigram is seen and the score is pure MLE; the general
+    train/score split with add-nothing backoff is
+    ``bigram_surprisal_per_doc`` (unit-tested on disjoint fixtures).
+
+    Scale shape: one adjacent-pair explode (pure JVM struct transform);
+    the bigram census is a map-combinable groupBy(w1, w2); the history
+    census derives from it (no second scan); the pair->surprisal lookup
+    joins on (w1, w2) — AQE broadcasts small models, a 100 TB corpus
+    model shuffle-joins on the same composite key. Per-doc aggregate is
+    map-side combinable; docs with <2 tokens come back via left join as
+    zeros, same convention as the unigram query.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = bigram_surprisal_per_doc(d, d)
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce(
+                _r6(F.col("ssum").cast("double") / F.col("n_bigrams")),
+                F.lit(0.0),
+            ).alias("mean_bigram_surprisal"),
+            F.coalesce(F.col("smax").cast("double"), F.lit(0.0)).alias(
+                "max_bigram_surprisal"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "bigram_logprob_quality",
+    _bigram_logprob_quality,
+    f"""
+WITH t AS (SELECT doc_id, {_LTOKS} AS toks FROM documents),
+pairs AS (
+  SELECT doc_id,
+         unnest(toks[1:len(toks) - 1]) AS w1,
+         unnest(toks[2:len(toks)]) AS w2
+  FROM t WHERE len(toks) >= 2
+),
+big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_big FROM pairs GROUP BY w1, w2),
+hist AS (SELECT w1, CAST(sum(c_big) AS BIGINT) AS c_hist FROM big GROUP BY w1),
+bsurp AS (
+  SELECT w1, w2,
+         CAST({_r6_sql("ln(CAST(c_hist AS DOUBLE) / c_big)")} AS DECIMAL(18,6)) AS bsurp
+  FROM big JOIN hist USING (w1)
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         sum(bsurp) AS ssum,
+         max(bsurp) AS smax
+  FROM pairs JOIN bsurp USING (w1, w2)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       COALESCE({_r6_sql("CAST(ssum AS DOUBLE) / n_bigrams")}, 0.0) AS mean_bigram_surprisal,
+       COALESCE(CAST(smax AS DOUBLE), 0.0) AS max_bigram_surprisal
+FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+ORDER BY d.doc_id
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# source_unigram_kl
+# ---------------------------------------------------------------------------
 
 
 def _source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -156,9 +450,14 @@ def _source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     either needs its own mixing weight or is contaminated.
 
     KL(P_s || P) = (1/n_s) * sum_t c_st * ln((c_st * N) / (c_t * n_s)),
-    exact-integer counts inside the ln; each term is rounded to 9 decimals
-    and summed as decimal(38,9) (order-proof), with the single double
-    division deferred to the final projection.
+    exact-integer counts inside the ln; each term is tie-safe rounded to
+    9 decimals and summed as decimal(38,9) (order-proof), with the single
+    double division deferred to the final projection.
+
+    Every distinct source gets a row (advisor r9): a source whose docs
+    all tokenize to empty comes back via a null-safe left join as
+    n_tokens=0, vocab_size=0, kl_nats=0.0 — the same all-keys convention
+    as the per-doc queries, so output row count is data-independent.
 
     Scale shape: two map-combinable aggregates — groupBy(source, tok) then
     the corpus groupBy(tok) derived FROM it (never a second corpus scan);
@@ -181,29 +480,39 @@ def _source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             "n_s",
-            F.round(
+            _r9(
                 F.col("c_st").cast("double")
                 * F.log(
                     (F.col("c_st").cast("double") * F.col("big_n").cast("double"))
                     / (F.col("c_t").cast("double") * F.col("n_s").cast("double"))
-                ),
-                9,
+                )
             )
             .cast("decimal(38,9)")
             .alias("term"),
         )
     )
-    return (
+    agg = (
         terms.groupBy("source", "n_s")
         .agg(
             F.count(F.lit(1)).cast("long").alias("vocab_size"),
             F.sum("term").alias("tsum"),
         )
         .select(
-            "source",
-            F.col("n_s").alias("n_tokens"),
+            F.col("source").alias("_src"),
+            F.col("n_s"),
             "vocab_size",
-            _r6(F.col("tsum").cast("double") / F.col("n_s")).alias("kl_nats"),
+            _r6(F.col("tsum").cast("double") / F.col("n_s")).alias("_kl"),
+        )
+    )
+    return (
+        d.select("source")
+        .distinct()
+        .join(agg, F.col("source").eqNullSafe(F.col("_src")), "left")
+        .select(
+            "source",
+            F.coalesce("n_s", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("vocab_size", F.lit(0)).cast("long").alias("vocab_size"),
+            F.coalesce("_kl", F.lit(0.0)).alias("kl_nats"),
         )
         .orderBy("source")
     )
@@ -222,21 +531,34 @@ ns AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM st GROUP BY source),
 tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS big_n FROM corpus),
 terms AS (
   SELECT source, n_s,
-         CAST(round(CAST(c_st AS DOUBLE) *
+         CAST({_r9_sql('''CAST(c_st AS DOUBLE) *
                     ln((CAST(c_st AS DOUBLE) * CAST(big_n AS DOUBLE)) /
-                       (CAST(c_t AS DOUBLE) * CAST(n_s AS DOUBLE))), 9)
+                       (CAST(c_t AS DOUBLE) * CAST(n_s AS DOUBLE)))''')}
               AS DECIMAL(38,9)) AS term
   FROM st JOIN corpus USING (tok) JOIN ns USING (source) CROSS JOIN tot
+),
+agg AS (
+  SELECT source,
+         n_s,
+         CAST(count(*) AS BIGINT) AS vocab_size,
+         {_r6_sql("CAST(sum(term) AS DOUBLE) / n_s")} AS kl
+  FROM terms
+  GROUP BY source, n_s
 )
-SELECT source,
-       n_s AS n_tokens,
-       CAST(count(*) AS BIGINT) AS vocab_size,
-       floor((CAST(sum(term) AS DOUBLE) / n_s) * 1e6 + 0.5) / 1e6 AS kl_nats
-FROM terms
-GROUP BY source, n_s
-ORDER BY source
+SELECT s.source,
+       CAST(COALESCE(n_s, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(vocab_size, 0) AS BIGINT) AS vocab_size,
+       COALESCE(kl, 0.0) AS kl_nats
+FROM (SELECT DISTINCT source FROM documents) s
+LEFT JOIN agg ON s.source IS NOT DISTINCT FROM agg.source
+ORDER BY s.source
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# boilerplate_coverage
+# ---------------------------------------------------------------------------
 
 
 def _boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -246,45 +568,12 @@ def _boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     navigation, license blocks repeat verbatim across pages; original
     prose does not). ``substring_dup_spans`` is the pair-level view of the
     same phenomenon; this is the per-document gate a curation pipeline
-    filters on.
-
-    Scale shape: shingle positions are pure JVM expressions (sequence +
-    slice + concat_ws, no UDF); document frequency is one
-    groupBy(shingle) with a distinct pre-step; instead of materializing a
-    hot-shingle set and joining twice, every position joins its shingle's
-    df ONCE and boilerplate positions are a conditional aggregate
-    (``df >= bar``) — the same single-scan sweep shape as
-    near_dup_threshold_sweep. All-integer until the final division, so
-    the hash is arithmetic-exact.
+    filters on. Signal math lives in ``_boiler_per_doc`` (shared with the
+    funnel). All-integer until the final division, so the hash is
+    arithmetic-exact.
     """
-    k, bar = BOILER_K, BOILER_MIN_DF
     d = load_table(spark, sf_dir, "documents")
-    pos = (
-        d.select("doc_id", _spark_ltoks().alias("t"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"CASE WHEN size(t) < {k} THEN array() "
-                    f"ELSE transform(sequence(1, size(t) - {k - 1}), "
-                    f"i -> concat_ws(' ', slice(t, CAST(i AS INT), {k}))) END"
-                )
-            ).alias("sh"),
-        )
-    )
-    df_tbl = (
-        pos.distinct()
-        .groupBy("sh")
-        .agg(F.count(F.lit(1)).cast("long").alias("df"))
-    )
-    per_doc = (
-        pos.join(df_tbl, "sh")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_positions"),
-            F.sum((F.col("df") >= bar).cast("long")).cast("long").alias("n_boiler"),
-        )
-    )
+    per_doc = _boiler_per_doc(d)
     return (
         d.select("doc_id")
         .join(per_doc, "doc_id", "left")
@@ -305,30 +594,12 @@ register(
     "boilerplate_coverage",
     _boilerplate_coverage,
     f"""
-WITH t AS (SELECT doc_id, {_LTOKS} AS toks FROM documents),
-pos AS (
-  SELECT doc_id,
-         unnest(CASE WHEN len(toks) < {BOILER_K} THEN []
-                ELSE [array_to_string(toks[i:i + {BOILER_K - 1}], ' ')
-                      FOR i IN range(1, len(toks) - {BOILER_K} + 2)] END) AS sh
-  FROM t
-),
-df_tbl AS (
-  SELECT sh, CAST(count(*) AS BIGINT) AS df
-  FROM (SELECT DISTINCT doc_id, sh FROM pos) GROUP BY sh
-),
-per_doc AS (
-  SELECT doc_id,
-         CAST(count(*) AS BIGINT) AS n_positions,
-         CAST(sum(CASE WHEN df >= {BOILER_MIN_DF} THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
-  FROM pos JOIN df_tbl USING (sh)
-  GROUP BY doc_id
-)
+WITH {_boiler_ctes()}
 SELECT d.doc_id,
        CAST(COALESCE(n_positions, 0) AS BIGINT) AS n_positions,
        CAST(COALESCE(n_boiler, 0) AS BIGINT) AS n_boiler,
-       COALESCE(floor((CAST(n_boiler AS DOUBLE) / n_positions) * 1e6 + 0.5) / 1e6, 0.0) AS boiler_coverage
-FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+       COALESCE({_r6_sql("CAST(n_boiler AS DOUBLE) / n_positions")}, 0.0) AS boiler_coverage
+FROM documents d LEFT JOIN boiler ON d.doc_id = boiler.doc_id
 ORDER BY d.doc_id
 """,
 )
@@ -338,17 +609,33 @@ ORDER BY d.doc_id
 # curation_funnel — sequential gate-survival audit
 # ---------------------------------------------------------------------------
 
-# Gate constants, fixed so the funnel is reproducible run-to-run. Calibrated
-# on the synthetic corpus so every gate visibly drops documents at sf0.01
-# AND sf0.1 (lang-unknown ~9%, quality<0.6 ~13%, boiler>=1/4 a handful,
-# surprisal>3.5 ~1.7%) — a real pipeline would read these from config.
-FUNNEL_QUALITY_MIN = 0.6
-FUNNEL_BOILER_NUM = 1  # boiler gate: coverage < 1/4, tested as integers
-FUNNEL_BOILER_DEN = 4  # (den*n_boiler < num*n_positions -> float-free)
-FUNNEL_SURP_MAX = 3.5  # mean unigram surprisal cap (nats)
+
+@dataclass(frozen=True)
+class FunnelGates:
+    """Curation-gate thresholds. The registered query pins the calibrated
+    defaults (reproducible run-to-run, every gate visibly drops documents
+    on the synthetic corpus at sf0.01 AND sf0.1); a real pipeline
+    constructs this from config. The boiler gate is the exact-integer
+    comparison den*n_boiler < num*n_positions (float-free at the
+    boundary); tests/test_lm_quality.py property-tests monotonicity
+    (survivors non-increasing along gates) over arbitrary gate values."""
+
+    quality_min: float = 0.6
+    boiler_num: int = 1  # boiler gate: coverage < num/den
+    boiler_den: int = 4
+    surp_max: float = 3.5  # mean unigram surprisal cap (nats)
 
 
-def _curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Backwards-compatible constant aliases (calibration notes above).
+FUNNEL_QUALITY_MIN = FunnelGates().quality_min
+FUNNEL_BOILER_NUM = FunnelGates().boiler_num
+FUNNEL_BOILER_DEN = FunnelGates().boiler_den
+FUNNEL_SURP_MAX = FunnelGates().surp_max
+
+
+def curation_funnel_frame(
+    spark: SparkSession, sf_dir: str, gates: FunnelGates = FunnelGates()
+) -> DataFrame:
     """Sequential curation-funnel audit: where documents die.
 
     The one-page diagnostic a training-data pipeline owner reads before
@@ -360,69 +647,32 @@ def _curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dropped`` attributes each loss to the FIRST gate that caught it —
     the number that tells you which knob to turn.
 
-    Built from the already-proven per-doc signals (predicted_lang /
-    quality_score from functions/text.py, boilerplate + surprisal from
-    this module); gate survivorship is ONE conditional aggregate over the
-    per-doc flag frame (sum of gate-prefix conjunctions), and the 5-row
-    funnel is exploded from that single aggregate row — never one pass
-    per gate. The boiler gate compares ``4*n_boiler < 1*n_positions`` in
-    exact integers; the surprisal gate thresholds the 6-decimal rounded
-    mean, so both engines agree at the boundary.
+    Built from the SAME per-doc signal builders as the standalone queries
+    (_boiler_per_doc, _per_doc_surprisal — advisor r9: shared code, not
+    re-implementation); gate survivorship is ONE conditional aggregate
+    over the per-doc flag frame (sum of gate-prefix conjunctions), and
+    the 5-row funnel is exploded from that single aggregate row — never
+    one pass per gate. The boiler gate compares
+    ``den*n_boiler < num*n_positions`` in exact integers; the surprisal
+    gate thresholds the tie-safe 6-decimal mean, so both engines agree at
+    the boundary.
 
     Scale shape: three column-pruned scans of documents (flags, shingle
     positions, token occurrences), two doc_id-keyed left joins, then a
     map-side-combinable aggregate to ONE row. Signal frames are the same
     shapes proven in boilerplate_coverage / unigram_logprob_quality.
     """
-    k, bar = BOILER_K, BOILER_MIN_DF
     d = load_table(spark, sf_dir, "documents")
 
     base = d.select(
         "doc_id",
         (TX.predicted_lang(F.col("text")) != "unknown").alias("lang_ok"),
-        (TX.quality_score(F.col("text")) >= F.lit(FUNNEL_QUALITY_MIN)).alias("q_ok"),
+        (TX.quality_score(F.col("text")) >= F.lit(gates.quality_min)).alias("q_ok"),
     )
-
-    pos = d.select("doc_id", _spark_ltoks().alias("t")).select(
+    boiler = _boiler_per_doc(d)
+    ms = _per_doc_surprisal(d).select(
         "doc_id",
-        F.explode(
-            F.expr(
-                f"CASE WHEN size(t) < {k} THEN array() "
-                f"ELSE transform(sequence(1, size(t) - {k - 1}), "
-                f"i -> concat_ws(' ', slice(t, CAST(i AS INT), {k}))) END"
-            )
-        ).alias("sh"),
-    )
-    df_tbl = pos.distinct().groupBy("sh").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    boiler = (
-        pos.join(df_tbl, "sh")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_positions"),
-            F.sum((F.col("df") >= bar).cast("long")).cast("long").alias("n_boiler"),
-        )
-    )
-
-    occ = d.select("doc_id", F.explode(_spark_ltoks()).alias("tok"))
-    counts = occ.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    total = counts.agg(F.sum("cnt").cast("long").alias("total"))
-    surp = counts.crossJoin(total).select(
-        "tok",
-        F.round(F.log(F.col("total").cast("double") / F.col("cnt")), 6)
-        .cast("decimal(18,6)")
-        .alias("surp"),
-    )
-    ms = (
-        occ.join(surp, "tok")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_toks"),
-            F.sum("surp").alias("ssum"),
-        )
-        .select(
-            "doc_id",
-            _r6(F.col("ssum").cast("double") / F.col("n_toks")).alias("ms"),
-        )
+        _r6(F.col("ssum").cast("double") / F.col("n_tokens")).alias("ms"),
     )
 
     n_pos = F.coalesce(F.col("n_positions"), F.lit(0))
@@ -437,9 +687,9 @@ def _curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             # otherwise coverage < NUM/DEN tested in exact integers
             (
                 (n_pos == 0)
-                | (n_boil * FUNNEL_BOILER_DEN < n_pos * FUNNEL_BOILER_NUM)
+                | (n_boil * gates.boiler_den < n_pos * gates.boiler_num)
             ).alias("b_ok"),
-            (F.coalesce(F.col("ms"), F.lit(0.0)) <= F.lit(FUNNEL_SURP_MAX)).alias(
+            (F.coalesce(F.col("ms"), F.lit(0.0)) <= F.lit(gates.surp_max)).alias(
                 "s_ok"
             ),
         )
@@ -500,8 +750,14 @@ def _curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered fixed-constant funnel — the oracle anchor."""
+    return curation_funnel_frame(spark, sf_dir, FunnelGates())
+
+
 def _funnel_oracle() -> str:
-    # mirror the Spark gates from the proven SQL twins in queries/text.py
+    # mirror the Spark gates from the proven SQL twins in queries/text.py,
+    # composing the SAME shared signal CTEs as the standalone queries
     from kafka_topic_analyzer_spark.queries.text import (
         _LANG_PRED,
         _NTOK,
@@ -509,7 +765,7 @@ def _funnel_oracle() -> str:
         _STOP_HITS,
     )
 
-    k, bar = BOILER_K, BOILER_MIN_DF
+    g = FunnelGates()
     q_sql = f"""round(0.5 * least(1.0, CAST({_NTOK} AS DOUBLE) / 100.0)
       + 0.3 * (1.0 - round(CASE WHEN {_NTOK} > 0
                 THEN CAST({_STOP_HITS} AS DOUBLE) / {_NTOK} ELSE 0.0 END, 4))
@@ -519,46 +775,23 @@ def _funnel_oracle() -> str:
 WITH base AS (
   SELECT doc_id,
          ({_LANG_PRED}) <> 'unknown' AS lang_ok,
-         ({q_sql}) >= {FUNNEL_QUALITY_MIN} AS q_ok
+         ({q_sql}) >= {g.quality_min} AS q_ok
   FROM documents
 ),
-t AS (SELECT doc_id, {_LTOKS} AS toks FROM documents),
-pos AS (
-  SELECT doc_id,
-         unnest(CASE WHEN len(toks) < {k} THEN []
-                ELSE [array_to_string(toks[i:i + {k - 1}], ' ')
-                      FOR i IN range(1, len(toks) - {k} + 2)] END) AS sh
-  FROM t
-),
-df_tbl AS (
-  SELECT sh, CAST(count(*) AS BIGINT) AS df
-  FROM (SELECT DISTINCT doc_id, sh FROM pos) GROUP BY sh
-),
-boiler AS (
-  SELECT doc_id,
-         CAST(count(*) AS BIGINT) AS n_positions,
-         CAST(sum(CASE WHEN df >= {bar} THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
-  FROM pos JOIN df_tbl USING (sh)
-  GROUP BY doc_id
-),
-occ AS (SELECT doc_id, unnest({_LTOKS}) AS tok FROM documents),
-counts AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM occ GROUP BY tok),
-tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts),
-surp AS (
-  SELECT tok,
-         CAST(round(ln(CAST(total AS DOUBLE) / cnt), 6) AS DECIMAL(18,6)) AS surp
-  FROM counts CROSS JOIN tot
-),
+{_boiler_ctes()},
+{_OCC_CTE},
+{_SURP_CTES},
+{_PER_DOC_SURP_CTE},
 msf AS (
-  SELECT doc_id, floor((CAST(sum(surp) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6 AS ms
-  FROM occ JOIN surp USING (tok) GROUP BY doc_id
+  SELECT doc_id, {_r6_sql("CAST(ssum AS DOUBLE) / n_tokens")} AS ms
+  FROM per_doc
 ),
 flags AS (
   SELECT lang_ok, q_ok,
          (COALESCE(n_positions, 0) = 0 OR
-          COALESCE(n_boiler, 0) * {FUNNEL_BOILER_DEN}
-            < COALESCE(n_positions, 0) * {FUNNEL_BOILER_NUM}) AS b_ok,
-         COALESCE(ms, 0.0) <= {FUNNEL_SURP_MAX} AS s_ok
+          COALESCE(n_boiler, 0) * {g.boiler_den}
+            < COALESCE(n_positions, 0) * {g.boiler_num}) AS b_ok,
+         COALESCE(ms, 0.0) <= {g.surp_max} AS s_ok
   FROM base LEFT JOIN boiler USING (doc_id) LEFT JOIN msf USING (doc_id)
 ),
 one AS (
@@ -581,9 +814,9 @@ SELECT gate_order, gate,
        CAST(survivors AS BIGINT) AS survivors,
        CAST(evaluated - survivors AS BIGINT) AS dropped,
        CASE WHEN evaluated > 0
-            THEN floor((CAST(survivors AS DOUBLE) / evaluated) * 1e6 + 0.5) / 1e6 ELSE 0.0 END AS survival_rate,
+            THEN {_r6_sql("CAST(survivors AS DOUBLE) / evaluated")} ELSE 0.0 END AS survival_rate,
        CASE WHEN n0 > 0
-            THEN floor((CAST(survivors AS DOUBLE) / n0) * 1e6 + 0.5) / 1e6 ELSE 0.0 END AS cumulative_rate
+            THEN {_r6_sql("CAST(survivors AS DOUBLE) / n0")} ELSE 0.0 END AS cumulative_rate
 FROM rows_
 ORDER BY gate_order
 """
