@@ -1,0 +1,188 @@
+"""Sentinel-normalized cross-round bench comparison -> BENCH_COMPARE.md.
+
+The r9 judge spent an hour hand-adjudicating a uniform ~1.3x per-query
+inflation that turned out to be host drift (two identical-code suite runs
+60 min apart measured 131 s vs 169 s). This tool makes that adjudication a
+one-read artifact: every per-query delta between two bench runs is divided
+by the AMBIENT SENTINEL ratio (the fixed data-free pure-codegen aggregate
+bench.py times each round — same plan, pinned 32 partitions), so host
+drift cancels and only real plan/code regressions remain.
+
+    normalized_ratio(q) = t_new(q) / (t_old(q) * sentinel_new / sentinel_old)
+
+A query is flagged a REGRESSION CANDIDATE only when its normalized ratio
+exceeds --bar (default 1.3) AND both rounds' min-of-3 spread is below
+--max-spread (default 0.3) — a noisy measurement cannot testify.
+
+Usage:
+    python tools/bench_compare.py --old-ref <git-ref> [--new BENCH_DETAIL.json]
+    python tools/bench_compare.py --old path/to/old_BENCH_DETAIL.json
+
+--old-ref reads BENCH_DETAIL.json (and, for rounds before the sentinel
+moved into the detail file, BENCH_LOCAL.json) from a committed git ref.
+Writes BENCH_COMPARE.md at the repo root.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _git_show(ref: str, path: str) -> dict | None:
+    try:
+        out = subprocess.run(
+            ["git", "show", f"{ref}:{path}"],
+            cwd=ROOT,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out)
+    except (subprocess.CalledProcessError, json.JSONDecodeError):
+        return None
+
+
+def _load_run(detail: dict, local: dict | None) -> dict:
+    sentinel = detail.get("ambient_sentinel_sec")
+    if sentinel is None and local:
+        sentinel = local.get("ambient_sentinel_sec")
+    return {
+        "sf": detail.get("sf"),
+        "sentinel": sentinel,
+        "queries": detail.get("queries", {}),
+        "spread": detail.get("spread", {}),
+    }
+
+
+def compare(old: dict, new: dict, bar: float, max_spread: float) -> tuple[str, list]:
+    if not old["sentinel"] or not new["sentinel"]:
+        drift = 1.0
+        drift_note = (
+            "no sentinel in one of the runs — RAW ratios (pre-sentinel round "
+            "or SPARK_GRAFT_SENTINEL_ROWS=0); treat uniform shifts as drift"
+        )
+    else:
+        drift = new["sentinel"] / old["sentinel"]
+        drift_note = (
+            f"sentinel {old['sentinel']:.4f}s -> {new['sentinel']:.4f}s "
+            f"(host drift factor {drift:.3f}x — divided out below)"
+        )
+
+    common = sorted(set(old["queries"]) & set(new["queries"]))
+    added = sorted(set(new["queries"]) - set(old["queries"]))
+    removed = sorted(set(old["queries"]) - set(new["queries"]))
+
+    rows = []
+    for q in common:
+        t_old, t_new = old["queries"][q], new["queries"][q]
+        if t_old <= 0:
+            continue
+        raw = t_new / t_old
+        norm = raw / drift
+        sp = max(old["spread"].get(q, 0.0), new["spread"].get(q, 0.0))
+        flagged = norm > bar and sp < max_spread
+        rows.append((q, t_old, t_new, raw, norm, sp, flagged))
+
+    flagged = [r for r in rows if r[6]]
+    norms = sorted(r[4] for r in rows)
+    median_norm = norms[len(norms) // 2] if norms else float("nan")
+
+    lines = [
+        "# BENCH_COMPARE — sentinel-normalized cross-round deltas",
+        "",
+        f"- old sf={old['sf']}, new sf={new['sf']}; {len(common)} common queries"
+        f" (+{len(added)} new, -{len(removed)} removed)",
+        f"- {drift_note}",
+        f"- median normalized ratio: **{median_norm:.3f}x** "
+        "(1.0 = same speed after removing host drift)",
+        f"- flag rule: normalized > {bar}x AND min-of-3 spread < {max_spread}"
+        f" in both rounds -> **{len(flagged)} regression candidate(s)**",
+        "",
+    ]
+    if flagged:
+        lines += [
+            "## Regression candidates",
+            "",
+            "| query | old s | new s | raw x | normalized x | spread |",
+            "|---|---|---|---|---|---|",
+        ]
+        for q, t_old, t_new, raw, norm, sp, _ in sorted(
+            flagged, key=lambda r: -r[4]
+        ):
+            lines.append(
+                f"| {q} | {t_old:.3f} | {t_new:.3f} | {raw:.2f} | {norm:.2f} | {sp:.2f} |"
+            )
+        lines.append("")
+    else:
+        lines += ["## Regression candidates", "", "None.", ""]
+
+    lines += [
+        "## Largest normalized movers (context, top 10 each way)",
+        "",
+        "| query | old s | new s | normalized x | spread |",
+        "|---|---|---|---|---|",
+    ]
+    by_norm = sorted(rows, key=lambda r: -r[4])
+    for q, t_old, t_new, _raw, norm, sp, _ in by_norm[:10]:
+        lines.append(f"| {q} | {t_old:.3f} | {t_new:.3f} | {norm:.2f} | {sp:.2f} |")
+    lines.append("| … | | | | |")
+    for q, t_old, t_new, _raw, norm, sp, _ in by_norm[-10:]:
+        lines.append(f"| {q} | {t_old:.3f} | {t_new:.3f} | {norm:.2f} | {sp:.2f} |")
+    if added:
+        lines += ["", f"New queries this round: {', '.join(added)}"]
+    if removed:
+        lines += ["", f"Removed since last round: {', '.join(removed)}"]
+    lines.append("")
+    return "\n".join(lines), flagged
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--old", help="path to the old BENCH_DETAIL.json")
+    ap.add_argument("--old-ref", help="git ref holding the old BENCH_DETAIL.json")
+    ap.add_argument("--new", default=os.path.join(ROOT, "BENCH_DETAIL.json"))
+    ap.add_argument("--out", default=os.path.join(ROOT, "BENCH_COMPARE.md"))
+    ap.add_argument("--bar", type=float, default=1.3)
+    ap.add_argument("--max-spread", type=float, default=0.3)
+    args = ap.parse_args()
+
+    if args.old:
+        old_detail = json.load(open(args.old))
+        old_local = None
+        lp = os.path.join(os.path.dirname(args.old), "BENCH_LOCAL.json")
+        if os.path.exists(lp):
+            old_local = json.load(open(lp))
+    elif args.old_ref:
+        old_detail = _git_show(args.old_ref, "BENCH_DETAIL.json")
+        old_local = _git_show(args.old_ref, "BENCH_LOCAL.json")
+        if old_detail is None:
+            sys.exit(f"no BENCH_DETAIL.json at ref {args.old_ref}")
+    else:
+        sys.exit("need --old or --old-ref")
+
+    new_detail = json.load(open(args.new))
+    new_local_path = os.path.join(os.path.dirname(args.new), "BENCH_LOCAL.json")
+    new_local = (
+        json.load(open(new_local_path)) if os.path.exists(new_local_path) else None
+    )
+
+    md, flagged = compare(
+        _load_run(old_detail, old_local),
+        _load_run(new_detail, new_local),
+        args.bar,
+        args.max_spread,
+    )
+    with open(args.out, "w") as f:
+        f.write(md)
+    print(md.split("\n\n")[1])
+    print(f"-> {args.out}; {len(flagged)} regression candidate(s)")
+
+
+if __name__ == "__main__":
+    main()
