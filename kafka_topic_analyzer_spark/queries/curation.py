@@ -429,6 +429,90 @@ ORDER BY source, doc_id
 )
 
 
+def _packing_fragmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source packing FRAGMENTATION audit: how many documents cross a
+    context-window boundary under the 2048-token packing — the shard
+    writer's attention-mask diagnostic (a doc spanning windows either gets
+    truncated, re-padded, or needs cross-window attention masking; the
+    crossing rate tells the owner which packing policy the corpus can
+    afford). ``span_windows`` = windows a doc's tokens touch; docs with
+    0 or 1 token span exactly one window by definition.
+
+    Built ON the scale path: offsets come from ``packed_offsets_scalable``
+    (the same two-level prefix sum the production writer runs), then one
+    source-sized map-combinable aggregate. The oracle mirrors the exact
+    single-window semantics — the hash doubles as one more proof the
+    sharded prefix sum equals the window form.
+    """
+    from kafka_topic_analyzer_spark.operators.pipeline import (
+        packed_offsets_scalable,
+    )
+    from kafka_topic_analyzer_spark.queries.lm_quality import _r6
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = TX.token_count(F.col("text"))
+    sized = d.select("doc_id", "source", n_tok.alias("n_tokens"))
+    spans = packed_offsets_scalable(sized, "source", "doc_id", "n_tokens").select(
+        "source",
+        F.floor(F.col("token_start") / 2048).cast("long").alias("s0"),
+        F.floor(
+            (F.col("token_start") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1)
+            / 2048
+        )
+        .cast("long")
+        .alias("s1"),
+    )
+    return (
+        spans.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("s1") > F.col("s0")).cast("long"))
+            .cast("long")
+            .alias("n_crossing"),
+            F.max(F.col("s1") - F.col("s0") + 1).cast("long").alias("max_span_windows"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_crossing",
+            _r6(F.col("n_crossing").cast("double") / F.col("n_docs")).alias(
+                "crossing_rate"
+            ),
+            "max_span_windows",
+        )
+        .orderBy(F.asc_nulls_last("source"))
+    )
+
+
+register(
+    "packing_fragmentation",
+    _packing_fragmentation,
+    f"""
+WITH sized AS (SELECT doc_id, source, {_NTOK_SQL} AS n_tokens FROM documents),
+off AS (
+  SELECT source, n_tokens,
+    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_start
+  FROM sized
+),
+spans AS (
+  SELECT source,
+         CAST(floor(token_start / 2048) AS BIGINT) AS s0,
+         CAST(floor((token_start + greatest(n_tokens, 1) - 1) / 2048) AS BIGINT) AS s1
+  FROM off
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN s1 > s0 THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing,
+       floor((CAST(sum(CASE WHEN s1 > s0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6 AS crossing_rate,
+       CAST(max(s1 - s0 + 1) AS BIGINT) AS max_span_windows
+FROM spans
+GROUP BY source
+ORDER BY source NULLS LAST
+""",
+)
+
+
 def _training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audit of the full shard-pipeline selection (exact dedup -> quality
     gate -> deterministic downsample; operators/pipeline.py): per-language

@@ -886,6 +886,118 @@ ORDER BY doc_id NULLS LAST
 register("bpe_encode_corpus", _bpe_encode_corpus, _bpe_encode_sql())
 
 
+def _bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY by language: BPE tokens per whitespace word
+    under the learned merges — the tokenizer-health metric a multilingual
+    pipeline tracks per release (high fertility for a language = its text
+    fragments into more subword tokens, so it pays more context budget
+    per word and trains fewer effective documents per token budget; the
+    metric that drives vocab re-cuts and per-lang mixing corrections).
+
+    Thin per-lang aggregate over the SAME encode join bpe_encode_corpus
+    proves (vocab-table lookup, character fallback for untrainable
+    words); every distinct lang gets a row (word-free langs come back via
+    a null-safe left join as zeros — the all-keys convention).
+
+    Scale shape: identical to bpe_encode_corpus — vocabulary-sized
+    training state, one exploded-token join on ``word`` (AQE-broadcast
+    while small), one lang-sized map-combinable aggregate.
+    """
+    from kafka_topic_analyzer_spark.operators.bpe import bpe_train
+
+    d = load_table(spark, sf_dir, "documents")
+    _, vocab = bpe_train(spark, _bpe_symbolized_vocab(d), BPE_N_MERGES)
+    vocab = vocab.select("word", "n_syms")
+    lang_words = d.select(
+        "lang", F.explode(tokens(F.lower(F.col("text")))).alias("word")
+    )
+    enc = lang_words.join(vocab, "word", "left").select(
+        "lang",
+        F.coalesce(F.col("n_syms"), F.length("word").cast("long")).alias("n_tok"),
+        F.length("word").cast("long").alias("n_chars"),
+    )
+    agg = (
+        enc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_tok").cast("long").alias("n_bpe_tokens"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+        .select(
+            F.col("lang").alias("_lang"),
+            "n_words",
+            "n_bpe_tokens",
+            "n_chars",
+            F.round(
+                F.col("n_bpe_tokens").cast("double") / F.col("n_words"), 4
+            ).alias("fertility"),
+            F.round(
+                F.col("n_chars").cast("double") / F.col("n_bpe_tokens"), 4
+            ).alias("chars_per_token"),
+        )
+    )
+    return (
+        d.select("lang")
+        .distinct()
+        .join(agg, F.col("lang").eqNullSafe(F.col("_lang")), "left")
+        .select(
+            "lang",
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("n_bpe_tokens", F.lit(0)).cast("long").alias("n_bpe_tokens"),
+            F.coalesce("n_chars", F.lit(0)).cast("long").alias("n_chars"),
+            F.coalesce("fertility", F.lit(0.0)).alias("fertility"),
+            F.coalesce("chars_per_token", F.lit(0.0)).alias("chars_per_token"),
+        )
+        .orderBy(F.asc_nulls_last("lang"))
+    )
+
+
+def _bpe_fertility_sql() -> str:
+    sep, s2 = _BPE_SEP, _BPE_SEP * 2
+    return (
+        "WITH "
+        + _bpe_sql_blocks()
+        + f""",
+vocab AS (
+  SELECT word,
+         CAST(len(string_split(substr(sym, 2, length(sym) - 2), '{s2}')) AS BIGINT) AS n_syms
+  FROM sym{BPE_N_MERGES}
+),
+lang_words AS (
+  SELECT lang, unnest({_TOKS}) AS word FROM documents
+),
+enc AS (
+  SELECT lang,
+         COALESCE(n_syms, CAST(length(word) AS BIGINT)) AS n_tok,
+         CAST(length(word) AS BIGINT) AS n_chars
+  FROM lang_words LEFT JOIN vocab USING (word)
+),
+agg AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         round(CAST(sum(n_tok) AS DOUBLE) / count(*), 4) AS fertility,
+         round(CAST(sum(n_chars) AS DOUBLE) / sum(n_tok), 4) AS chars_per_token
+  FROM enc
+  GROUP BY lang
+)
+SELECT l.lang,
+       CAST(COALESCE(n_words, 0) AS BIGINT) AS n_words,
+       CAST(COALESCE(n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
+       CAST(COALESCE(n_chars, 0) AS BIGINT) AS n_chars,
+       COALESCE(fertility, 0.0) AS fertility,
+       COALESCE(chars_per_token, 0.0) AS chars_per_token
+FROM (SELECT DISTINCT lang FROM documents) l
+LEFT JOIN agg ON l.lang IS NOT DISTINCT FROM agg.lang
+ORDER BY l.lang NULLS LAST
+"""
+    )
+
+
+register("bpe_fertility_by_lang", _bpe_fertility_by_lang, _bpe_fertility_sql())
+
+
 # ---------------------------------------------------------------------------
 # Deep BPE: production-depth training via the hybrid census->local-loop shape
 # ---------------------------------------------------------------------------

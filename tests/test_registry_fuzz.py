@@ -263,6 +263,8 @@ FUZZED_QUERIES = [
     "media_decode_audit",
     "sequence_packing",
     "sequence_packing_scalable",
+    "packing_fragmentation",
+    "bpe_fertility_by_lang",
     "quality_percentile_gate_scalable",
     "quality_threshold_sweep",
     "lang_temperature_mix",
@@ -336,8 +338,9 @@ FUZZED_QUERIES = [
     "top_terms_per_source",
     "vocab_coverage_curve",
     "benchmark_contamination",
-    # LM-quality family (r9): unigram LM, KL, boilerplate, gate funnel
+    # LM-quality family (r9/r10): unigram+bigram LM, KL, boilerplate, funnel
     "unigram_logprob_quality",
+    "bigram_logprob_quality",
     "source_unigram_kl",
     "boilerplate_coverage",
     "curation_funnel",
