@@ -43,60 +43,59 @@ def register(name: str, spark_fn: Callable[[SparkSession, str], DataFrame], orac
 # commits SELFCHECK_r{N}.json, so every query has fresh evidence every round
 # even when outside the driver window.
 CHECK_PRIORITY: tuple[str, ...] = (
-    # -- round 9 (refreshed after lm_quality + curation_funnel): 8
-    # rowless new queries first, then the r8 FAIL (fixed), then 41 of
-    # the 42 r6-stale (incl. every streaming representative, judge
-    # item 8); benchmark_contamination rotates to the r10 window --
-    "ivf_quantizer_drift_audit",
-    "embedding_threshold_sweep",
-    "dedup_keep_policy",
-    "lsh_banding_sweep",
-    "unigram_logprob_quality",
-    "source_unigram_kl",
-    "boilerplate_coverage",
-    "curation_funnel",
-    "vocab_coverage_curve",  # newest driver row is FAIL/error -> must re-green
-    "q5_regional_revenue",  # last row r6
-    "top3_customers_per_segment",  # last row r6
-    "orders_rollup",  # last row r6
-    "customers_without_recent_orders",  # last row r6
-    "priority_with_discounted_lines",  # last row r6
-    "large_parts_in_lineitem",  # last row r6
-    "order_status_pivot",  # last row r6
-    "supplier_running_revenue",  # last row r6
-    "customer_retention_sets",  # last row r6
-    "orders_cube",  # last row r6
-    "hourly_spike_detection",  # last row r6
-    "event_funnel",  # last row r6
-    "weekly_retention_cohorts",  # last row r6
-    "user_state_history",  # last row r6
-    "events_quality_checks",  # last row r6
-    "kafka_report_partition_streaming",  # last row r6
-    "kafka_compacted_state_streaming",  # last row r6
-    "windowed_counts_streaming",  # last row r6
-    "purchase_click_join_streaming",  # last row r6
-    "exact_dedup_streaming",  # last row r6
-    "dedup_within_watermark_streaming",  # last row r6
-    "session_windows_streaming",  # last row r6
-    "image_feature_stats",  # last row r6
-    "audio_chunk_stats",  # last row r6
-    "image_resize_inventory",  # last row r6
-    "stratified_sample_summary",  # last row r6
-    "per_group_sample",  # last row r6
-    "event_value_histogram",  # last row r6
-    "quality_percentile_gate",  # last row r6
-    "sequence_packing",  # last row r6
-    "training_shard_manifest",  # last row r6
-    "doc_chunking",  # last row r6
-    "source_char_dispersion",  # last row r6
-    "per_lang_length_norm",  # last row r6
-    "source_mixing_weights",  # last row r6
-    "corpus_summary",  # last row r6
-    "mixed_sample_audit",  # last row r6
-    "top_terms_per_source",  # last row r6
-    "term_postings",  # last row r6
-    "keyword_search",  # last row r6
-    "bpe_encode_corpus",  # last row r6
+    # -- round 10 rotation (tools/rotate_priority.py): the 3 new
+    # rowless queries first, then benchmark_contamination (last
+    # green r6 -- judge item 3), then the stalest r7 rows --
+    "bigram_logprob_quality",
+    "packing_fragmentation",
+    "bpe_fertility_by_lang",
+    "benchmark_contamination",  # last row r6
+    "kafka_report_partition",  # last row r7
+    "kafka_report_global",  # last row r7
+    "kafka_alive_keys",  # last row r7
+    "kafka_compacted_state",  # last row r7
+    "kafka_consumer_config_audit",  # last row r7
+    "kafka_empty_topic_guard_audit",  # last row r7
+    "kafka_scan_observability_audit",  # last row r7
+    "rich_customers_per_segment",  # last row r7
+    "balance_deciles",  # last row r7
+    "monthly_order_growth",  # last row r7
+    "q6_forecast_revenue",  # last row r7
+    "q12_returnflag_priority",  # last row r7
+    "q14_promo_share",  # last row r7
+    "q4_late_ship_priority",  # last row r7
+    "q13_order_count_distribution",  # last row r7
+    "q22_idle_rich_customers",  # last row r7
+    "q17_small_quantity_revenue",  # last row r7
+    "q18_large_volume_orders",  # last row r7
+    "q19_disjunctive_revenue",  # last row r7
+    "q21_waiting_suppliers",  # last row r7
+    "doc_token_stats",  # last row r7
+    "source_quality_summary",  # last row r7
+    "lang_id_confusion",  # last row r7
+    "text_cleaning",  # last row r7
+    "compression_roundtrip_audit",  # last row r7
+    "bigram_familiarity",  # last row r7
+    "embedding_coverage_check",  # last row r7
+    "quality_percentile_gate_scalable",  # last row r7
+    "sequence_packing_scalable",  # last row r7
+    "dataset_split_summary",  # last row r7
+    "quality_weighted_sample",  # last row r7
+    "zorder_layout_audit",  # last row r7
+    "documents_quality_checks",  # last row r7
+    "embeddings_quality_checks",  # last row r7
+    "dup_graph_pagerank",  # last row r7
+    "semantic_dup_clusters",  # last row r7
+    "incremental_dedup_status",  # last row r7
+    "substring_dup_spans",  # last row r7
+    "near_dup_source_matrix",  # last row r7
+    "tfidf_cosine_pairs",  # last row r7
+    "dup_graph_triangles",  # last row r7
+    "salted_user_enrichment",  # last row r7
+    "enriched_segment_stats_streaming",  # last row r7
+    "video_frame_inventory",  # last row r7
+    "media_decode_audit",  # last row r7
+    "event_value_quantiles_audit",  # last row r7
 )
 
 
