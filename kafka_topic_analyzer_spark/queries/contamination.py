@@ -81,3 +81,141 @@ FROM hits JOIN totals USING (doc_id)
 ORDER BY doc_id
 """,
 )
+
+
+# Decontamination drop rule, exact integers (float-free at the boundary):
+# a doc is dropped when n_shared_grams * DEN >= n_grams * NUM, i.e. when
+# >= NUM/DEN of its distinct k-grams collide with the eval set. Docs too
+# short to form a single k-gram cannot be measured and are RETAINED
+# (reported separately so the owner sees the blind spot).
+DECONTAM_NUM = 1
+DECONTAM_DEN = 5
+
+
+def _decontamination_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTION to benchmark_contamination's measurement: the per-source
+    manifest of the decontaminated corpus — docs dropped by the collision
+    gate, docs retained, tokens retained, and the unmeasurable
+    (too-short-to-gram) residue. This is the artifact a pipeline owner
+    attaches to a training run ('trained on X after dropping Y docs that
+    collide with the benchmark').
+
+    Scale shape: same as the detector — eval grams broadcast, corpus
+    grams stream through one scan, the drop flag is a per-doc integer
+    comparison (no float threshold ambiguity between engines), and the
+    manifest is one source-sized map-combinable aggregate. Same
+    signal->action pairing as the IVF drift audit -> re-cut tool.
+    """
+    from kafka_topic_analyzer_spark.functions.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    grams = lambda df: df.select(  # noqa: E731
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(F.col("text"), CONTAM_K))
+        ).alias("gram"),
+    )
+    eval_grams = (
+        grams(d.where(F.col("doc_id") < EVAL_MAX_DOC_ID)).select("gram").distinct()
+    )
+    corpus = d.where(F.col("doc_id") >= EVAL_MAX_DOC_ID)
+    corpus_grams = grams(corpus)
+    totals = corpus_grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    hits = (
+        corpus_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    # the >= comparison is vacuously true at n_grams=0; gate it so the
+    # unmeasurable docs are RETAINED, not dropped
+    dropped = (
+        (
+            F.coalesce("n_shared", F.lit(0)) * DECONTAM_DEN
+            >= F.coalesce("n_grams", F.lit(0)) * DECONTAM_NUM
+        )
+        & (F.coalesce("n_grams", F.lit(0)) > 0)
+    ).alias("dropped")
+    per_doc = (
+        corpus.select(
+            "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+        )
+        .join(totals, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "source",
+            "n_tokens",
+            (F.coalesce("n_grams", F.lit(0)) == 0).alias("unmeasured"),
+            dropped,
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("dropped").cast("long")).cast("long").alias("n_dropped"),
+            F.sum((~F.col("dropped")).cast("long")).cast("long").alias("n_retained"),
+            F.sum(F.col("unmeasured").cast("long")).cast("long").alias("n_unmeasured"),
+            F.sum(
+                F.when(~F.col("dropped"), F.col("n_tokens")).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("tokens_retained"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dropped",
+            "n_retained",
+            "n_unmeasured",
+            "tokens_retained",
+            (F.floor(
+                (F.col("n_retained").cast("double") / F.col("n_docs")) * F.lit(1e6)
+                + F.lit(0.5)
+            ) / F.lit(1e6)).alias("retention_rate"),
+        )
+        .orderBy(F.asc_nulls_last("source"))
+    )
+
+
+_NTOK_SQL = f"""CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+  ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)"""
+
+register(
+    "decontamination_manifest",
+    _decontamination_manifest,
+    f"""
+WITH g AS (
+  SELECT doc_id, unnest(list_distinct({_GRAMS})) AS gram FROM documents
+),
+ev AS (SELECT DISTINCT gram FROM g WHERE doc_id < {EVAL_MAX_DOC_ID}),
+corpus_g AS (SELECT doc_id, gram FROM g WHERE doc_id >= {EVAL_MAX_DOC_ID}),
+totals AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM corpus_g GROUP BY doc_id),
+hits AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+  FROM corpus_g JOIN ev USING (gram) GROUP BY doc_id
+),
+per_doc AS (
+  SELECT d.source,
+         {_NTOK_SQL} AS n_tokens,
+         COALESCE(n_grams, 0) = 0 AS unmeasured,
+         (COALESCE(n_shared, 0) * {DECONTAM_DEN} >= COALESCE(n_grams, 0) * {DECONTAM_NUM})
+           AND COALESCE(n_grams, 0) > 0 AS dropped
+  FROM documents d
+  LEFT JOIN totals ON d.doc_id = totals.doc_id
+  LEFT JOIN hits ON d.doc_id = hits.doc_id
+  WHERE d.doc_id >= {EVAL_MAX_DOC_ID}
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(sum(CASE WHEN dropped THEN 0 ELSE 1 END) AS BIGINT) AS n_retained,
+       CAST(sum(CASE WHEN unmeasured THEN 1 ELSE 0 END) AS BIGINT) AS n_unmeasured,
+       CAST(sum(CASE WHEN dropped THEN 0 ELSE n_tokens END) AS BIGINT) AS tokens_retained,
+       floor((CAST(sum(CASE WHEN dropped THEN 0 ELSE 1 END) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6 AS retention_rate
+FROM per_doc
+GROUP BY source
+ORDER BY source NULLS LAST
+""",
+)

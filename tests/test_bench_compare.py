@@ -1,0 +1,73 @@
+"""bench_compare.compare() flag logic — the artifact that replaces manual
+host-drift adjudication must get the arithmetic right: drift divides out,
+noisy measurements cannot testify, real regressions survive."""
+
+from __future__ import annotations
+
+from tools.bench_compare import _load_run, compare
+
+
+def _run(queries, spread=None, sentinel=0.4, sf="0.1"):
+    return {
+        "sf": sf,
+        "sentinel": sentinel,
+        "queries": queries,
+        "spread": spread or {q: 0.05 for q in queries},
+    }
+
+
+def test_uniform_host_drift_is_not_flagged():
+    """The r9 scenario: every query 1.35x slower, sentinel 1.35x slower
+    too -> normalized ratios ~1.0, zero regression candidates."""
+    old = _run({f"q{i}": 1.0 + i / 10 for i in range(20)}, sentinel=0.40)
+    new = _run(
+        {f"q{i}": (1.0 + i / 10) * 1.35 for i in range(20)}, sentinel=0.54
+    )
+    md, flagged = compare(old, new, bar=1.3, max_spread=0.3)
+    assert flagged == []
+    assert "0 regression candidate" in md
+    assert "1.000x" in md  # median normalized ratio
+
+
+def test_real_regression_survives_drift_normalization():
+    old = _run({"stable": 1.0, "regressed": 1.0}, sentinel=0.40)
+    new = _run({"stable": 1.35, "regressed": 2.7}, sentinel=0.54)
+    md, flagged = compare(old, new, bar=1.3, max_spread=0.3)
+    names = [f[0] for f in flagged]
+    assert names == ["regressed"]
+    # normalized ratio = 2.7 / (1.0 * 1.35) = 2.0
+    assert abs(flagged[0][4] - 2.0) < 1e-9
+
+
+def test_noisy_measurement_cannot_testify():
+    """A 2x normalized jump with min-of-3 spread above the gate in either
+    round is NOT a candidate — noise can't accuse."""
+    old = _run({"noisy": 1.0}, spread={"noisy": 0.05}, sentinel=0.40)
+    new = _run({"noisy": 2.0}, spread={"noisy": 0.8}, sentinel=0.40)
+    _, flagged = compare(old, new, bar=1.3, max_spread=0.3)
+    assert flagged == []
+
+
+def test_missing_sentinel_falls_back_to_raw():
+    old = _run({"q": 1.0}, sentinel=None)
+    new = _run({"q": 1.5}, sentinel=0.4)
+    md, flagged = compare(old, new, bar=1.3, max_spread=0.3)
+    assert "RAW ratios" in md
+    assert [f[0] for f in flagged] == ["q"]
+
+
+def test_added_and_removed_queries_reported():
+    old = _run({"kept": 1.0, "gone": 1.0})
+    new = _run({"kept": 1.0, "fresh": 1.0})
+    md, _ = compare(old, new, bar=1.3, max_spread=0.3)
+    assert "New queries this round: fresh" in md
+    assert "Removed since last round: gone" in md
+
+
+def test_load_run_prefers_detail_sentinel_with_local_fallback():
+    detail = {"sf": "0.1", "queries": {"q": 1.0}, "spread": {"q": 0.0}}
+    run = _load_run(detail, {"ambient_sentinel_sec": 0.37})
+    assert run["sentinel"] == 0.37
+    detail["ambient_sentinel_sec"] = 0.41
+    run = _load_run(detail, {"ambient_sentinel_sec": 0.37})
+    assert run["sentinel"] == 0.41

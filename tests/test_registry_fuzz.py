@@ -338,6 +338,7 @@ FUZZED_QUERIES = [
     "top_terms_per_source",
     "vocab_coverage_curve",
     "benchmark_contamination",
+    "decontamination_manifest",
     # LM-quality family (r9/r10): unigram+bigram LM, KL, boilerplate, funnel
     "unigram_logprob_quality",
     "bigram_logprob_quality",

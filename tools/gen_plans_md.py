@@ -128,6 +128,21 @@ SECTIONS: list[tuple[str, str | None, str]] = [
         "curation_funnel",
         "Sequential gate-survival audit (r9): every scan is column-pruned to (doc_id, text); the per-doc flag frame joins boiler/surprisal signals by doc_id (BroadcastHashJoin at this SF, plain hash join at corpus scale); survivorship for ALL four gates is ONE conditional HashAggregate of gate-prefix conjunctions; the 5-row funnel explodes from that single row. Zero Windows; the only nested-loop join is the 1-row corpus-total broadcast.",
     ),
+    (
+        "bigram_logprob_quality",
+        "bigram_logprob_quality",
+        "Bigram perplexity proxy (r10): adjacent pairs from a pure-JVM struct transform (no Python anywhere); the bigram census is a partial-aggregating groupBy(w1, w2) and the history census derives FROM it (one more HashAggregate, never a second corpus scan); the pair->surprisal lookup joins on the composite key; docs with <2 tokens return via the LEFT BroadcastHashJoin on doc_id. Zero Windows.",
+    ),
+    (
+        "packing_fragmentation",
+        "packing_fragmentation",
+        "Window-boundary crossing audit (r10): offsets come from the SAME two-level sharded prefix sum the production writer runs — the doc_id-ordered Window partitions on (source, _shard), lims and shard bases broadcast back — then one source-sized conditional HashAggregate. The oracle mirrors the single-window form, so the driver hash re-proves sharded == window on every check.",
+    ),
+    (
+        "decontamination_manifest",
+        "decontamination_manifest",
+        "The decontam ACTION (r10): eval grams collapse to a broadcast (benchmarks are small by definition); the corpus side streams through ONE exploded scan into two partial-aggregating per-doc counts; the drop gate is exact-integer arithmetic in the projection (no float threshold); the manifest is a source-sized HashAggregate. At 100 TB the only shuffle is per-doc gram counts.",
+    ),
 ]
 
 
