@@ -51,6 +51,7 @@ def main() -> None:
     # core-count changes and cross-round ratios stay meaningful.
     sentinel_rows = int(os.environ.get("SPARK_GRAFT_SENTINEL_ROWS", "2000000000"))
     ambient_sentinel_sec = None
+    overhead_sentinel_sec = None
     if sentinel_rows > 0:
         sentinel_times = []
         for _ in range(3):
@@ -60,6 +61,28 @@ def main() -> None:
             ).collect()
             sentinel_times.append(time.perf_counter() - t0)
         ambient_sentinel_sec = round(min(sentinel_times), 4)
+        # SECOND sentinel (r10): the codegen sentinel above is blind to
+        # scheduler/shuffle-layer drift — the r10 compare flagged a 2.5-3x
+        # cluster on small fixed-overhead-dominated kafka queries that a
+        # worktree control (r9 code on the same day) proved was pure host
+        # drift while the codegen sentinel moved 1.3%. This probe is the
+        # other axis: tiny data, TWO exchanges over 32->64 fixed
+        # partitions, so its time is stage scheduling + shuffle machinery,
+        # not arithmetic. bench_compare flags a regression only if it
+        # survives normalization by BOTH sentinels.
+        overhead_times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            (
+                spark.range(1_000_000, numPartitions=32)
+                .select((F.col("id") % 1000).alias("k"))
+                .repartition(64, "k")
+                .groupBy("k")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            overhead_times.append(time.perf_counter() - t0)
+        overhead_sentinel_sec = round(min(overhead_times), 4)
 
     def run_once(spec) -> tuple[float, int]:
         t0 = time.perf_counter()
@@ -521,6 +544,9 @@ def main() -> None:
                 "sf": sf,
                 "timing": "min of 3 runs per query",
                 "ambient_sentinel_sec": ambient_sentinel_sec,
+                # scheduler/shuffle-overhead canary (two tiny fixed
+                # exchanges): the drift axis the codegen sentinel misses
+                "overhead_sentinel_sec": overhead_sentinel_sec,
                 "queries": per_query,
                 "spread": per_query_spread,
             },
@@ -543,6 +569,9 @@ def main() -> None:
                 # min-of-3): normalize cross-round timings by this before
                 # reading a per-query delta as a regression
                 "ambient_sentinel_sec": ambient_sentinel_sec,
+                # scheduler/shuffle-overhead canary (two tiny fixed
+                # exchanges): the drift axis the codegen sentinel misses
+                "overhead_sentinel_sec": overhead_sentinel_sec,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "report_msgs_per_sec": round(n_msgs / report_sec, 1),
                 "report_rows": n_msgs,

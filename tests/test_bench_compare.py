@@ -1,24 +1,26 @@
 """bench_compare.compare() flag logic — the artifact that replaces manual
-host-drift adjudication must get the arithmetic right: drift divides out,
-noisy measurements cannot testify, real regressions survive."""
+host-drift adjudication must get the arithmetic right: drift divides out
+(on EITHER sentinel axis), noisy measurements cannot testify, real
+regressions survive."""
 
 from __future__ import annotations
 
 from tools.bench_compare import _load_run, compare
 
 
-def _run(queries, spread=None, sentinel=0.4, sf="0.1"):
+def _run(queries, spread=None, sentinel=0.4, overhead=None, sf="0.1"):
     return {
         "sf": sf,
         "sentinel": sentinel,
+        "overhead_sentinel": overhead,
         "queries": queries,
         "spread": spread or {q: 0.05 for q in queries},
     }
 
 
 def test_uniform_host_drift_is_not_flagged():
-    """The r9 scenario: every query 1.35x slower, sentinel 1.35x slower
-    too -> normalized ratios ~1.0, zero regression candidates."""
+    """The r9 scenario: every query 1.35x slower, cpu sentinel 1.35x
+    slower too -> normalized ratios ~1.0, zero regression candidates."""
     old = _run({f"q{i}": 1.0 + i / 10 for i in range(20)}, sentinel=0.40)
     new = _run(
         {f"q{i}": (1.0 + i / 10) * 1.35 for i in range(20)}, sentinel=0.54
@@ -35,8 +37,29 @@ def test_real_regression_survives_drift_normalization():
     md, flagged = compare(old, new, bar=1.3, max_spread=0.3)
     names = [f[0] for f in flagged]
     assert names == ["regressed"]
-    # normalized ratio = 2.7 / (1.0 * 1.35) = 2.0
+    # cpu-normalized ratio = 2.7 / (1.0 * 1.35) = 2.0
     assert abs(flagged[0][4] - 2.0) < 1e-9
+
+
+def test_overhead_drift_excuses_small_query_cluster():
+    """The r10 scenario: fixed-overhead-dominated queries 2.5x slower, cpu
+    sentinel flat, but the OVERHEAD sentinel also 2.5x -> excused. A real
+    regression above even that drift still flags."""
+    old = _run(
+        {"tiny_kafka": 0.3, "real_regression": 0.3},
+        sentinel=0.40,
+        overhead=0.10,
+    )
+    new = _run(
+        {"tiny_kafka": 0.75, "real_regression": 1.2},
+        sentinel=0.404,  # cpu drift 1.01x
+        overhead=0.25,  # overhead drift 2.5x
+    )
+    md, flagged = compare(old, new, bar=1.3, max_spread=0.3)
+    names = [f[0] for f in flagged]
+    assert "tiny_kafka" not in names, "2.5x raw excused by 2.5x overhead drift"
+    assert names == ["real_regression"], "4x raw survives the worst drift axis"
+    assert "overhead sentinel" in md
 
 
 def test_noisy_measurement_cannot_testify():
@@ -64,10 +87,11 @@ def test_added_and_removed_queries_reported():
     assert "Removed since last round: gone" in md
 
 
-def test_load_run_prefers_detail_sentinel_with_local_fallback():
+def test_load_run_prefers_detail_sentinels_with_local_fallback():
     detail = {"sf": "0.1", "queries": {"q": 1.0}, "spread": {"q": 0.0}}
-    run = _load_run(detail, {"ambient_sentinel_sec": 0.37})
-    assert run["sentinel"] == 0.37
+    local = {"ambient_sentinel_sec": 0.37, "overhead_sentinel_sec": 0.11}
+    run = _load_run(detail, local)
+    assert run["sentinel"] == 0.37 and run["overhead_sentinel"] == 0.11
     detail["ambient_sentinel_sec"] = 0.41
-    run = _load_run(detail, {"ambient_sentinel_sec": 0.37})
+    run = _load_run(detail, local)
     assert run["sentinel"] == 0.41

@@ -3,22 +3,28 @@
 The r9 judge spent an hour hand-adjudicating a uniform ~1.3x per-query
 inflation that turned out to be host drift (two identical-code suite runs
 60 min apart measured 131 s vs 169 s). This tool makes that adjudication a
-one-read artifact: every per-query delta between two bench runs is divided
-by the AMBIENT SENTINEL ratio (the fixed data-free pure-codegen aggregate
-bench.py times each round — same plan, pinned 32 partitions), so host
-drift cancels and only real plan/code regressions remain.
+one-read artifact, normalizing every per-query delta by the host-drift
+canaries bench.py times each round:
 
-    normalized_ratio(q) = t_new(q) / (t_old(q) * sentinel_new / sentinel_old)
+- ``ambient_sentinel_sec`` — CPU/codegen drift (2B-row data-free sum,
+  pinned 32 partitions);
+- ``overhead_sentinel_sec`` (r10+) — scheduler/shuffle-layer drift (tiny
+  two-exchange job). Added after the r10 compare flagged a 2.5-3x cluster
+  on small fixed-overhead-dominated queries that a worktree control (r9
+  code re-run the same day) proved was host drift the codegen sentinel
+  missed entirely (it moved 1.3%).
 
-A query is flagged a REGRESSION CANDIDATE only when its normalized ratio
-exceeds --bar (default 1.3) AND both rounds' min-of-3 spread is below
---max-spread (default 0.3) — a noisy measurement cannot testify.
+A query is a REGRESSION CANDIDATE only when its ratio exceeds --bar under
+EVERY available sentinel normalization (raw / max(drift factors)) AND both
+rounds' min-of-3 spread is below --max-spread — a noisy measurement cannot
+testify, and a delta excused by either drift axis is not a code regression.
 
 Usage:
     python tools/bench_compare.py --old-ref <git-ref> [--new BENCH_DETAIL.json]
     python tools/bench_compare.py --old path/to/old_BENCH_DETAIL.json
+    ... [--note "adjudication text appended to the artifact"]
 
---old-ref reads BENCH_DETAIL.json (and, for rounds before the sentinel
+--old-ref reads BENCH_DETAIL.json (and, for rounds before the sentinels
 moved into the detail file, BENCH_LOCAL.json) from a committed git ref.
 Writes BENCH_COMPARE.md at the repo root.
 """
@@ -49,30 +55,43 @@ def _git_show(ref: str, path: str) -> dict | None:
 
 
 def _load_run(detail: dict, local: dict | None) -> dict:
-    sentinel = detail.get("ambient_sentinel_sec")
-    if sentinel is None and local:
-        sentinel = local.get("ambient_sentinel_sec")
+    def field(name):
+        v = detail.get(name)
+        if v is None and local:
+            v = local.get(name)
+        return v
+
     return {
         "sf": detail.get("sf"),
-        "sentinel": sentinel,
+        "sentinel": field("ambient_sentinel_sec"),
+        "overhead_sentinel": field("overhead_sentinel_sec"),
         "queries": detail.get("queries", {}),
         "spread": detail.get("spread", {}),
     }
 
 
 def compare(old: dict, new: dict, bar: float, max_spread: float) -> tuple[str, list]:
-    if not old["sentinel"] or not new["sentinel"]:
-        drift = 1.0
-        drift_note = (
+    drifts: dict[str, float] = {}
+    notes = []
+    if old["sentinel"] and new["sentinel"]:
+        drifts["cpu"] = new["sentinel"] / old["sentinel"]
+        notes.append(
+            f"cpu sentinel {old['sentinel']:.4f}s -> {new['sentinel']:.4f}s "
+            f"(drift {drifts['cpu']:.3f}x)"
+        )
+    if old.get("overhead_sentinel") and new.get("overhead_sentinel"):
+        drifts["overhead"] = new["overhead_sentinel"] / old["overhead_sentinel"]
+        notes.append(
+            f"overhead sentinel {old['overhead_sentinel']:.4f}s -> "
+            f"{new['overhead_sentinel']:.4f}s (drift {drifts['overhead']:.3f}x)"
+        )
+    if not drifts:
+        notes.append(
             "no sentinel in one of the runs — RAW ratios (pre-sentinel round "
             "or SPARK_GRAFT_SENTINEL_ROWS=0); treat uniform shifts as drift"
         )
-    else:
-        drift = new["sentinel"] / old["sentinel"]
-        drift_note = (
-            f"sentinel {old['sentinel']:.4f}s -> {new['sentinel']:.4f}s "
-            f"(host drift factor {drift:.3f}x — divided out below)"
-        )
+    cpu_drift = drifts.get("cpu", 1.0)
+    max_drift = max(drifts.values()) if drifts else 1.0
 
     common = sorted(set(old["queries"]) & set(new["queries"]))
     added = sorted(set(new["queries"]) - set(old["queries"]))
@@ -84,56 +103,65 @@ def compare(old: dict, new: dict, bar: float, max_spread: float) -> tuple[str, l
         if t_old <= 0:
             continue
         raw = t_new / t_old
-        norm = raw / drift
+        norm = raw / cpu_drift  # the reported column: cpu-normalized
+        best_norm = raw / max_drift  # the flag test: excused by ANY axis
         sp = max(old["spread"].get(q, 0.0), new["spread"].get(q, 0.0))
-        flagged = norm > bar and sp < max_spread
-        rows.append((q, t_old, t_new, raw, norm, sp, flagged))
+        flagged = best_norm > bar and sp < max_spread
+        rows.append((q, t_old, t_new, raw, norm, sp, flagged, best_norm))
 
     flagged = [r for r in rows if r[6]]
     norms = sorted(r[4] for r in rows)
     median_norm = norms[len(norms) // 2] if norms else float("nan")
 
+    flag_rule = (
+        f"ratio / max(all drift factors) > {bar} AND min-of-3 spread < "
+        f"{max_spread} in both rounds"
+    )
     lines = [
         "# BENCH_COMPARE — sentinel-normalized cross-round deltas",
         "",
         f"- old sf={old['sf']}, new sf={new['sf']}; {len(common)} common queries"
         f" (+{len(added)} new, -{len(removed)} removed)",
-        f"- {drift_note}",
-        f"- median normalized ratio: **{median_norm:.3f}x** "
+        *[f"- {n}" for n in notes],
+        f"- median cpu-normalized ratio: **{median_norm:.3f}x** "
         "(1.0 = same speed after removing host drift)",
-        f"- flag rule: normalized > {bar}x AND min-of-3 spread < {max_spread}"
-        f" in both rounds -> **{len(flagged)} regression candidate(s)**",
+        f"- flag rule: {flag_rule} -> **{len(flagged)} regression candidate(s)**",
         "",
     ]
     if flagged:
         lines += [
             "## Regression candidates",
             "",
-            "| query | old s | new s | raw x | normalized x | spread |",
-            "|---|---|---|---|---|---|",
+            "| query | old s | new s | raw x | vs cpu drift | vs worst drift | spread |",
+            "|---|---|---|---|---|---|---|",
         ]
-        for q, t_old, t_new, raw, norm, sp, _ in sorted(
-            flagged, key=lambda r: -r[4]
+        for q, t_old, t_new, raw, norm, sp, _, best in sorted(
+            flagged, key=lambda r: -r[7]
         ):
             lines.append(
-                f"| {q} | {t_old:.3f} | {t_new:.3f} | {raw:.2f} | {norm:.2f} | {sp:.2f} |"
+                f"| {q} | {t_old:.3f} | {t_new:.3f} | {raw:.2f} | {norm:.2f} "
+                f"| {best:.2f} | {sp:.2f} |"
             )
         lines.append("")
     else:
         lines += ["## Regression candidates", "", "None.", ""]
 
     lines += [
-        "## Largest normalized movers (context, top 10 each way)",
+        "## Largest cpu-normalized movers (context, top 10 each way)",
         "",
-        "| query | old s | new s | normalized x | spread |",
-        "|---|---|---|---|---|",
+        "| query | old s | new s | vs cpu drift | vs worst drift | spread |",
+        "|---|---|---|---|---|---|",
     ]
     by_norm = sorted(rows, key=lambda r: -r[4])
-    for q, t_old, t_new, _raw, norm, sp, _ in by_norm[:10]:
-        lines.append(f"| {q} | {t_old:.3f} | {t_new:.3f} | {norm:.2f} | {sp:.2f} |")
-    lines.append("| … | | | | |")
-    for q, t_old, t_new, _raw, norm, sp, _ in by_norm[-10:]:
-        lines.append(f"| {q} | {t_old:.3f} | {t_new:.3f} | {norm:.2f} | {sp:.2f} |")
+    for q, t_old, t_new, _raw, norm, sp, _, best in by_norm[:10]:
+        lines.append(
+            f"| {q} | {t_old:.3f} | {t_new:.3f} | {norm:.2f} | {best:.2f} | {sp:.2f} |"
+        )
+    lines.append("| … | | | | | |")
+    for q, t_old, t_new, _raw, norm, sp, _, best in by_norm[-10:]:
+        lines.append(
+            f"| {q} | {t_old:.3f} | {t_new:.3f} | {norm:.2f} | {best:.2f} | {sp:.2f} |"
+        )
     if added:
         lines += ["", f"New queries this round: {', '.join(added)}"]
     if removed:
@@ -150,6 +178,11 @@ def main() -> None:
     ap.add_argument("--out", default=os.path.join(ROOT, "BENCH_COMPARE.md"))
     ap.add_argument("--bar", type=float, default=1.3)
     ap.add_argument("--max-spread", type=float, default=0.3)
+    ap.add_argument(
+        "--note",
+        default=None,
+        help="adjudication note appended verbatim as a final section",
+    )
     args = ap.parse_args()
 
     if args.old:
@@ -178,6 +211,8 @@ def main() -> None:
         args.bar,
         args.max_spread,
     )
+    if args.note:
+        md += f"\n## Adjudication\n\n{args.note}\n"
     with open(args.out, "w") as f:
         f.write(md)
     print(md.split("\n\n")[1])
