@@ -338,10 +338,19 @@ def bigram_surprisal_per_doc(score: DataFrame, train: DataFrame) -> DataFrame:
     tr_pairs = _bigram_pairs(train)
     bsurp = _bigram_surprisal_table(tr_pairs)
     occ = _occ(train)
-    usurp = _surprisal_table(occ).withColumnRenamed("tok", "w2").withColumnRenamed(
-        "surp", "usurp"
+    # one unigram census serves both fallback rungs: the per-type table
+    # and the 1-row total (derived FROM the counts — no second occ scan)
+    counts = occ.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    total = counts.agg(F.sum("cnt").cast("long").alias("total"))
+    usurp = (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            F.col("tok").alias("w2"),
+            _r6(F.log(F.col("total").cast("double") / F.col("cnt")))
+            .cast("decimal(18,6)")
+            .alias("usurp"),
+        )
     )
-    total = occ.groupBy().agg(F.count(F.lit(1)).cast("long").alias("total"))
     ceiling = total.select(
         _r6(F.log(F.col("total").cast("double"))).cast("decimal(18,6)").alias("ceil_surp")
     )

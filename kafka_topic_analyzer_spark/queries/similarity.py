@@ -331,6 +331,58 @@ register(
 )
 
 
+def _ivf_cell_postings_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming IVF index INGEST (streaming/ivf_stream.py): new
+    embeddings assigned to the FIXED serving quantizer's cells per
+    micro-batch, per-cell postings census maintained as nlist-row
+    streaming aggregation state. The oracle is the batch rk=1 assignment
+    aggregated the same way — count AND sum(vec_id) per cell, so the hash
+    proves cell membership, not just occupancy. The ingest counterpart of
+    knn_ivf_cosine (search) and ivf_quantizer_drift_audit (lifecycle)."""
+    from kafka_topic_analyzer_spark.streaming.ivf_stream import (
+        streaming_ivf_cell_postings,
+    )
+
+    return streaming_ivf_cell_postings(spark, sf_dir)
+
+
+def _ivf_postings_sql() -> str:
+    from kafka_topic_analyzer_spark.operators.ivf_centroids_v1 import NLIST
+
+    structs = ", ".join(
+        f"{{'cell': {ci}, 'sim': {_ivf_sim_sql(ci)}}}" for ci in range(NLIST)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding,
+         sqrt({_dot_sql("embedding", "embedding")}) AS qn
+  FROM embeddings
+),
+exploded AS (
+  SELECT vec_id, unnest([{structs}]) AS u FROM base
+),
+cells AS (
+  SELECT vec_id, u.cell AS cell, u.sim AS sim,
+         row_number() OVER (PARTITION BY vec_id
+              ORDER BY u.sim DESC, u.cell ASC) AS rk
+  FROM exploded
+)
+SELECT CAST(cell AS INT) AS cell,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(vec_id) AS BIGINT) AS sum_vec_id
+FROM cells WHERE rk = 1
+GROUP BY cell
+ORDER BY cell
+"""
+
+
+register(
+    "ivf_cell_postings_streaming",
+    _ivf_cell_postings_streaming,
+    _ivf_postings_sql(),
+)
+
+
 def _embedding_self_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise-cosine corpus stats on a bounded slice (near-dup screening).
 

@@ -43,13 +43,14 @@ def register(name: str, spark_fn: Callable[[SparkSession, str], DataFrame], orac
 # commits SELFCHECK_r{N}.json, so every query has fresh evidence every round
 # even when outside the driver window.
 CHECK_PRIORITY: tuple[str, ...] = (
-    # -- round 10 rotation (tools/rotate_priority.py): the 4 new
+    # -- round 10 rotation (tools/rotate_priority.py): the 5 new
     # rowless queries first, then benchmark_contamination (last
     # green r6 -- judge item 3), then the stalest r7 rows --
     "bigram_logprob_quality",
     "packing_fragmentation",
     "bpe_fertility_by_lang",
     "decontamination_manifest",
+    "ivf_cell_postings_streaming",
     "benchmark_contamination",  # last row r6
     "kafka_report_partition",  # last row r7
     "kafka_report_global",  # last row r7
@@ -95,7 +96,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "salted_user_enrichment",  # last row r7
     "enriched_segment_stats_streaming",  # last row r7
     "video_frame_inventory",  # last row r7
-    "media_decode_audit",  # last row r7
 )
 
 

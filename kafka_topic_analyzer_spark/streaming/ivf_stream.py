@@ -1,0 +1,71 @@
+"""Streaming IVF index ingest — the ANN serve path's missing half.
+
+A deployed IVF index is a FIXED versioned quantizer (operators/
+ivf_centroids_v1.py) plus per-cell postings that GROW as new embeddings
+arrive. Batch queries prove train/serve/search and the drift re-cut loop
+(tools/ivf_recut.py); this module proves ingest: an unbounded embedding
+stream is assigned to the serving quantizer's cells micro-batch by
+micro-batch (the assignment UDF is a stateless Arrow-batched projection,
+so it runs unchanged on a streaming frame) and the per-cell postings
+census is a streaming aggregation whose state is nlist-sized — 16 rows
+regardless of corpus size, the cheapest stateful operator there is.
+
+Bounded (AvailableNow) runs are byte-comparable to the batch assignment,
+which is what the registered oracle checks: count AND sum(vec_id) per
+cell, so the hash proves cell MEMBERSHIP, not just occupancy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from kafka_topic_analyzer_spark.session import prepare_session
+from kafka_topic_analyzer_spark.streaming.runner import run_bounded_memory_stream
+
+EMBEDDINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ]
+)
+
+
+def embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded file-source stream over embeddings.parquet."""
+    prepare_session(spark)
+    return (
+        spark.readStream.schema(EMBEDDINGS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "embeddings.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(sf_dir)
+    )
+
+
+def streaming_ivf_cell_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell postings census of the streamed corpus under the serving
+    (v1) quantizer: (cell, n_vectors, sum_vec_id), complete-mode
+    streaming aggregation over the fold-deterministic fixed assignment.
+
+    State is exactly nlist rows; on a real topic the same plan runs
+    unbounded and the memory sink becomes the postings metadata table the
+    search path consults for cell sizes (the nprobe cost model).
+    """
+    from kafka_topic_analyzer_spark.operators.similarity import (
+        ivf_assign_fixed,
+        load_quantizer,
+    )
+
+    prepare_session(spark)
+    assigned = ivf_assign_fixed(
+        embeddings_stream(spark, sf_dir), load_quantizer(1), nprobe=1
+    )
+    counts = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum("vec_id").cast("long").alias("sum_vec_id"),
+    )
+    name = run_bounded_memory_stream(counts, spark, "complete", "ckpt_ivf_")
+    return spark.table(name).select("cell", "n_vectors", "sum_vec_id").orderBy(
+        "cell"
+    )

@@ -122,12 +122,14 @@ def stream_training_corpus(
     )
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         selected = select_training_docs(batch_df)
         try:
             existing = spark.read.parquet(out_path).select("fp").distinct()
             selected = selected.join(existing, "fp", "left_anti")
-        except Exception:
-            pass  # first epoch: sink does not exist yet
+        except AnalysisException:
+            pass  # first epoch: sink path does not exist yet
         (
             selected.repartition("lang")
             .sortWithinPartitions("doc_id")

@@ -336,6 +336,52 @@ def test_funnel_monotone_for_arbitrary_gates(spark, tmp_path):
     assert tight["quality_min"]["survivors"] <= loose["quality_min"]["survivors"]
 
 
+def test_rounding_contract_engine_fuzz(spark):
+    """Batched cross-engine fuzz of BOTH floor-round rules (_r6 at 6dp,
+    _r9 at 9dp): 6000 deterministic-seed doubles — uniform, log-scaled,
+    negatives, and adversarial tie neighborhoods (k/2e6, k/4e9, small
+    integer quotients) — must agree bit-for-bit across Spark, DuckDB and
+    Python on ONE job per engine."""
+    import math
+    import random
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+    from kafka_topic_analyzer_spark.queries.lm_quality import _r6, _r9
+
+    rng = random.Random(20260815)
+    vals = []
+    for _ in range(2000):
+        vals.append(rng.uniform(-100, 100))
+    for _ in range(1000):
+        vals.append(math.exp(rng.uniform(-20, 10)) * rng.choice((1, -1)))
+    for _ in range(1500):
+        vals.append(rng.randrange(-4_000_000, 4_000_000) / 2e6)  # 6dp ties
+    for _ in range(1500):
+        vals.append(rng.randrange(-8_000_000_000, 8_000_000_000) / 4e9)  # 9dp
+    sp_rows = (
+        spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "i long, x double"
+        )
+        .select("i", _r6(F.col("x")).alias("r6"), _r9(F.col("x")).alias("r9"))
+        .orderBy("i")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE v(i BIGINT, x DOUBLE)")
+    con.executemany("INSERT INTO v VALUES (?, ?)", list(enumerate(vals)))
+    du_rows = con.execute(
+        "SELECT i, floor(x * 1e6 + 0.5) / 1e6 AS r6,"
+        " floor(x * 1e9 + 0.5) / 1e9 AS r9 FROM v ORDER BY i"
+    ).fetchall()
+    for (i, v), sp, du in zip(enumerate(vals), sp_rows, du_rows):
+        py6 = math.floor(v * 1e6 + 0.5) / 1e6
+        py9 = math.floor(v * 1e9 + 0.5) / 1e9
+        assert sp["r6"] == du[1] == py6, (i, v, sp["r6"], du[1], py6)
+        assert sp["r9"] == du[2] == py9, (i, v, sp["r9"], du[2], py9)
+
+
 def test_r6_tie_rule_matches_engines(spark):
     """The tie-safe round contract: Spark _r6, DuckDB's floor twin, and
     Python floor(x*1e6+0.5)/1e6 agree bit-for-bit — including exact

@@ -302,6 +302,7 @@ FUZZED_QUERIES = [
     "embedding_label_stats",
     "embedding_near_dup_pairs",
     "embedding_threshold_sweep",
+    "ivf_cell_postings_streaming",
     # expectation-check and salted-join queries
     "salted_user_enrichment",
     "documents_quality_checks",

@@ -175,6 +175,59 @@ def test_streaming_training_selection_equals_batch(spark, tmp_path):
     assert counts["n_written"] > 0
 
 
+def test_streaming_training_out_of_order_keeps_earliest_epoch(spark, tmp_path):
+    """The documented divergence-from-batch case, pinned: when a LATER
+    epoch carries a SMALLER doc_id for an already-committed fingerprint,
+    the stream keeps the earlier epoch's representative (a committed
+    shard cannot be unwritten) while batch would keep the min doc_id."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka_topic_analyzer_spark.streaming.sink_stream import (
+        stream_training_corpus,
+    )
+
+    # same high-quality text (passes quality + downsample gates) in both
+    # epochs; epoch 0 carries doc_id 10, epoch 1 carries doc_id 3
+    text = "the quick brown fox jumps over the lazy dog " * 12
+    cols = lambda rows: pa.table(  # noqa: E731
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array(["s0"] * len(rows), pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    src = tmp_path / "ooo"
+    src.mkdir()
+    pq.write_table(cols([(10, text)]), str(src / "epoch0.parquet"))
+    pq.write_table(cols([(3, text)]), str(src / "epoch1.parquet"))
+    os.utime(src / "epoch0.parquet", (1_700_000_000, 1_700_000_000))
+    os.utime(src / "epoch1.parquet", (1_700_000_001, 1_700_000_001))
+
+    import kafka_topic_analyzer_spark.streaming.dedup_stream as DS
+    import kafka_topic_analyzer_spark.streaming.sink_stream as SS
+    from unittest import mock
+
+    def epochs_stream(spark_, sf_dir_):
+        return (
+            spark_.readStream.schema(DS.DOCUMENTS_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+
+    out = str(tmp_path / "ooo_out")
+    with mock.patch.object(SS, "documents_stream", epochs_stream):
+        counts = stream_training_corpus(spark, str(src), out)
+
+    kept = [r["doc_id"] for r in spark.read.parquet(out).collect()]
+    assert kept == [10], "earliest epoch wins; batch min-doc_id rule does not apply"
+    assert counts["n_rows"] == 2 and counts["n_written"] == 1
+
+
 def test_jsonl_roundtrip_equals_parquet(spark, tmp_path):
     """JSONL write -> FAILFAST read reproduces the parquet table exactly."""
     from kafka_topic_analyzer_spark.sources.tables import load_table
