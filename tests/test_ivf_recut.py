@@ -107,6 +107,31 @@ def test_v1_serving_path_unchanged_by_recut(spark):
     assert E.queries()["knn_ivf_cosine"](spark, SF_SMOKE).count() > 0
 
 
+def test_quantizer_occupancy_invariants(spark):
+    """Occupancy stats are internally consistent for ANY quantizer: skew
+    >= 1 (max cell >= ideal), counts account for every vector, empty
+    cells bounded by nlist, and a 1-cell quantizer is trivially balanced."""
+    from kafka_topic_analyzer_spark.operators.similarity import (
+        load_quantizer,
+        quantizer_occupancy,
+    )
+    from kafka_topic_analyzer_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    n = emb.count()
+    for cents in (load_quantizer(1), load_quantizer(2)):
+        occ = quantizer_occupancy(emb, cents)
+        assert occ["n_vecs"] == n
+        assert occ["occupancy_skew"] >= 1.0 - 1e-9
+        assert 0 <= occ["n_empty_cells"] < occ["n_cells"] == len(cents)
+        assert occ["max_occupancy"] * occ["n_cells"] >= n
+
+    one_cell = (load_quantizer(1)[0],)
+    occ1 = quantizer_occupancy(emb, one_cell)
+    assert occ1["occupancy_skew"] == 1.0 and occ1["n_empty_cells"] == 0
+    assert occ1["max_occupancy"] == n
+
+
 def test_artifact_writer_roundtrip(tmp_path):
     """write_centroid_artifact emits an importable module with repr-exact
     doubles (bit-identical on reload)."""
