@@ -886,6 +886,19 @@ ORDER BY doc_id NULLS LAST
 register("bpe_encode_corpus", _bpe_encode_corpus, _bpe_encode_sql())
 
 
+def _r4(x: F.Column) -> F.Column:
+    """Tie-safe 4-decimal round: floor(x*1e4 + 0.5)/1e4 — the same IEEE
+    multiply/add/floor/divide on both engines (advisor r10: plain
+    F.round / DuckDB round(x, 4) is the tie-divergent construct the
+    lm_quality _r6 rule exists to avoid)."""
+    return F.floor(x * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)
+
+
+def _r4_sql(expr: str) -> str:
+    """DuckDB twin of _r4 — identical op sequence, identical doubles."""
+    return f"floor(({expr}) * 1e4 + 0.5) / 1e4"
+
+
 def _bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer FERTILITY by language: BPE tokens per whitespace word
     under the learned merges — the tokenizer-health metric a multilingual
@@ -928,11 +941,11 @@ def _bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_words",
             "n_bpe_tokens",
             "n_chars",
-            F.round(
-                F.col("n_bpe_tokens").cast("double") / F.col("n_words"), 4
+            _r4(
+                F.col("n_bpe_tokens").cast("double") / F.col("n_words")
             ).alias("fertility"),
-            F.round(
-                F.col("n_chars").cast("double") / F.col("n_bpe_tokens"), 4
+            _r4(
+                F.col("n_chars").cast("double") / F.col("n_bpe_tokens")
             ).alias("chars_per_token"),
         )
     )
@@ -977,8 +990,8 @@ agg AS (
          CAST(count(*) AS BIGINT) AS n_words,
          CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens,
          CAST(sum(n_chars) AS BIGINT) AS n_chars,
-         round(CAST(sum(n_tok) AS DOUBLE) / count(*), 4) AS fertility,
-         round(CAST(sum(n_chars) AS DOUBLE) / sum(n_tok), 4) AS chars_per_token
+         {_r4_sql("CAST(sum(n_tok) AS DOUBLE) / count(*)")} AS fertility,
+         {_r4_sql("CAST(sum(n_chars) AS DOUBLE) / sum(n_tok)")} AS chars_per_token
   FROM enc
   GROUP BY lang
 )

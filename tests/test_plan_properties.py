@@ -400,6 +400,38 @@ def test_lsh_banding_sweep_single_signature_scan(spark):
     assert plan.count("FileScan parquet") <= 2
 
 
+def test_bigram_quality_reads_documents_at_most_thrice(spark):
+    """judge r10: the registered bigram plan used to scan documents ~5×
+    (duplicated census subtree + dead backoff legs). The pruned form —
+    localCheckpointed bigram census, backoff=False fast path — reads the
+    corpus ≤ 3 times: census (materialized), score pairs, all-keys
+    doc_id spine."""
+    import __spark_entry__ as E
+
+    plan = _executed(E.queries()["bigram_logprob_quality"](spark, SF_SMOKE))
+    assert plan.count("FileScan parquet") <= 3, "bigram plan re-grew corpus scans"
+    assert "Window" not in plan
+
+
+def test_bigram_split_exercises_both_backoff_rungs(spark):
+    """The disjoint-split query must actually fire both fallback rungs —
+    nonzero unigram-backoff and ceiling-backoff pair totals — or its
+    oracle row proves nothing about the backoff arithmetic."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+
+    df = E.queries()["bigram_surprisal_split"](spark, SF_SMOKE)
+    tot = df.agg(
+        F.sum("n_seen").alias("seen"),
+        F.sum("n_unigram_backoff").alias("uni"),
+        F.sum("n_ceiling_backoff").alias("ceil"),
+    ).first()
+    assert tot["seen"] > 0
+    assert tot["uni"] > 0, "unigram rung never fired — split fixture broken"
+    assert tot["ceil"] > 0, "ceiling rung never fired — split fixture broken"
+
+
 def test_dedup_keep_policy_no_rank_window(spark):
     import __spark_entry__ as E
 

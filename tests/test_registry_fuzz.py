@@ -265,6 +265,7 @@ FUZZED_QUERIES = [
     "sequence_packing_scalable",
     "packing_fragmentation",
     "bpe_fertility_by_lang",
+    "bigram_surprisal_split",
     "quality_percentile_gate_scalable",
     "quality_threshold_sweep",
     "lang_temperature_mix",
