@@ -501,6 +501,16 @@ def main() -> None:
     session_stats = session_state_growth(spark, sf_dir, n_batches=5)
     session_state_rows_series = [s.state_rows for s in session_stats]
 
+    # ...and the fourth: watermark-bounded streaming DEDUP state (the
+    # shard sink's within_watermark mode) — plateau at ~delay/step
+    # in-horizon fingerprints instead of the full fingerprint census.
+    from kafka_topic_analyzer_spark.streaming.state_evidence import (
+        dedup_state_growth,
+    )
+
+    dedup_stats = dedup_state_growth(spark, sf_dir, n_batches=5)
+    dedup_state_rows_series = [s.state_rows for s in dedup_stats]
+
     # BPE trainer depth evidence: per-iteration seconds across the 10
     # greedy merges — the localCheckpoint cadence keeps each iteration's
     # cost flat (first vs last within noise) instead of deepening with
@@ -637,6 +647,16 @@ def main() -> None:
                 ),
                 "stream_session_state_input_rows": sum(
                     s.input_rows for s in session_stats
+                ),
+                # watermark-bounded streaming dedup (shard sink's
+                # within_watermark mode): plateau vs the full-census
+                # state exact dedup would hold
+                "stream_dedup_state_rows_per_trigger": dedup_state_rows_series,
+                "stream_dedup_state_rows_removed": sum(
+                    s.rows_removed for s in dedup_stats
+                ),
+                "stream_dedup_state_input_rows": sum(
+                    s.input_rows for s in dedup_stats
                 ),
                 "zorder_rowgroup_skips": zorder_skips,
             }

@@ -94,3 +94,32 @@ def test_session_state_plateaus(spark):
     # closed sessions genuinely leave the store as the watermark advances
     assert sum(s.rows_removed for s in stats) > 0
     assert any(s.rows_removed > 0 for s in stats[1:])
+
+
+def test_dedup_state_plateaus(spark):
+    """Watermark-bounded streaming dedup (the sink's within_watermark
+    mode): state plateaus at ~(delay/step) fingerprints instead of one
+    row per distinct fingerprint forever."""
+    from kafka_topic_analyzer_spark.sources.tables import load_table
+    from kafka_topic_analyzer_spark.streaming.state_evidence import (
+        dedup_state_growth,
+    )
+
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    stats = dedup_state_growth(spark, SF_SMOKE, n_batches=5)
+
+    assert len(stats) == 5
+    # the doubled stream's two file sources each scan the input once
+    assert sum(s.input_rows for s in stats) == 2 * n_docs
+    # state is BOUNDED at ~delay/step = 60 in-horizon fingerprints (+
+    # trigger slack), nowhere near the full fingerprint census exact
+    # dedup would hold
+    peak = max(s.state_rows for s in stats)
+    assert 0 < peak < n_docs / 2, (peak, n_docs)
+    # plateau, not growth
+    assert stats[-1].state_rows <= peak
+    early_peak = max(s.state_rows for s in stats[:3])
+    assert stats[-1].state_rows <= 2 * early_peak
+    # expiry genuinely removes fingerprints as the watermark advances
+    assert sum(s.rows_removed for s in stats) > 0
+    assert any(s.rows_removed > 0 for s in stats[1:])
