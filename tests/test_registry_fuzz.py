@@ -476,6 +476,7 @@ def fuzz_dir64(spark):
 FUZZED_QUERIES_DIM64 = [
     "knn_lsh_cosine",
     "knn_ivf_cosine",
+    "ivf_adaptive_nprobe_search",
     "embedding_near_dups_lsh",
     "semantic_dup_clusters",
     "embedding_quantization",
