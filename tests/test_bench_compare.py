@@ -95,3 +95,32 @@ def test_load_run_prefers_detail_sentinels_with_local_fallback():
     detail["ambient_sentinel_sec"] = 0.41
     run = _load_run(detail, local)
     assert run["sentinel"] == 0.41
+
+
+def test_excused_queries_are_listed_for_review():
+    """advisor r10: a query over the bar on the cpu axis but excused by a
+    larger drift on the overhead axis must still APPEAR in the artifact
+    (visibility section), even though it is not flagged."""
+    old = _run({"maybe_cpu_regression": 1.0, "stable": 1.0},
+               sentinel=0.40, overhead=0.40)
+    # cpu sentinel flat, overhead sentinel 2x; query 1.6x slower:
+    # vs cpu drift = 1.6 (> bar) but vs worst drift = 0.8 -> excused
+    new = _run({"maybe_cpu_regression": 1.6, "stable": 1.0},
+               sentinel=0.40, overhead=0.80)
+    md, flagged = compare(old, new, bar=1.3, max_spread=0.3)
+    assert flagged == []
+    assert "excused by the worst drift axis" in md
+    assert "maybe_cpu_regression" in md
+
+
+def test_noisy_over_bar_queries_are_listed_for_review():
+    """A query over the bar under EVERY axis but with spread >= the cap is
+    not flagged — but must be visible as unjudgeable, not silent."""
+    old = _run({"noisy": 1.0, "stable": 1.0},
+               spread={"noisy": 0.5, "stable": 0.05}, sentinel=0.40)
+    new = _run({"noisy": 2.0, "stable": 1.0},
+               spread={"noisy": 0.5, "stable": 0.05}, sentinel=0.40)
+    md, flagged = compare(old, new, bar=1.3, max_spread=0.3)
+    assert flagged == []
+    assert "too noisy to testify" in md
+    assert "noisy" in md

@@ -110,6 +110,14 @@ def compare(old: dict, new: dict, bar: float, max_spread: float) -> tuple[str, l
         rows.append((q, t_old, t_new, raw, norm, sp, flagged, best_norm))
 
     flagged = [r for r in rows if r[6]]
+    # advisor r10: a delta excused by the WORST axis but over the bar on
+    # the cpu axis could be a real cpu-bound regression hiding behind an
+    # unrelated overhead drift — surface those (and near-bar noisy ones)
+    # so a reviewer still sees them instead of a silent false negative
+    excused = [
+        r for r in rows if not r[6] and r[4] > bar and r[5] < max_spread
+    ]
+    noisy = [r for r in rows if not r[6] and r[7] > bar and r[5] >= max_spread]
     norms = sorted(r[4] for r in rows)
     median_norm = norms[len(norms) // 2] if norms else float("nan")
 
@@ -145,6 +153,40 @@ def compare(old: dict, new: dict, bar: float, max_spread: float) -> tuple[str, l
         lines.append("")
     else:
         lines += ["## Regression candidates", "", "None.", ""]
+
+    if excused:
+        lines += [
+            "## Over-bar on the cpu axis but excused by the worst drift axis",
+            "",
+            "Visibility list (advisor r10): these exceeded the bar after cpu-"
+            "sentinel normalization but were excused by a larger drift on "
+            "another axis — review before accepting the excuse.",
+            "",
+            "| query | old s | new s | vs cpu drift | vs worst drift | spread |",
+            "|---|---|---|---|---|---|",
+        ]
+        for q, t_old, t_new, _raw, norm, sp, _, best in sorted(
+            excused, key=lambda r: -r[4]
+        ):
+            lines.append(
+                f"| {q} | {t_old:.3f} | {t_new:.3f} | {norm:.2f} | {best:.2f} | {sp:.2f} |"
+            )
+        lines.append("")
+    if noisy:
+        lines += [
+            "## Over-bar under every axis but too noisy to testify "
+            f"(spread >= {max_spread})",
+            "",
+            "| query | old s | new s | vs cpu drift | vs worst drift | spread |",
+            "|---|---|---|---|---|---|",
+        ]
+        for q, t_old, t_new, _raw, norm, sp, _, best in sorted(
+            noisy, key=lambda r: -r[7]
+        ):
+            lines.append(
+                f"| {q} | {t_old:.3f} | {t_new:.3f} | {norm:.2f} | {best:.2f} | {sp:.2f} |"
+            )
+        lines.append("")
 
     lines += [
         "## Largest cpu-normalized movers (context, top 10 each way)",
