@@ -496,6 +496,142 @@ ORDER BY d.doc_id
 
 
 # ---------------------------------------------------------------------------
+# trigram_logprob_quality — the third perplexity-proxy rung
+# ---------------------------------------------------------------------------
+
+
+def _trigram_triples(d: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2, w3): one row per ADJACENT token triple. Pure JVM
+    expressions; docs with <3 tokens contribute no rows (left-joined back
+    to zero in the final projection)."""
+    return (
+        d.select("doc_id", _spark_ltoks().alias("t"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(t) < 3 THEN "
+                    "CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING, w3: STRING>>) "
+                    "ELSE transform(sequence(1, size(t) - 2), "
+                    "i -> struct(element_at(t, CAST(i AS INT)) AS w1, "
+                    "element_at(t, CAST(i AS INT) + 1) AS w2, "
+                    "element_at(t, CAST(i AS INT) + 2) AS w3)) END"
+                )
+            ).alias("tg"),
+        )
+        .select(
+            "doc_id",
+            F.col("tg.w1").alias("w1"),
+            F.col("tg.w2").alias("w2"),
+            F.col("tg.w3").alias("w3"),
+        )
+    )
+
+
+def _trigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean ADJACENT-triple surprisal -ln p(w3|w1,w2) under the
+    corpus trigram LM (nats) — the third perplexity-proxy rung: the
+    trigram conditional separates fluent prose from bigram-plausible
+    word salad (each adjacent pair common, the triple rare). Train =
+    score = the corpus, so every triple is seen and the score is pure
+    MLE — the same registered-form contract as bigram_logprob_quality.
+
+    Scale shape: the PRUNED census pattern from the bigram fix applied
+    from day one — one triple explode feeding a map-combinable
+    groupBy(w1, w2, w3) census, ``localCheckpoint``ed so the (w1, w2)
+    history census derives from it without a duplicated subtree; no
+    backoff legs in the train==score form; documents is read ≤ 3 times
+    (census + score triples + all-keys spine), pinned alongside the
+    bigram plan test.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tri = (
+        _trigram_triples(d)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_tri"))
+        .localCheckpoint(eager=True)
+    )
+    hist = tri.groupBy("w1", "w2").agg(F.sum("c_tri").cast("long").alias("c_hist"))
+    tsurp = tri.join(hist, ["w1", "w2"]).select(
+        "w1",
+        "w2",
+        "w3",
+        _r6(F.log(F.col("c_hist").cast("double") / F.col("c_tri")))
+        .cast("decimal(18,6)")
+        .alias("tsurp"),
+    )
+    per_doc = (
+        _trigram_triples(d)
+        .join(tsurp, ["w1", "w2", "w3"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+            F.sum("tsurp").alias("ssum"),
+            F.max("tsurp").alias("smax"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_trigrams", F.lit(0)).cast("long").alias("n_trigrams"),
+            F.coalesce(
+                _r6(F.col("ssum").cast("double") / F.col("n_trigrams")),
+                F.lit(0.0),
+            ).alias("mean_trigram_surprisal"),
+            F.coalesce(F.col("smax").cast("double"), F.lit(0.0)).alias(
+                "max_trigram_surprisal"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "trigram_logprob_quality",
+    _trigram_logprob_quality,
+    f"""
+WITH t AS (SELECT doc_id, {_LTOKS} AS toks FROM documents),
+triples AS (
+  SELECT doc_id,
+         unnest(toks[1:len(toks) - 2]) AS w1,
+         unnest(toks[2:len(toks) - 1]) AS w2,
+         unnest(toks[3:len(toks)]) AS w3
+  FROM t WHERE len(toks) >= 3
+),
+tri AS (
+  SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c_tri
+  FROM triples GROUP BY w1, w2, w3
+),
+hist AS (
+  SELECT w1, w2, CAST(sum(c_tri) AS BIGINT) AS c_hist
+  FROM tri GROUP BY w1, w2
+),
+tsurp AS (
+  SELECT w1, w2, w3,
+         CAST({_r6_sql("ln(CAST(c_hist AS DOUBLE) / c_tri)")} AS DECIMAL(18,6)) AS tsurp
+  FROM tri JOIN hist USING (w1, w2)
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_trigrams,
+         sum(tsurp) AS ssum,
+         max(tsurp) AS smax
+  FROM triples JOIN tsurp USING (w1, w2, w3)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(n_trigrams, 0) AS BIGINT) AS n_trigrams,
+       COALESCE({_r6_sql("CAST(ssum AS DOUBLE) / n_trigrams")}, 0.0) AS mean_trigram_surprisal,
+       COALESCE(CAST(smax AS DOUBLE), 0.0) AS max_trigram_surprisal
+FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+ORDER BY d.doc_id
+""",
+)
+
+
+# ---------------------------------------------------------------------------
 # bigram_surprisal_split — disjoint train/score halves, both backoff rungs
 # ---------------------------------------------------------------------------
 

@@ -617,6 +617,115 @@ ORDER BY label
 )
 
 
+EMB_DIM = 64
+
+
+def _label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between per-label embedding CENTROIDS — the
+    domain-similarity map behind mixing and clustering decisions: two
+    labels whose centroids sit at cosine ~1 are candidates for a merged
+    mixing weight (or a shared dedup pass); a label far from every other
+    is a distinct domain worth its own temperature. The per-source KL
+    query (source_unigram_kl) is the lexical twin; this is the
+    embedding-space view.
+
+    Float discipline: each element is tie-safe floor-rounded to 9 dp and
+    summed as DECIMAL(38,0) ninths (exact, order-independent) so every
+    centroid dim is the identical double on both engines; the centroid
+    cosine is then the standard sequential fold, floor-rounded to 6 dp.
+
+    Scale shape: ONE map-combinable aggregate over the corpus (64 decimal
+    sums + a count per label — no explode, no shuffle of raw vectors
+    beyond the label hash); the pairwise stage operates on nlabels rows
+    (10 here), broadcast-trivial at any corpus size.
+    """
+    from kafka_topic_analyzer_spark.functions.vectors import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def r9e(c: F.Column) -> F.Column:
+        return F.floor(c * F.lit(1e9) + F.lit(0.5)).cast("decimal(38,0)")
+
+    sums = emb.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        *[
+            F.sum(r9e(F.col("embedding")[i].cast("double"))).alias(f"s{i}")
+            for i in range(EMB_DIM)
+        ],
+    )
+    cent = sums.select(
+        "label",
+        "n_vecs",
+        F.array(
+            *[
+                F.col(f"s{i}").cast("double") / F.lit(1e9) / F.col("n_vecs")
+                for i in range(EMB_DIM)
+            ]
+        ).alias("c"),
+    )
+    a = cent.select(
+        F.col("label").alias("label_i"),
+        F.col("n_vecs").alias("n_i"),
+        F.col("c").alias("ca"),
+    )
+    b = cent.select(
+        F.col("label").alias("label_j"),
+        F.col("n_vecs").alias("n_j"),
+        F.col("c").alias("cb"),
+    )
+    cos = cosine(F.col("ca"), F.col("cb"))
+    return (
+        a.join(b, F.col("label_i") < F.col("label_j"))
+        .select(
+            "label_i",
+            "label_j",
+            "n_i",
+            "n_j",
+            F.coalesce(
+                F.floor(cos * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6), F.lit(0.0)
+            ).alias("centroid_cosine"),
+        )
+        .orderBy("label_i", "label_j")
+    )
+
+
+def _label_centroid_sql() -> str:
+    sums = ",\n         ".join(
+        f"sum(CAST(floor(CAST(embedding[{i + 1}] AS DOUBLE) * 1e9 + 0.5)"
+        f" AS DECIMAL(38,0))) AS s{i}"
+        for i in range(EMB_DIM)
+    )
+    cvec = ", ".join(f"CAST(s{i} AS DOUBLE) / 1e9 / n_vecs" for i in range(EMB_DIM))
+    return f"""
+WITH sums AS (
+  SELECT label,
+         CAST(count(*) AS BIGINT) AS n_vecs,
+         {sums}
+  FROM embeddings
+  GROUP BY label
+),
+cent AS (SELECT label, n_vecs, [{cvec}] AS c FROM sums)
+SELECT a.label AS label_i, b.label AS label_j,
+       a.n_vecs AS n_i, b.n_vecs AS n_j,
+       COALESCE(
+         floor((CASE WHEN sqrt({_dot_sql("a.c", "a.c")}) > 0
+                      AND sqrt({_dot_sql("b.c", "b.c")}) > 0
+                     THEN {_dot_sql("a.c", "b.c")}
+                          / (sqrt({_dot_sql("a.c", "a.c")}) * sqrt({_dot_sql("b.c", "b.c")}))
+                END) * 1e6 + 0.5) / 1e6,
+         0.0) AS centroid_cosine
+FROM cent a JOIN cent b ON a.label < b.label
+ORDER BY label_i, label_j
+"""
+
+
+register(
+    "label_centroid_similarity",
+    _label_centroid_similarity,
+    _label_centroid_sql(),
+)
+
+
 def _embedding_coverage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-table pipeline validation: does every document have an
     embedding vector, and are there orphan vectors? Per source: doc count,

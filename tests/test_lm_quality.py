@@ -222,6 +222,48 @@ def test_bigram_short_and_empty_docs_zero(spark, tmp_path):
     assert out[0]["mean_bigram_surprisal"] == pytest.approx(0.0, abs=1e-9)
 
 
+def test_trigram_fluent_vs_shuffled(spark, tmp_path):
+    """The trigram rung separates fluent repetition from the same tokens
+    shuffled (and strictly sharper than unigram, which is order-blind on
+    identical multisets)."""
+    from kafka_topic_analyzer_spark.queries.lm_quality import (
+        _trigram_logprob_quality,
+    )
+
+    phrase = ["the", "quick", "brown", "fox", "jumps"]
+    fluent = " ".join(phrase * 12)
+    import random
+
+    toks = phrase * 12
+    random.Random(7).shuffle(toks)
+    shuffled = " ".join(toks)
+    sf = _write_docs(tmp_path, [(0, fluent, "en", "s0"), (1, shuffled, "en", "s0")])
+
+    tri = {r["doc_id"]: r for r in _trigram_logprob_quality(spark, sf).collect()}
+    assert tri[0]["n_trigrams"] == tri[1]["n_trigrams"] == 58
+    assert tri[1]["mean_trigram_surprisal"] > tri[0]["mean_trigram_surprisal"] + 0.5
+
+
+def test_trigram_short_and_empty_docs_zero(spark, tmp_path):
+    from kafka_topic_analyzer_spark.queries.lm_quality import (
+        _trigram_logprob_quality,
+    )
+
+    sf = _write_docs(
+        tmp_path,
+        [(0, "a b c a b c", "en", "s0"), (1, "two toks", "en", "s0"), (2, "", "en", "s0")],
+    )
+    out = {r["doc_id"]: r for r in _trigram_logprob_quality(spark, sf).collect()}
+    for i in (1, 2):
+        assert out[i]["n_trigrams"] == 0
+        assert out[i]["mean_trigram_surprisal"] == 0.0
+        assert out[i]["max_trigram_surprisal"] == 0.0
+    # doc 0: triples (a b c) x2, (b c a), (c a b); every history is
+    # deterministic -> pure-MLE surprisal 0 everywhere
+    assert out[0]["n_trigrams"] == 4
+    assert out[0]["mean_trigram_surprisal"] == pytest.approx(0.0, abs=1e-9)
+
+
 def test_bigram_backoff_train_score_split(spark, tmp_path):
     """Add-nothing backoff on a disjoint train/score split: a score-side
     bigram unseen in training falls back to the trained UNIGRAM surprisal

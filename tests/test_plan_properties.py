@@ -424,6 +424,10 @@ def test_bigram_quality_reads_documents_at_most_thrice(spark):
     plan = _executed(E.queries()["bigram_logprob_quality"](spark, SF_SMOKE))
     assert plan.count("FileScan parquet") <= 3, "bigram plan re-grew corpus scans"
     assert "Window" not in plan
+    # the trigram rung is built on the same pruned-census pattern
+    plan3 = _executed(E.queries()["trigram_logprob_quality"](spark, SF_SMOKE))
+    assert plan3.count("FileScan parquet") <= 3, "trigram plan re-grew corpus scans"
+    assert "Window" not in plan3
 
 
 def test_bigram_split_exercises_both_backoff_rungs(spark):

@@ -266,6 +266,8 @@ FUZZED_QUERIES = [
     "packing_fragmentation",
     "bpe_fertility_by_lang",
     "bigram_surprisal_split",
+    "trigram_logprob_quality",
+    "dup_source_matrix",
     "quality_percentile_gate_scalable",
     "quality_threshold_sweep",
     "lang_temperature_mix",
@@ -477,6 +479,7 @@ FUZZED_QUERIES_DIM64 = [
     "knn_lsh_cosine",
     "knn_ivf_cosine",
     "ivf_adaptive_nprobe_search",
+    "label_centroid_similarity",
     "embedding_near_dups_lsh",
     "semantic_dup_clusters",
     "embedding_quantization",
