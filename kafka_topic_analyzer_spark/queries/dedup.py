@@ -472,6 +472,98 @@ ORDER BY doc_id
 )
 
 
+def _dedup_survivorship_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE dedup survivorship: how many of each source's documents
+    survive the near-dup keep policy (cluster by connected components at
+    the registered 0.7 threshold, keep the min-doc_id representative) —
+    the "who contributes unique content" provenance rollup a curation
+    owner reads next to dup_source_matrix: a source whose drop_ratio is
+    high mostly re-serves content some earlier source already
+    contributed. Every distinct source gets a row (all-keys convention —
+    zero-drop sources report 0.0).
+
+    Scale shape: the same capped-index candidates + O(log n) CC as
+    dup_cluster_assignment; the drop set is a projection of the labels
+    (cluster_id IS the kept min doc_id, so dropped = doc_id <>
+    cluster_id — no extra keep join); the rollup is one keyed left join
+    + a source-sized aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.near_dup_pairs_jaccard(docs, k=3, threshold=0.7, max_df=50)
+    edges = pairs.select(F.col("doc_i").alias("src"), F.col("doc_j").alias("dst"))
+    labels = D.connected_components(edges)
+    drops = (
+        labels.where(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+        .withColumn("_d", F.lit(1))
+    )
+    n_dropped = F.sum(F.coalesce(F.col("_d"), F.lit(0))).cast("long")
+    return (
+        docs.select("doc_id", "source")
+        .join(drops, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            n_dropped.alias("n_dropped"),
+            (F.count(F.lit(1)) - n_dropped).cast("long").alias("n_kept"),
+            (
+                F.floor(
+                    (n_dropped.cast("double") / F.count(F.lit(1))) * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("drop_ratio"),
+        )
+        .orderBy(F.asc_nulls_last("source"))
+    )
+
+
+register(
+    "dedup_survivorship_by_source",
+    _dedup_survivorship_by_source,
+    f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS shingle FROM documents
+),
+kept AS (
+  SELECT doc_id, shingle FROM sh
+  WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 50)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+p AS (
+  SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, count(*) AS shared
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+nd AS MATERIALIZED (
+  SELECT doc_i, doc_j FROM p
+  JOIN sizes sa ON sa.doc_id = doc_i
+  JOIN sizes sb ON sb.doc_id = doc_j
+  WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.7
+),
+edges AS (
+  SELECT doc_i AS src, doc_j AS dst FROM nd
+  UNION SELECT doc_j, doc_i FROM nd
+),
+reach AS (
+  SELECT src AS doc_id, src AS r FROM edges
+  UNION
+  SELECT e.src AS doc_id, reach.r FROM edges e JOIN reach ON reach.doc_id = e.dst
+),
+labels AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+drops AS (SELECT doc_id, 1 AS _d FROM labels WHERE doc_id <> cluster_id)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(COALESCE(_d, 0)) AS BIGINT) AS n_dropped,
+       CAST(count(*) - sum(COALESCE(_d, 0)) AS BIGINT) AS n_kept,
+       floor((CAST(sum(COALESCE(_d, 0)) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6 AS drop_ratio
+FROM documents d LEFT JOIN drops USING (doc_id)
+GROUP BY d.source
+ORDER BY d.source NULLS LAST
+""",
+)
+
+
 def _dedup_keep_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The decision table a dedup pass actually executes: for every
     clustered doc, WHICH copy survives. Clusters come from connected

@@ -268,6 +268,7 @@ FUZZED_QUERIES = [
     "bigram_surprisal_split",
     "trigram_logprob_quality",
     "dup_source_matrix",
+    "dedup_survivorship_by_source",
     "quality_percentile_gate_scalable",
     "quality_threshold_sweep",
     "lang_temperature_mix",
