@@ -1011,6 +1011,128 @@ ORDER BY l.lang NULLS LAST
 register("bpe_fertility_by_lang", _bpe_fertility_by_lang, _bpe_fertility_sql())
 
 
+def _zipf_fit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-fit corpus health: OLS slope/intercept of ln(frequency) on
+    ln(rank) over the token census — natural-language corpora track a
+    slope near -1; a flat slope flags template/boilerplate floods and a
+    cliff flags truncated or deduplicated-to-death vocabularies. This is
+    the corpus-level distribution monitor a pipeline reads next to the
+    per-doc surprisal gates.
+
+    Ranks come from operators/ranks.global_ranks_scalable — the
+    range-sharded row_number twin — so the vocabulary is never sorted
+    into one window task (the oracle states the same fixpoint with a
+    plain window, which DuckDB may execute however it likes). Per-term
+    regression inputs are tie-safe 9-dp rounded and summed as
+    DECIMAL(38,9) (exact, order-independent); the slope/intercept
+    divisions are the only doubles, floor-rounded to 6 dp, with the
+    degenerate <2-type corpus pinned to 0.0 on both engines.
+    """
+    from kafka_topic_analyzer_spark.operators.ranks import global_ranks_scalable
+
+    d = load_table(spark, sf_dir, "documents")
+    census = (
+        d.select(F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    ranked = global_ranks_scalable(
+        census,
+        [F.desc("cnt"), F.asc("tok")],
+        rank_col="rank",
+        total_col="n_types",
+    )
+    lx = F.log(F.col("rank").cast("double"))
+    ly = F.log(F.col("cnt").cast("double"))
+
+    def r9d(c: F.Column) -> F.Column:
+        return (F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)).cast(
+            "decimal(38,9)"
+        )
+
+    terms = ranked.select(
+        "cnt",
+        r9d(lx).alias("tx"),
+        r9d(ly).alias("ty"),
+        r9d(lx * lx).alias("txx"),
+        r9d(lx * ly).alias("txy"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.sum("tx").cast("double").alias("sx"),
+        F.sum("ty").cast("double").alias("sy"),
+        F.sum("txx").cast("double").alias("sxx"),
+        F.sum("txy").cast("double").alias("sxy"),
+    )
+    n = F.col("n_types").cast("double")
+    denom = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / denom
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+
+    def r6(c: F.Column) -> F.Column:
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    zero = F.lit(0.0)
+    return agg.select(
+        F.coalesce(F.col("n_types"), F.lit(0)).cast("long").alias("n_types"),
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.when(denom > 0, F.coalesce(r6(slope), zero)).otherwise(zero).alias(
+            "zipf_slope"
+        ),
+        F.when(denom > 0, F.coalesce(r6(intercept), zero)).otherwise(zero).alias(
+            "zipf_intercept"
+        ),
+    )
+
+
+register(
+    "zipf_fit_audit",
+    _zipf_fit_audit,
+    f"""
+WITH census AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+  GROUP BY tok
+),
+ranked AS (
+  SELECT cnt,
+         CAST(row_number() OVER (ORDER BY cnt DESC, tok ASC) AS BIGINT) AS rank
+  FROM census
+),
+terms AS (
+  SELECT cnt,
+         CAST(floor(ln(CAST(rank AS DOUBLE)) * 1e9 + 0.5) / 1e9 AS DECIMAL(38,9)) AS tx,
+         CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e9 + 0.5) / 1e9 AS DECIMAL(38,9)) AS ty,
+         CAST(floor(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE)) * 1e9 + 0.5) / 1e9 AS DECIMAL(38,9)) AS txx,
+         CAST(floor(ln(CAST(rank AS DOUBLE)) * ln(CAST(cnt AS DOUBLE)) * 1e9 + 0.5) / 1e9 AS DECIMAL(38,9)) AS txy
+  FROM ranked
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         CAST(sum(tx) AS DOUBLE) AS sx,
+         CAST(sum(ty) AS DOUBLE) AS sy,
+         CAST(sum(txx) AS DOUBLE) AS sxx,
+         CAST(sum(txy) AS DOUBLE) AS sxy
+  FROM terms
+)
+SELECT COALESCE(n_types, 0) AS n_types,
+       COALESCE(n_tokens, 0) AS n_tokens,
+       CASE WHEN CAST(n_types AS DOUBLE) * sxx - sx * sx > 0
+            THEN COALESCE(floor(((CAST(n_types AS DOUBLE) * sxy - sx * sy)
+                   / (CAST(n_types AS DOUBLE) * sxx - sx * sx)) * 1e6 + 0.5) / 1e6, 0.0)
+            ELSE 0.0 END AS zipf_slope,
+       CASE WHEN CAST(n_types AS DOUBLE) * sxx - sx * sx > 0
+            THEN COALESCE(floor(((sy - ((CAST(n_types AS DOUBLE) * sxy - sx * sy)
+                   / (CAST(n_types AS DOUBLE) * sxx - sx * sx)) * sx)
+                   / CAST(n_types AS DOUBLE)) * 1e6 + 0.5) / 1e6, 0.0)
+            ELSE 0.0 END AS zipf_intercept
+FROM agg
+""",
+)
+
+
 # ---------------------------------------------------------------------------
 # Deep BPE: production-depth training via the hybrid census->local-loop shape
 # ---------------------------------------------------------------------------

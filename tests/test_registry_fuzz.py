@@ -269,6 +269,7 @@ FUZZED_QUERIES = [
     "trigram_logprob_quality",
     "dup_source_matrix",
     "dedup_survivorship_by_source",
+    "zipf_fit_audit",
     "quality_percentile_gate_scalable",
     "quality_threshold_sweep",
     "lang_temperature_mix",
