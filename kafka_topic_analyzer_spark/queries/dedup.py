@@ -188,110 +188,6 @@ FROM g
 ORDER BY threshold
 """
 
-def _dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-SOURCE duplication matrix: near-dup pair counts per
-    unordered source pair — the provenance view behind curation decisions
-    (a source pair with a heavy off-diagonal cell is a mirror/scraper
-    relationship: dedup one against the other, or drop the copier; a
-    heavy diagonal cell is template reuse inside one source). The pair
-    set is exactly ``near_dup_pairs_jaccard`` at the registered 0.7
-    threshold, so the matrix cells sum to that query's row count.
-
-    Source order is canonical (lexicographic, NULL last) so each
-    unordered pair lands in one cell on both engines. mean_jaccard sums
-    the already-rounded 6-dp jaccards as DECIMAL (exact) and tie-safe
-    floor-rounds the final division.
-
-    Scale shape: the candidate machinery is the capped inverted index
-    (one bounded self-join); the two source lookups are keyed joins on
-    doc_id against a two-column projection; the matrix aggregate is at
-    most nsources² rows.
-    """
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = D.near_dup_pairs_jaccard(docs, k=3, threshold=0.7, max_df=50)
-    src = docs.select("doc_id", "source")
-    si = src.select(F.col("doc_id").alias("doc_i"), F.col("source").alias("s_i"))
-    sj = src.select(F.col("doc_id").alias("doc_j"), F.col("source").alias("s_j"))
-    swap = (F.col("s_i") > F.col("s_j")) | (
-        F.col("s_i").isNull() & F.col("s_j").isNotNull()
-    )
-    lab = (
-        pairs.join(si, "doc_i")
-        .join(sj, "doc_j")
-        .select(
-            F.when(swap, F.col("s_j")).otherwise(F.col("s_i")).alias("src_a"),
-            F.when(swap, F.col("s_i")).otherwise(F.col("s_j")).alias("src_b"),
-            "jaccard",
-        )
-    )
-    return (
-        lab.groupBy("src_a", "src_b")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_pairs"),
-            (
-                F.floor(
-                    (
-                        F.sum(F.col("jaccard").cast("decimal(18,6)")).cast("double")
-                        / F.count(F.lit(1))
-                    )
-                    * F.lit(1e6)
-                    + F.lit(0.5)
-                )
-                / F.lit(1e6)
-            ).alias("mean_jaccard"),
-            F.max("jaccard").alias("max_jaccard"),
-        )
-        .orderBy(F.asc_nulls_last("src_a"), F.asc_nulls_last("src_b"))
-    )
-
-
-_DUP_SOURCE_MATRIX_SQL = f"""
-WITH sh AS (
-  SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS shingle FROM documents
-),
-kept AS (
-  SELECT doc_id, shingle FROM sh
-  WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 50)
-),
-sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
-pairs AS (
-  SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, count(*) AS shared
-  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
-),
-pj AS (
-  SELECT doc_i, doc_j,
-         round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) AS jaccard
-  FROM pairs
-  JOIN sizes sa ON sa.doc_id = doc_i
-  JOIN sizes sb ON sb.doc_id = doc_j
-),
-hit AS (SELECT doc_i, doc_j, jaccard FROM pj WHERE jaccard >= 0.7),
-src AS (SELECT doc_id, source FROM documents),
-lab AS (
-  SELECT CASE WHEN si.source > sj.source
-                OR (si.source IS NULL AND sj.source IS NOT NULL)
-              THEN sj.source ELSE si.source END AS src_a,
-         CASE WHEN si.source > sj.source
-                OR (si.source IS NULL AND sj.source IS NOT NULL)
-              THEN si.source ELSE sj.source END AS src_b,
-         jaccard
-  FROM hit
-  JOIN src si ON si.doc_id = hit.doc_i
-  JOIN src sj ON sj.doc_id = hit.doc_j
-)
-SELECT src_a, src_b,
-       CAST(count(*) AS BIGINT) AS n_pairs,
-       floor((CAST(sum(CAST(jaccard AS DECIMAL(18,6))) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6 AS mean_jaccard,
-       max(jaccard) AS max_jaccard
-FROM lab
-GROUP BY src_a, src_b
-ORDER BY src_a NULLS LAST, src_b NULLS LAST
-"""
-
-register("dup_source_matrix", _dup_source_matrix, _DUP_SOURCE_MATRIX_SQL)
-
-
 register(
     "near_dup_threshold_sweep", _near_dup_threshold_sweep, _THRESHOLD_SWEEP_SQL
 )
@@ -477,7 +373,7 @@ def _dedup_survivorship_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
     survive the near-dup keep policy (cluster by connected components at
     the registered 0.7 threshold, keep the min-doc_id representative) —
     the "who contributes unique content" provenance rollup a curation
-    owner reads next to dup_source_matrix: a source whose drop_ratio is
+    owner reads next to near_dup_source_matrix: a source whose drop_ratio is
     high mostly re-serves content some earlier source already
     contributed. Every distinct source gets a row (all-keys convention —
     zero-drop sources report 0.0).
