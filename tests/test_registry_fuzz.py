@@ -267,7 +267,6 @@ FUZZED_QUERIES = [
     "bpe_fertility_by_lang",
     "bigram_surprisal_split",
     "trigram_logprob_quality",
-    "near_dup_source_matrix",
     "dedup_survivorship_by_source",
     "zipf_fit_audit",
     "quality_percentile_gate_scalable",
