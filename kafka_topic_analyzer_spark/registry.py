@@ -43,59 +43,59 @@ def register(name: str, spark_fn: Callable[[SparkSession, str], DataFrame], orac
 # commits SELFCHECK_r{N}.json, so every query has fresh evidence every round
 # even when outside the driver window.
 CHECK_PRIORITY: tuple[str, ...] = (
-    # -- round 10 rotation (tools/rotate_priority.py): the 5 new
-    # rowless queries first, then benchmark_contamination (last
-    # green r6 -- judge item 3), then the stalest r7 rows --
-    "bigram_logprob_quality",
-    "packing_fragmentation",
-    "bpe_fertility_by_lang",
-    "decontamination_manifest",
-    "ivf_cell_postings_streaming",
-    "benchmark_contamination",  # last row r6
-    "kafka_report_partition",  # last row r7
-    "kafka_report_global",  # last row r7
-    "kafka_alive_keys",  # last row r7
-    "kafka_compacted_state",  # last row r7
-    "kafka_consumer_config_audit",  # last row r7
-    "kafka_empty_topic_guard_audit",  # last row r7
-    "kafka_scan_observability_audit",  # last row r7
-    "rich_customers_per_segment",  # last row r7
-    "balance_deciles",  # last row r7
-    "monthly_order_growth",  # last row r7
-    "q6_forecast_revenue",  # last row r7
-    "q12_returnflag_priority",  # last row r7
-    "q14_promo_share",  # last row r7
-    "q4_late_ship_priority",  # last row r7
-    "q13_order_count_distribution",  # last row r7
-    "q22_idle_rich_customers",  # last row r7
-    "q17_small_quantity_revenue",  # last row r7
-    "q18_large_volume_orders",  # last row r7
-    "q19_disjunctive_revenue",  # last row r7
-    "q21_waiting_suppliers",  # last row r7
-    "doc_token_stats",  # last row r7
-    "source_quality_summary",  # last row r7
-    "lang_id_confusion",  # last row r7
-    "text_cleaning",  # last row r7
-    "compression_roundtrip_audit",  # last row r7
-    "bigram_familiarity",  # last row r7
-    "embedding_coverage_check",  # last row r7
-    "quality_percentile_gate_scalable",  # last row r7
-    "sequence_packing_scalable",  # last row r7
-    "dataset_split_summary",  # last row r7
-    "quality_weighted_sample",  # last row r7
-    "zorder_layout_audit",  # last row r7
-    "documents_quality_checks",  # last row r7
-    "embeddings_quality_checks",  # last row r7
-    "dup_graph_pagerank",  # last row r7
-    "semantic_dup_clusters",  # last row r7
-    "incremental_dedup_status",  # last row r7
-    "substring_dup_spans",  # last row r7
-    "near_dup_source_matrix",  # last row r7
-    "tfidf_cosine_pairs",  # last row r7
-    "dup_graph_triangles",  # last row r7
-    "salted_user_enrichment",  # last row r7
-    "enriched_segment_stats_streaming",  # last row r7
-    "video_frame_inventory",  # last row r7
+    # -- round 11 rotation (tools/rotate_priority.py): the 6 new
+    # rowless queries first, then the six r7 rows at the freshness
+    # bound (judge item 3), then the r8 cohort --
+    "ivf_adaptive_nprobe_search",
+    "label_centroid_similarity",
+    "dedup_survivorship_by_source",
+    "zipf_fit_audit",
+    "trigram_logprob_quality",
+    "bigram_surprisal_split",
+    "media_decode_audit",  # last row r7
+    "event_value_quantiles_audit",  # last row r7
+    "bm25_doc_ranking",  # last row r7
+    "bpe_train_merges_deep",  # last row r7
+    "bpe_encode_deep",  # last row r7
+    "bpe_encode_heldout",  # last row r7
+    "kafka_alive_keys_hll_audit",  # last row r8
+    "report_metrics_unpivot",  # last row r8
+    "event_lateness_profile",  # last row r8
+    "event_lateness_profile_scalable",  # last row r8
+    "kafka_report_rendered",  # last row r8
+    "kafka_summary_rendered",  # last row r8
+    "q1_pricing_summary",  # last row r8
+    "q3_shipping_priority",  # last row r8
+    "top3_customers_per_segment_scalable",  # last row r8
+    "balance_deciles_scalable",  # last row r8
+    "pii_redaction",  # last row r8
+    "doc_repetition_stats",  # last row r8
+    "doc_fingerprints",  # last row r8
+    "sentence_stats",  # last row r8
+    "exact_dup_summary",  # last row r8
+    "near_dup_pairs_jaccard",  # last row r8
+    "near_dup_threshold_sweep",  # last row r8
+    "knn_bruteforce_cosine",  # last row r8
+    "knn_lsh_cosine",  # last row r8
+    "knn_ivf_cosine",  # last row r8
+    "embedding_pair_stats",  # last row r8
+    "embedding_quantization",  # last row r8
+    "embedding_label_stats",  # last row r8
+    "hybrid_retrieval_rrf",  # last row r8
+    "embedding_dim_moments",  # last row r8
+    "embedding_dim_covariance",  # last row r8
+    "embedding_outliers",  # last row r8
+    "dup_cluster_assignment",  # last row r8
+    "per_group_sample_scalable",  # last row r8
+    "quality_threshold_sweep",  # last row r8
+    "lang_temperature_mix",  # last row r8
+    "minhash_signatures",  # last row r8
+    "minhash_near_dups",  # last row r8
+    "embedding_near_dup_pairs",  # last row r8
+    "embedding_near_dups_lsh",  # last row r8
+    "simhash_fingerprints",  # last row r8
+    "simhash_near_dups",  # last row r8
+    "consensus_near_dups",  # last row r8
 )
 
 
