@@ -1,0 +1,382 @@
+"""Product quantization (PQ) — memory-compressed ANN scoring.
+
+The third ANN rung after sign-LSH and IVF, and the piece that makes IVF
+viable at 100 TB: FAISS-style IndexPQ / IndexIVFPQ re-expressed for
+Spark. Each 64-dim float vector is split into M=8 contiguous 8-dim
+subvectors; each subvector is quantized to its nearest of K=16 per-
+subspace codebook entries, so a vector is stored as 8 small ints (4 bits
+of information each) instead of 64 floats — a 32-64x memory compression
+— and search scores candidates with asymmetric distance computation
+(ADC): the query precomputes its M*K table of subspace distances once,
+then every candidate costs M table lookups + M-1 adds, never touching
+raw vectors.
+
+Train/serve split mirrors the IVF quantizer lifecycle
+(operators/similarity.py): :func:`pq_train` runs deterministic per-
+subspace Lloyd k-means on a bounded sample (tools/train_pq_codebooks.py
+ships the result as the versioned artifact operators/pq_codebooks_v1.py);
+encoding and search only ever see FIXED codebooks, which is what makes
+the whole path DuckDB-mirrorable: subspace distances are the identical
+sequential IEEE-754 fold on both engines, per-term scores are tie-safe-
+rounded to 6 decimals and summed as DECIMAL(18,6) (exact integer
+arithmetic — order-independent), so codes, ADC distances and ranks all
+hash-match.
+
+Reference parity: the reference engine (a Rust Kafka CLI, ~725 LoC) has
+no ANN surface; this module is part of the LLM-pipeline extension the
+build brief makes first-class alongside SURVEY.md §2.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from kafka_topic_analyzer_spark.functions.vectors import as_double
+
+Codebooks = tuple[tuple[tuple[float, ...], ...], ...]  # M x K x DSUB
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 5,
+    max_train: int = 16384,
+) -> np.ndarray:
+    """Train per-subspace codebooks on a bounded deterministic sample.
+
+    Same discipline as :func:`operators.similarity.ivf_centroids` (what
+    FAISS does): k-means trains on ≤ max_train vectors collected in
+    vec_id order — one small collect, pure in-memory Lloyd — while
+    ENCODING stays fully distributed (:func:`pq_encode_scored`). Seeds
+    are the first k sample subvectors; empty codes keep their previous
+    centroid; assignment ties break on the lowest code (stable argmin).
+    Returns (m, k, dsub) float64.
+    """
+    sample = emb.orderBy("vec_id").limit(max_train).select("embedding").collect()
+    mat = np.array([r["embedding"] for r in sample], dtype=np.float64)
+    n, dim = mat.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    out = np.zeros((m, k, dsub))
+    for mi in range(m):
+        sub = mat[:, mi * dsub : (mi + 1) * dsub]  # n x dsub
+        cents = sub[:k].copy()  # deterministic seeds: first in id order
+        for _ in range(iters):
+            # squared L2 to each centroid; stable argmin (lowest code wins)
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            codes = np.argmin(d2, axis=1)
+            for ci in range(k):
+                members = sub[codes == ci]
+                if len(members):
+                    cents[ci] = members.mean(axis=0)
+        out[mi] = cents
+    return out
+
+
+def _pq_parts_udf(codebooks: Codebooks):
+    """Arrow-batched UDF: (codes array<int>, qerrs array<double>) per
+    vector — for each subspace the nearest FIXED code and its squared-L2
+    quantization error. Fold-deterministic: the error accumulates
+    per-dim sequentially (acc = acc + diff*diff — the identical IEEE-754
+    sequence as the DuckDB left-assoc sum of squared-difference terms,
+    same discipline as similarity._fixed_cells_udf); ties break on the
+    lowest code via stable argsort."""
+    from pyspark.sql.functions import pandas_udf
+
+    cb = np.array(codebooks, dtype=np.float64)  # m x k x dsub
+    m_sub, k_codes, dsub = cb.shape
+
+    @pandas_udf("codes array<int>, qerrs array<double>")
+    def _parts(col: pd.Series) -> pd.DataFrame:
+        if len(col) == 0:
+            return pd.DataFrame(
+                {
+                    "codes": pd.Series([], dtype=object),
+                    "qerrs": pd.Series([], dtype=object),
+                }
+            )
+        mat = np.array(col.tolist(), dtype=np.float64)  # n x dim
+        n = len(mat)
+        codes = np.zeros((n, m_sub), dtype=np.int32)
+        qerrs = np.zeros((n, m_sub))
+        for mi in range(m_sub):
+            acc = np.zeros((n, k_codes))
+            for d in range(dsub):
+                diff = mat[:, mi * dsub + d][:, None] - cb[mi, :, d][None, :]
+                acc = acc + diff * diff  # sequential == SQL left fold
+            best = np.argsort(acc, axis=1, kind="stable")[:, 0]
+            codes[:, mi] = best
+            qerrs[:, mi] = acc[np.arange(n), best]
+        return pd.DataFrame(
+            {"codes": list(codes), "qerrs": list(qerrs)}
+        )
+
+    # asNondeterministic: values ARE deterministic (SQL-mirrored); the
+    # marker stops Catalyst duplicating the UDF into pushed filters under
+    # explode — same rationale as lsh_buckets/ivf_assign
+    return _parts.asNondeterministic()
+
+
+def pq_encode_scored(df: DataFrame, codebooks: Codebooks) -> DataFrame:
+    """Attach ``codes`` (array<int>, length M, subspace order) and
+    ``qerrs`` (array<double>, per-subspace squared-L2 quantization
+    error). ONE distributed pass; the struct is evaluated once in its
+    own projection then field-extracted (the materialize-then-getField
+    discipline from ivf_assign_fixed_scored)."""
+    parts_udf = _pq_parts_udf(codebooks)
+    return (
+        df.select("*", parts_udf(as_double(F.col("embedding"))).alias("_pq"))
+        .select(
+            "*",
+            F.col("_pq.codes").alias("codes"),
+            F.col("_pq.qerrs").alias("qerrs"),
+        )
+        .drop("_pq")
+    )
+
+
+def pq_adc_table_udf(codebooks: Codebooks):
+    """Arrow-batched UDF: the query's flattened ADC table — array<double>
+    of length M*K where entry m*K + k is the squared-L2 distance between
+    the query's m-th subvector and codebook[m][k]. Same sequential
+    per-dim fold as :func:`_pq_parts_udf`, so a query's distance to a
+    candidate's code equals the candidate's own quantization error when
+    query == candidate (the ADC identity the tests pin)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cb = np.array(codebooks, dtype=np.float64)
+    m_sub, k_codes, dsub = cb.shape
+
+    @pandas_udf("array<double>")
+    def _table(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.array(col.tolist(), dtype=np.float64)
+        n = len(mat)
+        out = np.zeros((n, m_sub * k_codes))
+        for mi in range(m_sub):
+            acc = np.zeros((n, k_codes))
+            for d in range(dsub):
+                diff = mat[:, mi * dsub + d][:, None] - cb[mi, :, d][None, :]
+                acc = acc + diff * diff
+            out[:, mi * k_codes : (mi + 1) * k_codes] = acc
+        return pd.Series(list(out))
+
+    return _table.asNondeterministic()
+
+
+def _adc_dist(m_sub: int, k_codes: int) -> F.Column:
+    """The ADC score as a column expression over ``qdt`` (the query's
+    flattened table) and ``codes`` (the candidate's code array): an
+    UNROLLED M-term sum of table lookups — pure JVM expressions, stays
+    in whole-stage codegen, no higher-order functions. Each term is
+    tie-safe-rounded to 6 decimals and cast DECIMAL(18,6) before the
+    sum, so the total is exact integer arithmetic: bit-identical on
+    Spark and DuckDB regardless of evaluation order."""
+    terms = []
+    for mi in range(m_sub):
+        raw = F.element_at(
+            F.col("qdt"),
+            (F.lit(mi * k_codes + 1) + F.element_at(F.col("codes"), mi + 1)).cast(
+                "int"
+            ),
+        )
+        r6 = F.floor(raw * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+        terms.append(r6.cast("decimal(18,6)"))
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return total
+
+
+def knn_pq_adc(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: Codebooks,
+    k: int = 5,
+) -> DataFrame:
+    """PQ full-scan ADC top-k: the compressed-domain baseline (what
+    IndexPQ does). One corpus pass computes codes; queries (small by
+    contract) broadcast their M*K ADC tables; every candidate is scored
+    with M lookups + M-1 decimal adds — the corpus' raw vectors are
+    never touched after encoding, which is the entire point at 100 TB
+    (the 8-int code column is what a production deployment would
+    persist; the scan reads ~1/32nd of the bytes the exact re-rank
+    paths read). Returns (query_id, rank, neighbor_id, adist), adist
+    ascending squared-L2 estimate, ranked on the exact decimal sum with
+    neighbor-id tiebreak."""
+    m_sub, k_codes = len(codebooks), len(codebooks[0])
+    c = pq_encode_scored(corpus, codebooks).select(
+        F.col("vec_id").alias("neighbor_id"), "codes"
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        pq_adc_table_udf(codebooks)(as_double(F.col("embedding"))).alias("qdt"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _adc_dist(m_sub, k_codes).alias("adist_dec"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adist_dec"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.col("adist_dec").cast("double").alias("adist"),
+        )
+    )
+
+
+def ivfpq_index(
+    corpus: DataFrame,
+    centroids: tuple[tuple[float, ...], ...],
+    codebooks: Codebooks,
+) -> DataFrame:
+    """The IndexIVFPQ build: ONE corpus pass producing
+    (vec_id, cell, codes) — coarse cell for candidate pruning, PQ codes
+    for compressed scoring. Both UDFs batch over the same scan (the plan
+    test pins FileScan == 1); this row set (2 ints + 8 small ints per
+    vector) IS the index a 100 TB deployment persists, partitioned by
+    cell."""
+    from kafka_topic_analyzer_spark.operators.similarity import _fixed_cells_udf
+
+    cells_udf = _fixed_cells_udf(centroids, nprobe=1)
+    parts_udf = _pq_parts_udf(codebooks)
+    return (
+        corpus.select(
+            "vec_id",
+            cells_udf(as_double(F.col("embedding"))).alias("_cells"),
+            parts_udf(as_double(F.col("embedding"))).alias("_pq"),
+        )
+        .select(
+            "vec_id",
+            F.element_at("_cells", 1).alias("cell"),
+            F.col("_pq.codes").alias("codes"),
+        )
+    )
+
+
+def knn_ivfpq_adc(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: tuple[tuple[float, ...], ...],
+    codebooks: Codebooks,
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF + PQ composed (FAISS IndexIVFPQ, the workhorse of production
+    billion-vector serving): IVF cells prune candidates to ~nprobe/nlist
+    of the corpus, ADC scores the survivors in the compressed domain.
+    Per query the work is nprobe cell-posting scans of 8-int codes — no
+    raw corpus vector is read at search time.
+
+    No ``distinct`` after the cell join: the corpus side is assigned
+    with nprobe=1, so each neighbor lives in exactly one cell and a
+    (query, neighbor) pair can match at most once — unlike the
+    multi-table LSH union, the IVF candidate set is duplicate-free by
+    construction. Returns (query_id, rank, neighbor_id, adist)."""
+    from kafka_topic_analyzer_spark.operators.similarity import ivf_assign_fixed
+
+    m_sub, k_codes = len(codebooks), len(codebooks[0])
+    idx = ivfpq_index(corpus, centroids, codebooks).select(
+        F.col("vec_id").alias("neighbor_id"), "cell", "codes"
+    )
+    qb = ivf_assign_fixed(queries, centroids, nprobe=nprobe).select(
+        F.col("vec_id").alias("query_id"), "cell"
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        pq_adc_table_udf(codebooks)(as_double(F.col("embedding"))).alias("qdt"),
+    )
+    scored = (
+        idx.join(F.broadcast(qb), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _adc_dist(m_sub, k_codes).alias("adist_dec"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adist_dec"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.col("adist_dec").cast("double").alias("adist"),
+        )
+    )
+
+
+def knn_pq_refined(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: Codebooks,
+    k: int = 5,
+    shortlist: int = 50,
+) -> DataFrame:
+    """ADC shortlist + exact re-rank (FAISS IndexRefineFlat over
+    IndexPQ): the compressed scan proposes ``shortlist`` candidates per
+    query, then exact squared-L2 re-ranks just those — so raw vectors
+    are read for shortlist*queries rows instead of the whole corpus.
+    This is the deployment answer to PQ's lossy ranking on isotropic
+    data (measured here: ADC rank-recall@5 ~0.14 on sf0.001 embeddings
+    whose within-label variance is 98% of global — near the quantizer
+    worst case — while the 50-shortlist CONTAINS 0.58+ of the exact
+    top-5, which the refine step then surfaces in order).
+
+    Exact distance = dot(q,q) - 2*dot(q,c) + dot(c,c), every dot the
+    engine-portable sequential fold, tie-safe-rounded to 6 dp; ranked
+    (dist ASC, neighbor_id ASC). Returns (query_id, rank, neighbor_id,
+    dist)."""
+    from kafka_topic_analyzer_spark.functions.vectors import dot, pair_dot_udf
+
+    short = knn_pq_adc(corpus, queries, codebooks, k=shortlist).select(
+        "query_id", "neighbor_id"
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        dot(F.col("embedding"), F.col("embedding")).alias("qq"),
+    )
+    c = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        dot(F.col("embedding"), F.col("embedding")).alias("cc"),
+    )
+    l2 = (
+        F.col("qq")
+        - F.lit(2.0) * pair_dot_udf(F.col("q_emb"), F.col("c_emb"))
+        + F.col("cc")
+    )
+    scored = (
+        short.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.floor(l2 * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("dist"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "dist")
+    )

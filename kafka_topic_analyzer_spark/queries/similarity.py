@@ -1240,3 +1240,345 @@ ORDER BY z2_score DESC, vec_id ASC
 LIMIT {OUTLIER_TOP_K}
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (operators/pq.py) — the compressed-domain ANN rung.
+# Codebooks are a checked-in training artifact (operators/pq_codebooks_v1.py,
+# tools/train_pq_codebooks.py — the same train/serve split as the IVF
+# quantizer), so encoding and ADC search are fully DuckDB-mirrorable:
+# subspace distances are the identical sequential fold on both engines,
+# per-term ADC scores are tie-safe-rounded and summed as DECIMAL(18,6).
+# ---------------------------------------------------------------------------
+
+
+def _pq_dist_sql(mi: int, ki: int, emb: str = "embedding") -> str:
+    """Squared L2 between subvector ``mi`` of ``emb`` and codebook entry
+    (mi, ki): a left-assoc sum of squared-difference terms — the same
+    IEEE-754 sequence as the numpy per-dim accumulation in
+    operators/pq._pq_parts_udf."""
+    from kafka_topic_analyzer_spark.operators.pq_codebooks_v1 import CODEBOOKS, DSUB
+
+    terms = []
+    for j, c in enumerate(CODEBOOKS[mi][ki]):
+        e = f"CAST({emb}[{mi * DSUB + j + 1}] AS DOUBLE)"
+        terms.append(f"({e} - {repr(float(c))}) * ({e} - {repr(float(c))})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _pq_parts_structs() -> str:
+    """All M*K (m, k, d) structs for one vector — the unnest body the
+    codes/census CTEs rank per (vec, m)."""
+    from kafka_topic_analyzer_spark.operators.pq_codebooks_v1 import K, M
+
+    return ", ".join(
+        f"{{'m': {mi}, 'k': {ki}, 'd': {_pq_dist_sql(mi, ki)}}}"
+        for mi in range(M)
+        for ki in range(K)
+    )
+
+
+def _pq_codes_ctes() -> str:
+    """CTE chain producing codes(vec_id, codes LIST) — nearest code per
+    subspace, ties to the lowest code, list ordered by subspace."""
+    return f"""
+parts AS (SELECT vec_id, unnest([{_pq_parts_structs()}]) AS u FROM embeddings),
+best AS (
+  SELECT vec_id, u.m AS m, u.k AS k, u.d AS d,
+         row_number() OVER (PARTITION BY vec_id, u.m
+              ORDER BY u.d ASC, u.k ASC) AS rk
+  FROM parts
+),
+codes AS (
+  SELECT vec_id, list(k ORDER BY m) AS codes FROM best WHERE rk = 1 GROUP BY vec_id
+)"""
+
+
+def _pq_qdt_sql() -> str:
+    """The query-side ADC table as a 128-entry list literal (m-major,
+    each entry tie-safe-rounded to 6 dp and cast DECIMAL(18,6) — the
+    mirror of the per-term rounding operators/pq._adc_dist applies after
+    lookup; rounding is elementwise so the order doesn't matter)."""
+    from kafka_topic_analyzer_spark.operators.pq_codebooks_v1 import K, M
+
+    entries = ", ".join(
+        f"CAST(floor({_pq_dist_sql(mi, ki)} * 1e6 + 0.5) / 1e6 AS DECIMAL(18,6))"
+        for mi in range(M)
+        for ki in range(K)
+    )
+    return f"[{entries}]"
+
+
+def _pq_adc_sum_sql() -> str:
+    """The M-term ADC lookup sum over ``qdt`` (query table) and ``codes``
+    (candidate codes) — DuckDB lists are 1-based."""
+    from kafka_topic_analyzer_spark.operators.pq_codebooks_v1 import K, M
+
+    return " + ".join(f"qdt[{mi * K} + codes[{mi + 1}] + 1]" for mi in range(M))
+
+
+def _pq_code_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebook health: per (subspace, code) assignment counts and
+    quantization-error stats over the FULL M*K spine — dead codes
+    (n_assigned = 0) are wasted quantizer capacity exactly like empty IVF
+    cells (the ivf_quantizer_drift_audit analogy), and a code whose
+    mean_qerr runs hot marks a drifted subspace. The re-cut trigger for
+    tools/train_pq_codebooks.py.
+
+    Scale shape: ONE encode scan (FileScan == 1, pinned), an M*K-sized
+    map-combinable aggregate, a 128-row spine join — nothing corpus-sized
+    leaves the aggregate. Decimal-exact error sums (parity rules).
+    """
+    from kafka_topic_analyzer_spark.operators import pq as PQ
+    from kafka_topic_analyzer_spark.operators.pq_codebooks_v1 import CODEBOOKS, K, M
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    enc = PQ.pq_encode_scored(emb, CODEBOOKS)
+    pairs = enc.select(
+        F.posexplode(F.arrays_zip("codes", "qerrs")).alias("m", "z")
+    ).select(
+        F.col("m").cast("int").alias("m"),
+        F.col("z.codes").cast("int").alias("code"),
+        (
+            F.floor(F.col("z.qerrs") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+        ).cast("decimal(18,6)").alias("qerr"),
+    )
+    census = pairs.groupBy("m", "code").agg(
+        F.count(F.lit(1)).cast("long").alias("n_assigned"),
+        F.sum("qerr").alias("errs"),
+        F.max("qerr").alias("maxe"),
+    )
+    spine = (
+        spark.range(M)
+        .select(F.col("id").cast("int").alias("m"))
+        .crossJoin(spark.range(K).select(F.col("id").cast("int").alias("code")))
+    )
+    return (
+        spine.join(census, ["m", "code"], "left")
+        .select(
+            "m",
+            "code",
+            F.coalesce("n_assigned", F.lit(0)).cast("long").alias("n_assigned"),
+            F.coalesce(
+                F.floor(
+                    (F.col("errs").cast("double") / F.col("n_assigned")) * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6),
+                F.lit(0.0),
+            ).alias("mean_qerr"),
+            F.coalesce(F.col("maxe").cast("double"), F.lit(0.0)).alias("max_qerr"),
+        )
+        .orderBy("m", "code")
+    )
+
+
+def _pq_code_census_sql() -> str:
+    from kafka_topic_analyzer_spark.operators.pq_codebooks_v1 import K, M
+
+    return f"""
+WITH {_pq_codes_ctes().split("codes AS")[0]}
+rounded AS (
+  SELECT vec_id, m, k,
+         CAST(floor(d * 1e6 + 0.5) / 1e6 AS DECIMAL(18,6)) AS qerr
+  FROM best WHERE rk = 1
+),
+census AS (
+  SELECT m, k AS code,
+         CAST(count(*) AS BIGINT) AS n_assigned,
+         sum(qerr) AS errs,
+         max(qerr) AS maxe
+  FROM rounded GROUP BY m, k
+),
+spine AS (
+  SELECT CAST(t1.range AS INT) AS m, CAST(t2.range AS INT) AS code
+  FROM range(0, {M}) t1, range(0, {K}) t2
+)
+SELECT spine.m, spine.code,
+       CAST(COALESCE(n_assigned, 0) AS BIGINT) AS n_assigned,
+       COALESCE(floor((CAST(errs AS DOUBLE) / n_assigned) * 1e6 + 0.5) / 1e6,
+                0.0) AS mean_qerr,
+       COALESCE(CAST(maxe AS DOUBLE), 0.0) AS max_qerr
+FROM spine LEFT JOIN census ON spine.m = census.m AND spine.code = census.code
+ORDER BY spine.m, spine.code
+"""
+
+
+register("pq_code_census", _pq_code_census, _pq_code_census_sql())
+
+
+def _knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-domain full-scan ANN (FAISS IndexPQ): candidates are
+    scored from 8 small-int codes via the query's precomputed ADC table —
+    the corpus' raw vectors are never read at search time. The PQ
+    baseline the IVF+PQ composition prunes."""
+    from kafka_topic_analyzer_spark.operators import pq as PQ
+    from kafka_topic_analyzer_spark.operators.pq_codebooks_v1 import CODEBOOKS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return PQ.knn_pq_adc(emb, queries, CODEBOOKS, k=TOP_K)
+
+
+def _knn_pq_adc_sql() -> str:
+    return f"""
+WITH {_pq_codes_ctes()},
+qdt AS (
+  SELECT vec_id AS query_id, {_pq_qdt_sql()} AS qdt
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         {_pq_adc_sum_sql()} AS adist_dec
+  FROM codes c CROSS JOIN qdt
+  WHERE c.vec_id <> query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adist_dec,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY adist_dec ASC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, CAST(adist_dec AS DOUBLE) AS adist
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+register("knn_pq_adc", _knn_pq_adc, _knn_pq_adc_sql())
+
+
+def _knn_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production billion-vector serving shape (FAISS IndexIVFPQ):
+    IVF cells prune candidates to ~nprobe/nlist of the corpus, PQ/ADC
+    scores the survivors in the compressed domain. The index — one corpus
+    pass producing (vec_id, cell, codes) — is what a 100 TB deployment
+    persists; search never touches raw corpus vectors."""
+    from kafka_topic_analyzer_spark.operators import pq as PQ
+    from kafka_topic_analyzer_spark.operators.ivf_centroids_v1 import CENTROIDS
+    from kafka_topic_analyzer_spark.operators.pq_codebooks_v1 import CODEBOOKS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return PQ.knn_ivfpq_adc(
+        emb, queries, CENTROIDS, CODEBOOKS, k=TOP_K, nprobe=IVF_NPROBE
+    )
+
+
+def _knn_ivfpq_adc_sql() -> str:
+    from kafka_topic_analyzer_spark.operators.ivf_centroids_v1 import NLIST
+
+    structs = ", ".join(
+        f"{{'cell': {ci}, 'sim': {_ivf_sim_sql(ci)}}}" for ci in range(NLIST)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding,
+         sqrt({_dot_sql("embedding", "embedding")}) AS qn
+  FROM embeddings
+),
+exploded AS (
+  SELECT vec_id, unnest([{structs}]) AS u FROM base
+),
+cells AS (
+  SELECT vec_id, u.cell AS cell,
+         row_number() OVER (PARTITION BY vec_id
+              ORDER BY u.sim DESC, u.cell ASC) AS rk
+  FROM exploded
+),
+cb AS (SELECT vec_id AS neighbor_id, cell FROM cells WHERE rk = 1),
+qb AS (SELECT vec_id AS query_id, cell FROM cells
+       WHERE rk <= {IVF_NPROBE} AND vec_id < {N_QUERIES}),
+{_pq_codes_ctes().lstrip()},
+qdt AS (
+  SELECT vec_id AS query_id, {_pq_qdt_sql()} AS qdt
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+cands AS (
+  SELECT query_id, neighbor_id
+  FROM cb JOIN qb USING (cell)
+  WHERE neighbor_id <> query_id
+),
+scored AS (
+  SELECT query_id, neighbor_id, {_pq_adc_sum_sql()} AS adist_dec
+  FROM cands
+  JOIN codes c ON c.vec_id = neighbor_id
+  JOIN qdt USING (query_id)
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adist_dec,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY adist_dec ASC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, CAST(adist_dec AS DOUBLE) AS adist
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+register("knn_ivfpq_adc", _knn_ivfpq_adc, _knn_ivfpq_adc_sql())
+
+
+PQ_SHORTLIST = 50
+
+
+def _knn_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC shortlist + exact re-rank (FAISS IndexRefineFlat): the
+    compressed scan proposes PQ_SHORTLIST candidates, exact squared-L2
+    re-ranks just those — raw vectors are read for shortlist*queries
+    rows only. The deployment answer to PQ's lossy ranking on isotropic
+    embeddings (operators/pq.knn_pq_refined docstring has the measured
+    recall ladder)."""
+    from kafka_topic_analyzer_spark.operators import pq as PQ
+    from kafka_topic_analyzer_spark.operators.pq_codebooks_v1 import CODEBOOKS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return PQ.knn_pq_refined(
+        emb, queries, CODEBOOKS, k=TOP_K, shortlist=PQ_SHORTLIST
+    )
+
+
+def _knn_pq_refined_sql() -> str:
+    sq_l2 = (
+        f"({_dot_sql('q.embedding', 'q.embedding')}"
+        f" - 2 * {_dot_sql('q.embedding', 'c2.embedding')}"
+        f" + {_dot_sql('c2.embedding', 'c2.embedding')})"
+    )
+    return f"""
+WITH {_pq_codes_ctes()},
+qdt AS (
+  SELECT vec_id AS query_id, {_pq_qdt_sql()} AS qdt
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+adc AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         {_pq_adc_sum_sql()} AS adist_dec
+  FROM codes c CROSS JOIN qdt
+  WHERE c.vec_id <> query_id
+),
+short AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                    ORDER BY adist_dec ASC, neighbor_id ASC) AS rk
+        FROM adc)
+  WHERE rk <= {PQ_SHORTLIST}
+),
+exact AS (
+  SELECT s.query_id, s.neighbor_id,
+         floor({sq_l2} * 1e6 + 0.5) / 1e6 AS dist
+  FROM short s
+  JOIN embeddings q ON q.vec_id = s.query_id
+  JOIN embeddings c2 ON c2.vec_id = s.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, dist,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY dist ASC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM exact
+)
+SELECT query_id, rank, neighbor_id, dist FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+register("knn_pq_refined", _knn_pq_refined, _knn_pq_refined_sql())

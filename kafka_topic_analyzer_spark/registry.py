@@ -43,9 +43,14 @@ def register(name: str, spark_fn: Callable[[SparkSession, str], DataFrame], orac
 # commits SELFCHECK_r{N}.json, so every query has fresh evidence every round
 # even when outside the driver window.
 CHECK_PRIORITY: tuple[str, ...] = (
-    # -- round 11 rotation (tools/rotate_priority.py): the 6 new
-    # rowless queries first, then the six r7 rows at the freshness
-    # bound (judge item 3), then the r8 cohort --
+    # -- round 11 rotation (tools/rotate_priority.py): the 10 new
+    # rowless queries first (6 from the round's first block + the 4
+    # PQ queries), then the six r7 rows at the freshness bound
+    # (judge item 3), then the r8 cohort --
+    "pq_code_census",
+    "knn_pq_adc",
+    "knn_ivfpq_adc",
+    "knn_pq_refined",
     "ivf_adaptive_nprobe_search",
     "label_centroid_similarity",
     "dedup_survivorship_by_source",

@@ -527,3 +527,50 @@ def test_media_decode_audit_single_scan(spark):
     assert plan.count("FileScan parquet") == 1
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") == 2
+
+
+def test_pq_census_single_corpus_scan(spark):
+    """PQ codebook census: one encode pass over embeddings — the M*K
+    aggregate and the 128-row spine must not re-scan the corpus."""
+    import __spark_entry__ as E
+
+    plan = _executed(E.queries()["pq_code_census"](spark, SF_SMOKE))
+    assert plan.count("FileScan parquet") == 1, "census re-grew corpus scans"
+
+
+def test_ivfpq_index_build_is_one_pass(spark):
+    """The IndexIVFPQ build (cell + codes) must batch both UDFs over a
+    single corpus scan — the index a 100 TB deployment persists is ONE
+    read of the raw vectors."""
+    from kafka_topic_analyzer_spark.operators.ivf_centroids_v1 import CENTROIDS
+    from kafka_topic_analyzer_spark.operators.pq import ivfpq_index
+    from kafka_topic_analyzer_spark.operators.pq_codebooks_v1 import CODEBOOKS
+    from kafka_topic_analyzer_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    plan = _executed(ivfpq_index(emb, CENTROIDS, CODEBOOKS))
+    assert plan.count("FileScan parquet") == 1, "index build must be one pass"
+
+
+def test_pq_adc_search_plan_shape(spark):
+    """knn_pq_adc: corpus codes + broadcast query tables — two scans of
+    the embeddings file (corpus pass + the 10-row query side), broadcast
+    join, and the only Window is the query-bounded rank (partitioned by
+    query_id, never corpus-wide)."""
+    import __spark_entry__ as E
+
+    plan = _executed(E.queries()["knn_pq_adc"](spark, SF_SMOKE))
+    assert plan.count("FileScan parquet") <= 2
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "query side must broadcast"
+
+
+def test_ivfpq_search_no_extra_corpus_scans(spark):
+    """knn_ivfpq_adc: index build (1 corpus scan) + query-side cells and
+    ADC tables (the filtered 10-row side; ≤ 2 scans) — the search itself
+    adds no further corpus reads because scoring runs on codes only."""
+    import __spark_entry__ as E
+
+    plan = _executed(E.queries()["knn_ivfpq_adc"](spark, SF_SMOKE))
+    assert plan.count("FileScan parquet") <= 3, "ivfpq search re-reads corpus"
+    assert "SortMergeJoin" not in plan, "cell/query joins must broadcast"

@@ -480,6 +480,10 @@ FUZZED_QUERIES_DIM64 = [
     "knn_lsh_cosine",
     "knn_ivf_cosine",
     "ivf_adaptive_nprobe_search",
+    "pq_code_census",
+    "knn_pq_adc",
+    "knn_ivfpq_adc",
+    "knn_pq_refined",
     "label_centroid_similarity",
     "embedding_near_dups_lsh",
     "semantic_dup_clusters",

@@ -1,0 +1,69 @@
+"""One-off generator for the checked-in PQ codebook constants.
+
+Trains deterministic per-subspace k-means (operators/pq.pq_train) on the
+sf0.01 embeddings and writes the codebooks as a Python module of
+``repr``-exact double literals. Encoding + ADC search then run against
+these FIXED codebooks (operators/pq.pq_encode_scored / knn_pq_adc),
+which is what makes the PQ queries DuckDB-mirrorable: the oracle inlines
+the same literals and reproduces every subspace distance bit-for-bit.
+
+Same lifecycle as the IVF quantizer (tools/train_ivf_centroids.py):
+the codebook is a training ARTIFACT, versioned and shipped with the
+index — re-run this tool to cut a new version when the corpus
+distribution shifts.
+
+Usage: python tools/train_pq_codebooks.py [sf_dir] [out.py]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = (
+    sys.argv[2]
+    if len(sys.argv) > 2
+    else "kafka_topic_analyzer_spark/operators/pq_codebooks_v1.py"
+)
+M, K, ITERS = 8, 16, 5
+
+
+def main() -> None:
+    from kafka_topic_analyzer_spark.operators.pq import pq_train
+    from kafka_topic_analyzer_spark.session import get_spark
+    from kafka_topic_analyzer_spark.sources.tables import load_table
+
+    spark = get_spark("train-pq")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cb = pq_train(emb, m=M, k=K, iters=ITERS)
+    m, k, dsub = cb.shape
+    lines = [
+        '"""Fixed PQ codebooks (generated artifact).',
+        "",
+        f"Trained by tools/train_pq_codebooks.py on {SF_DIR} embeddings",
+        f"(m={M} subspaces, k={K} codes, iters={ITERS}, deterministic",
+        "seeds/ties — see operators/pq.pq_train). repr-exact doubles so",
+        'Spark and the DuckDB oracle parse identical IEEE-754 values."""',
+        "",
+        f"M = {m}",
+        f"K = {k}",
+        f"DSUB = {dsub}",
+        "",
+        "CODEBOOKS: tuple[tuple[tuple[float, ...], ...], ...] = (",
+    ]
+    for mi in range(m):
+        lines.append("    (")
+        for ki in range(k):
+            vals = ", ".join(repr(float(v)) for v in cb[mi, ki])
+            lines.append(f"        ({vals}),")
+        lines.append("    ),")
+    lines.append(")")
+    with open(OUT, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {OUT}: {m} x {k} x {dsub} codebooks")
+
+
+if __name__ == "__main__":
+    main()
