@@ -454,6 +454,127 @@ def main() -> None:
             "sec": round(a_sec, 3),
         }
 
+    # PQ/ADC economics: exact squared-L2 truth (PQ's native metric),
+    # raw-ADC vs shortlist-refined recall@10, and the compressed-index
+    # footprint — the 100 TB argument is that search reads CODES, so the
+    # bytes ratio between the raw embedding column and the IVF+PQ index
+    # (array codes, and the 8-codes-in-one-int64 packed form) is the
+    # measured scan-volume reduction a deployment buys.
+    from kafka_topic_analyzer_spark.functions.vectors import (
+        dot as _vdot,
+        pair_dot_udf as _pair_dot,
+    )
+    from kafka_topic_analyzer_spark.operators.pq import (
+        ivfpq_index as _ivfpq_index,
+        knn_pq_adc as _knn_pq_adc,
+        knn_pq_refined as _knn_pq_refined,
+    )
+    from kafka_topic_analyzer_spark.operators.pq_codebooks_v1 import (
+        CODEBOOKS as _PQ_CB,
+    )
+    from pyspark.sql import Window as _W
+
+    t0 = time.perf_counter()
+    _q = ivf_queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _vdot(F.col("embedding"), F.col("embedding")).alias("qq"),
+    )
+    _c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        _vdot(F.col("embedding"), F.col("embedding")).alias("cc"),
+    )
+    _l2 = (
+        F.col("qq")
+        - F.lit(2.0) * _pair_dot(F.col("q_emb"), F.col("c_emb"))
+        + F.col("cc")
+    )
+    _wl2 = _W.partitionBy("query_id").orderBy(F.asc("d"), F.asc("neighbor_id"))
+    l2_truth = (
+        _c.crossJoin(F.broadcast(_q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", _l2.alias("d"))
+        .withColumn("rank", F.row_number().over(_wl2))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    n_l2_truth = l2_truth.count()
+    pq_brute_l2_sec = time.perf_counter() - t0
+
+    pq_ladder = {}
+    t0 = time.perf_counter()
+    _adc = (
+        _knn_pq_adc(emb, ivf_queries, _PQ_CB, k=10)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    _adc.count()
+    _adc_sec = time.perf_counter() - t0
+    pq_ladder["adc_at_10"] = {
+        "recall": round(
+            l2_truth.join(_adc, ["query_id", "neighbor_id"]).count()
+            / max(n_l2_truth, 1),
+            4,
+        ),
+        "sec": round(_adc_sec, 3),
+    }
+    t0 = time.perf_counter()
+    _ref = (
+        _knn_pq_refined(emb, ivf_queries, _PQ_CB, k=10, shortlist=50)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    _ref.count()
+    _ref_sec = time.perf_counter() - t0
+    pq_ladder["refined_short50_at_10"] = {
+        "recall": round(
+            l2_truth.join(_ref, ["query_id", "neighbor_id"]).count()
+            / max(n_l2_truth, 1),
+            4,
+        ),
+        "sec": round(_ref_sec, 3),
+    }
+
+    import pathlib
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as _td:
+        emb.select("vec_id", "embedding").write.mode("overwrite").parquet(
+            _td + "/raw"
+        )
+        _idx = _ivfpq_index(emb, IVF_V1_CENTROIDS, _PQ_CB)
+        _idx.write.mode("overwrite").parquet(_td + "/idx")
+        _packed_codes = _idx.select(
+            "vec_id",
+            "cell",
+            sum(
+                F.shiftleft(F.element_at("codes", mi + 1).cast("bigint"), 8 * mi)
+                for mi in range(len(_PQ_CB))
+            ).alias("codes_packed"),
+        )
+        _packed_codes.write.mode("overwrite").parquet(_td + "/packed")
+
+        def _pq_bytes(sub: str) -> int:
+            return sum(
+                f.stat().st_size
+                for f in pathlib.Path(_td + sub).rglob("*.parquet")
+            )
+
+        raw_b, idx_b, packed_b = (
+            _pq_bytes("/raw"),
+            _pq_bytes("/idx"),
+            _pq_bytes("/packed"),
+        )
+    pq_footprint = {
+        "raw_embedding_bytes": raw_b,
+        "ivfpq_index_bytes": idx_b,
+        "ivfpq_packed_bytes": packed_b,
+        "compression_ratio": round(raw_b / max(idx_b, 1), 2),
+        "compression_ratio_packed": round(raw_b / max(packed_b, 1), 2),
+    }
+
     # Quantizer re-cut loop evidence (judge r9 item 7): the canonical
     # drifted corpus (v -> 0.6v + 0.5) under the serving v1 artifact vs
     # the committed re-cut v2 (tools/ivf_recut.py). Two assignment scans
@@ -668,6 +789,12 @@ def main() -> None:
                 # drifted-corpus occupancy under serving v1 vs re-cut v2:
                 # the closed drift loop's before/after
                 "ivf_recut_skew": ivf_recut,
+                # PQ/ADC vs exact-L2: raw-ADC and shortlist-refined
+                # recall@10 with per-path seconds, and the measured
+                # compressed-index footprint (array + packed codes)
+                "pq_recall_ladder": pq_ladder,
+                "pq_bruteforce_l2_sec": round(pq_brute_l2_sec, 3),
+                "pq_index_footprint": pq_footprint,
                 "stream_state_rows_per_trigger": state_rows_series,
                 "stream_state_rows_removed": sum(s.rows_removed for s in state_stats),
                 "stream_state_input_rows": sum(s.input_rows for s in state_stats),

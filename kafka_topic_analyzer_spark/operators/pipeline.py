@@ -308,3 +308,61 @@ def packed_offsets_scalable(
         .withColumn("token_start", F.col("_base") + F.col("_local"))
         .drop("_shard", "_local", "_base", "_bp", "_bs")
     )
+
+
+def chunk_documents(
+    docs: DataFrame, chunk_size: int = 64, overlap: int = 16
+) -> DataFrame:
+    """Split each document into overlapping token windows — the
+    training/RAG prep operator between cleaning and packing: fixed-size
+    chunks with `overlap` tokens of left context carried into each
+    successor so no boundary-spanning n-gram is lost.
+
+    Deterministic chunk rule: stride = chunk_size - overlap; chunk
+    starts are 0, stride, 2*stride, ... while start <= n_tokens -
+    overlap - 1 (so a final all-overlap chunk is never emitted); a doc
+    with 0 < n_tokens <= chunk_size yields exactly one chunk; an empty
+    doc yields none. chunk_id = start/stride.
+
+    Returns (doc_id, chunk_id, start_tok, n_tokens, chunk_fp) where
+    chunk_fp = md5 of the space-joined chunk tokens — the hash proves
+    chunk CONTENT, not just boundaries.
+
+    Scale shape: pure JVM expressions (tokenize, sequence, slice, md5)
+    in one map stage — no shuffle, no UDF; chunk rows are ~(1 +
+    1/stride-overlap-factor)x the corpus tokens, produced scan-side
+    exactly where a 100 TB chunking job wants them.
+    """
+    from kafka_topic_analyzer_spark.functions.text import tokens
+
+    stride = chunk_size - overlap
+    t = tokens(F.lower(F.col("text")))
+    starts = F.when(
+        F.size(F.col("_t")) == 0, F.array().cast("array<int>")
+    ).otherwise(
+        F.expr(
+            f"transform(sequence(0, greatest(size(_t) - {overlap} - 1, 0),"
+            f" {stride}), x -> CAST(x AS INT))"
+        )
+    )
+    return (
+        docs.select("doc_id", t.alias("_t"))
+        .select(
+            "doc_id",
+            "_t",
+            F.posexplode(starts).alias("chunk_id", "start_tok"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.col("start_tok").cast("int").alias("start_tok"),
+            F.expr(f"slice(_t, start_tok + 1, {chunk_size})").alias("_c"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            "start_tok",
+            F.size("_c").cast("int").alias("n_tokens"),
+            F.md5(F.array_join("_c", " ")).alias("chunk_fp"),
+        )
+    )

@@ -1582,3 +1582,38 @@ SELECT query_id, rank, neighbor_id, dist FROM ranked WHERE rank <= {TOP_K}
 
 
 register("knn_pq_refined", _knn_pq_refined, _knn_pq_refined_sql())
+
+
+def _pq_code_census_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PQ codebook-health ingest (streaming/ivf_stream.py):
+    encode-on-arrival under the serving codebooks, per-(subspace, code)
+    census as M*K-row streaming aggregation state. The oracle is the
+    batch encode aggregated the same way — count AND sum(vec_id), so the
+    hash proves code membership, not just occupancy. Only observed codes
+    appear (the batch spine query pq_code_census covers dead-code
+    visibility)."""
+    from kafka_topic_analyzer_spark.streaming.ivf_stream import (
+        streaming_pq_code_census,
+    )
+
+    return streaming_pq_code_census(spark, sf_dir)
+
+
+def _pq_census_streaming_sql() -> str:
+    return f"""
+WITH {_pq_codes_ctes().split("codes AS")[0]}
+assigned AS (SELECT vec_id, m, k AS code FROM best WHERE rk = 1)
+SELECT CAST(m AS INT) AS m, CAST(code AS INT) AS code,
+       CAST(count(*) AS BIGINT) AS n_assigned,
+       CAST(sum(vec_id) AS BIGINT) AS sum_vec_id
+FROM assigned
+GROUP BY m, code
+ORDER BY m, code
+"""
+
+
+register(
+    "pq_code_census_streaming",
+    _pq_code_census_streaming,
+    _pq_census_streaming_sql(),
+)

@@ -1623,3 +1623,146 @@ ORDER BY source
 
 
 register("bpe_encode_heldout", _bpe_encode_heldout, _bpe_encode_heldout_sql())
+
+
+# ---------------------------------------------------------------------------
+# Training-prep token geometry: chunking, padding economics, vocab coverage
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE, CHUNK_OVERLAP = 64, 16  # stride 48
+
+
+def _doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (operators/pipeline.py
+    chunk_documents): the prep step between cleaning and packing for
+    training (and the retrieval unit for RAG). The md5 chunk fingerprint
+    makes the driver hash prove chunk CONTENT — boundaries, overlap
+    carry-in, and the final-short-chunk rule all at once. The CHARACTER
+    window twin (RAG retrieval units sized in chars) is doc_chunking
+    (queries/curation.py); this is the token-geometry form a trainer
+    packs from."""
+    from kafka_topic_analyzer_spark.operators.pipeline import chunk_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_documents(d, CHUNK_SIZE, CHUNK_OVERLAP).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+def _doc_chunking_sql() -> str:
+    from kafka_topic_analyzer_spark.queries.lm_quality import _LTOKS
+
+    stride = CHUNK_SIZE - CHUNK_OVERLAP
+    return f"""
+WITH t AS (SELECT doc_id, {_LTOKS} AS toks FROM documents),
+starts AS (
+  SELECT doc_id, toks,
+         unnest(CASE WHEN len(toks) = 0 THEN []
+                ELSE generate_series(0, greatest(len(toks) - {CHUNK_OVERLAP} - 1, 0),
+                                     {stride}) END) AS start_tok
+  FROM t
+),
+chunks AS (
+  SELECT doc_id,
+         CAST(start_tok // {stride} AS INT) AS chunk_id,
+         CAST(start_tok AS INT) AS start_tok,
+         toks[start_tok + 1 : least(start_tok + {CHUNK_SIZE}, len(toks))] AS c
+  FROM starts
+)
+SELECT doc_id, chunk_id, start_tok,
+       CAST(len(c) AS INT) AS n_tokens,
+       md5(array_to_string(c, ' ')) AS chunk_fp
+FROM chunks
+ORDER BY doc_id, chunk_id
+"""
+
+
+register("token_window_chunking", _doc_chunking, _doc_chunking_sql())
+
+
+_PAD_BUCKETS = [2**i for i in range(0, 17)]  # 1 .. 65536
+
+
+def _bucket_case_spark(n: F.Column) -> F.Column:
+    """Smallest power-of-two bucket >= n via an explicit integer CASE
+    ladder — no log2/pow floats whose last ulp could differ by engine."""
+    expr = F.when(n == 0, F.lit(0))
+    for b in _PAD_BUCKETS:
+        expr = expr.when(n <= b, F.lit(b))
+    return expr.otherwise(F.lit(-1)).cast("int")
+
+
+def _bucket_case_sql(n: str) -> str:
+    whens = " ".join(f"WHEN {n} <= {b} THEN {b}" for b in _PAD_BUCKETS)
+    return f"CAST(CASE WHEN {n} = 0 THEN 0 {whens} ELSE -1 END AS INT)"
+
+
+def _padding_waste_by_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batching economics: bucket every document's token length to the
+    next power of two (what a bucketed-batching trainer pads to) and
+    report the padding waste per bucket — the fraction of computed
+    tokens that would be pad. The decision input for choosing bucket
+    boundaries / sequence-packing over naive padding (the packed
+    pipeline's sequence_packing_scalable is the waste-free alternative
+    this query quantifies the need for).
+
+    Scale: one tokenize + doc-sized map, one bucket-keyed aggregate
+    (map-side combinable, ≤ 18 groups). Integer CASE ladder — no float
+    log2 in the bucket rule."""
+    from kafka_topic_analyzer_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    n = F.size(tokens(F.lower(F.col("text")))).cast("long")
+    per = d.select(_bucket_case_spark(n).alias("bucket"), n.alias("n_tok"))
+    from kafka_topic_analyzer_spark.queries.lm_quality import _r6
+
+    return (
+        per.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("sum_tokens"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "sum_tokens",
+            (F.col("bucket").cast("long") * F.col("n_docs")).alias(
+                "padded_tokens"
+            ),
+            F.when(F.col("bucket") <= 0, F.lit(0.0))
+            .otherwise(
+                _r6(
+                    F.lit(1.0)
+                    - F.col("sum_tokens").cast("double")
+                    / (F.col("bucket").cast("double") * F.col("n_docs"))
+                )
+            )
+            .alias("waste_ratio"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _padding_waste_sql() -> str:
+    from kafka_topic_analyzer_spark.queries.lm_quality import _LTOKS, _r6_sql
+
+    return f"""
+WITH per AS (
+  SELECT {_bucket_case_sql(f"len({_LTOKS})")} AS bucket,
+         CAST(len({_LTOKS}) AS BIGINT) AS n_tok
+  FROM documents
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+       CAST(bucket AS BIGINT) * count(*) AS padded_tokens,
+       CASE WHEN bucket <= 0 THEN 0.0
+            ELSE {_r6_sql("1.0 - CAST(sum(n_tok) AS DOUBLE) / (CAST(bucket AS DOUBLE) * count(*))")}
+       END AS waste_ratio
+FROM per
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+register("padding_waste_by_bucket", _padding_waste_by_bucket, _padding_waste_sql())

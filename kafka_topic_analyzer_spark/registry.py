@@ -48,6 +48,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # PQ queries), then the six r7 rows at the freshness bound
     # (judge item 3), then the r8 cohort --
     "pq_code_census",
+    "pq_code_census_streaming",
+    "token_window_chunking",
+    "padding_waste_by_bucket",
     "knn_pq_adc",
     "knn_ivfpq_adc",
     "knn_pq_refined",

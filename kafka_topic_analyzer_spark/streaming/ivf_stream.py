@@ -69,3 +69,36 @@ def streaming_ivf_cell_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("cell", "n_vectors", "sum_vec_id").orderBy(
         "cell"
     )
+
+
+def streaming_pq_code_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of pq_code_census: new embeddings are PQ-encoded
+    micro-batch by micro-batch under the serving codebooks (operators/
+    pq_codebooks_v1.py — the encode UDF is a stateless Arrow-batched
+    projection, so it runs unchanged on a streaming frame) and the
+    per-(subspace, code) assignment census is a complete-mode streaming
+    aggregation whose state is M*K rows — 128, constant in corpus size.
+
+    On a real deployment this census is the codebook-health metadata the
+    re-cut trigger (tools/train_pq_codebooks.py) watches online, exactly
+    as the IVF postings census feeds the adaptive-nprobe cost model.
+    Count AND sum(vec_id) per code, so the hash proves code MEMBERSHIP.
+    """
+    from kafka_topic_analyzer_spark.operators.pq import pq_encode_scored
+    from kafka_topic_analyzer_spark.operators.pq_codebooks_v1 import CODEBOOKS
+
+    prepare_session(spark)
+    enc = pq_encode_scored(embeddings_stream(spark, sf_dir), CODEBOOKS)
+    pairs = enc.select(
+        "vec_id", F.posexplode("codes").alias("m", "code")
+    ).select(F.col("m").cast("int"), F.col("code").cast("int"), "vec_id")
+    counts = pairs.groupBy("m", "code").agg(
+        F.count(F.lit(1)).cast("long").alias("n_assigned"),
+        F.sum("vec_id").cast("long").alias("sum_vec_id"),
+    )
+    name = run_bounded_memory_stream(counts, spark, "complete", "ckpt_pq_")
+    return (
+        spark.table(name)
+        .select("m", "code", "n_assigned", "sum_vec_id")
+        .orderBy("m", "code")
+    )

@@ -843,3 +843,67 @@ def test_histogram_gate_is_a_true_by_value_gate(spark):
 
         assert len(k) >= math.ceil(len(rows) / 4), (lang, len(k), len(rows))
         assert len(k) < max(len(rows) / 2, 2), (lang, len(k), len(rows))
+
+
+def test_token_window_chunking_rules(spark):
+    """Pin the chunk rule on constructed docs: empty -> no chunks;
+    n <= chunk_size -> one chunk; boundary n = chunk_size + 1 -> two
+    chunks with exactly `overlap` shared tokens; no all-overlap tail."""
+    from kafka_topic_analyzer_spark.operators.pipeline import chunk_documents
+
+    toks = lambda n: " ".join(f"t{i}" for i in range(n))
+    docs = spark.createDataFrame(
+        [
+            (0, ""),                 # empty: no chunks
+            (1, toks(5)),            # tiny: one chunk of 5
+            (2, toks(64)),           # exact fit: one chunk
+            (3, toks(65)),           # boundary: two chunks (48-start)
+            (4, toks(48 + 16)),      # n = stride + overlap: ONE chunk
+            (5, toks(150)),          # multi-chunk
+        ],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, 64, 16).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 0 not in by_doc
+    assert [c["n_tokens"] for c in by_doc[1]] == [5]
+    assert [c["n_tokens"] for c in by_doc[2]] == [64]
+    assert [(c["start_tok"], c["n_tokens"]) for c in by_doc[3]] == [
+        (0, 64),
+        (48, 17),
+    ]
+    # n = 64 exactly equals chunk span but ALSO stride+overlap: one chunk
+    assert [(c["start_tok"], c["n_tokens"]) for c in by_doc[4]] == [(0, 64)]
+    # 150 tokens: starts 0, 48, 96 cover all; start 144 would leave
+    # 150-144=6 fresh tokens -> emitted; rule: start <= n-overlap-1=133
+    assert [c["start_tok"] for c in by_doc[5]] == [0, 48, 96]
+    # coverage: last chunk must reach the final token
+    last = by_doc[5][-1]
+    assert last["start_tok"] + last["n_tokens"] == 150
+    # chunk ids are dense and fingerprints unique per doc
+    for d, cs in by_doc.items():
+        assert [c["chunk_id"] for c in cs] == list(range(len(cs)))
+        assert len({c["chunk_fp"] for c in cs}) == len(cs)
+
+
+def test_padding_waste_bucket_rule(spark):
+    """Bucket = smallest power of two >= n_tok (0 stays 0); waste is the
+    padded fraction. Constructed lengths hit bucket edges exactly."""
+    import __spark_entry__ as E  # noqa: F401  (registration side effect)
+    from kafka_topic_analyzer_spark.queries.terms import (
+        _bucket_case_spark,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0,), (1,), (2,), (3,), (4,), (5,), (63,), (64,), (65,)], "n long"
+    )
+    got = [
+        r["b"]
+        for r in df.select(_bucket_case_spark(F.col("n")).alias("b"))
+        .orderBy("n")
+        .collect()
+    ]
+    assert got == [0, 1, 2, 4, 4, 8, 64, 64, 128]

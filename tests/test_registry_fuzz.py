@@ -281,6 +281,8 @@ FUZZED_QUERIES = [
     "pii_redaction",
     "sentence_stats",
     "doc_chunking",
+    "token_window_chunking",
+    "padding_waste_by_bucket",
     "corpus_summary",
     "source_quality_summary",
     "lang_id_confusion",
@@ -481,6 +483,7 @@ FUZZED_QUERIES_DIM64 = [
     "knn_ivf_cosine",
     "ivf_adaptive_nprobe_search",
     "pq_code_census",
+    "pq_code_census_streaming",
     "knn_pq_adc",
     "knn_ivfpq_adc",
     "knn_pq_refined",
