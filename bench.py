@@ -536,6 +536,40 @@ def main() -> None:
         ),
         "sec": round(_ref_sec, 3),
     }
+    # raw-codebook vs residual-codebook IVF+PQ at the same nprobe: the
+    # residual form's recall delta is what training on coarse residuals
+    # buys (its tighter mean qerr is pinned by test_pq.py)
+    from kafka_topic_analyzer_spark.operators.ivf_centroids_v1 import (
+        CENTROIDS as _IVF_CB,
+    )
+    from kafka_topic_analyzer_spark.operators.pq import (
+        knn_ivfpq_adc as _knn_ivfpq_adc,
+        knn_ivfpq_residual_adc as _knn_ivfpq_res,
+    )
+    from kafka_topic_analyzer_spark.operators.pq_codebooks_res_v1 import (
+        CODEBOOKS as _PQ_RES_CB,
+    )
+
+    for _name, _fn, _cb in (
+        ("ivfpq_np4_at_10", _knn_ivfpq_adc, _PQ_CB),
+        ("ivfpq_residual_np4_at_10", _knn_ivfpq_res, _PQ_RES_CB),
+    ):
+        t0 = time.perf_counter()
+        _g = (
+            _fn(emb, ivf_queries, _IVF_CB, _cb, k=10, nprobe=4)
+            .select("query_id", "neighbor_id")
+            .localCheckpoint(eager=True)
+        )
+        _g.count()
+        _g_sec = time.perf_counter() - t0
+        pq_ladder[_name] = {
+            "recall": round(
+                l2_truth.join(_g, ["query_id", "neighbor_id"]).count()
+                / max(n_l2_truth, 1),
+                4,
+            ),
+            "sec": round(_g_sec, 3),
+        }
 
     import pathlib
     import tempfile

@@ -58,6 +58,16 @@ def pq_train(
     """
     sample = emb.orderBy("vec_id").limit(max_train).select("embedding").collect()
     mat = np.array([r["embedding"] for r in sample], dtype=np.float64)
+    return pq_train_mat(mat, m=m, k=k, iters=iters)
+
+
+def pq_train_mat(
+    mat: np.ndarray, m: int = 8, k: int = 16, iters: int = 5
+) -> np.ndarray:
+    """In-memory per-subspace Lloyd on an (n, dim) sample matrix — the
+    core :func:`pq_train` delegates to, split out so the RESIDUAL
+    trainer (tools/train_pq_residual_codebooks.py) can feed it
+    coarse-quantizer residuals instead of raw vectors."""
     n, dim = mat.shape
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
@@ -379,4 +389,171 @@ def knn_pq_refined(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "dist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Residual IVF+PQ — what FAISS IndexIVFPQ actually encodes: the PQ codes
+# quantize the RESIDUAL x - centroid[cell(x)], not x itself. Residuals
+# concentrate around 0 with less variance than raw vectors, so the same
+# codebook budget buys a tighter quantization error; the cost is that the
+# query's ADC table becomes per-(query, probed cell) instead of per-query.
+# ---------------------------------------------------------------------------
+
+
+def _residual_parts_udf(
+    centroids: tuple[tuple[float, ...], ...], codebooks: Codebooks
+):
+    """One-pass index UDF: (cell, codes, qerrs) where codes quantize the
+    residual against the assigned coarse centroid. Cell assignment is
+    bit-identical to similarity._fixed_cells_udf (sequential per-dim
+    fold, stable argsort, zero-norm -> cell 0); the residual is one
+    elementwise float64 subtract, then the standard sequential
+    squared-diff fold per (subspace, code)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from kafka_topic_analyzer_spark.operators.similarity import centroid_norms
+
+    c = np.array(centroids, dtype=np.float64)
+    cn = np.array(centroid_norms(centroids), dtype=np.float64)
+    cb = np.array(codebooks, dtype=np.float64)
+    m_sub, k_codes, dsub = cb.shape
+
+    @pandas_udf("cell int, codes array<int>, qerrs array<double>")
+    def _parts(col: pd.Series) -> pd.DataFrame:
+        if len(col) == 0:
+            return pd.DataFrame(
+                {
+                    "cell": pd.Series([], dtype="int32"),
+                    "codes": pd.Series([], dtype=object),
+                    "qerrs": pd.Series([], dtype=object),
+                }
+            )
+        mat = np.array(col.tolist(), dtype=np.float64)
+        n = len(mat)
+        dots = np.zeros((n, c.shape[0]))
+        qacc = np.zeros(n)
+        for d in range(mat.shape[1]):
+            dots += np.outer(mat[:, d], c[:, d])  # sequential == left fold
+            qacc = qacc + mat[:, d] * mat[:, d]
+        qn = np.sqrt(qacc)
+        ok = (qn[:, None] > 0) & (cn[None, :] > 0)
+        sims = np.where(ok, dots / np.where(ok, qn[:, None] * cn[None, :], 1.0), 0.0)
+        cells = np.argsort(-sims, axis=1, kind="stable")[:, 0].astype(np.int32)
+        res = mat - c[cells]  # elementwise float64: mirrors SQL x - c_j
+        codes = np.zeros((n, m_sub), dtype=np.int32)
+        qerrs = np.zeros((n, m_sub))
+        for mi in range(m_sub):
+            acc = np.zeros((n, k_codes))
+            for d in range(dsub):
+                diff = res[:, mi * dsub + d][:, None] - cb[mi, :, d][None, :]
+                acc = acc + diff * diff
+            best = np.argsort(acc, axis=1, kind="stable")[:, 0]
+            codes[:, mi] = best
+            qerrs[:, mi] = acc[np.arange(n), best]
+        return pd.DataFrame(
+            {"cell": cells, "codes": list(codes), "qerrs": list(qerrs)}
+        )
+
+    return _parts.asNondeterministic()
+
+
+def ivfpq_residual_index(
+    corpus: DataFrame,
+    centroids: tuple[tuple[float, ...], ...],
+    codebooks: Codebooks,
+) -> DataFrame:
+    """Residual IndexIVFPQ build: ONE corpus pass producing
+    (vec_id, cell, codes) with codes over the coarse residual."""
+    parts_udf = _residual_parts_udf(centroids, codebooks)
+    return (
+        corpus.select(
+            "vec_id", parts_udf(as_double(F.col("embedding"))).alias("_rp")
+        )
+        .select(
+            "vec_id",
+            F.col("_rp.cell").alias("cell"),
+            F.col("_rp.codes").alias("codes"),
+        )
+    )
+
+
+def pq_residual_qdt_udf(
+    centroids: tuple[tuple[float, ...], ...], codebooks: Codebooks
+):
+    """Per-(query, probed cell) ADC table: the query's residual against
+    THAT cell's centroid, folded into the M*K distance table. Two-column
+    UDF (embedding, cell) — the probed-cell rows are queries x nprobe,
+    tiny by contract, computed then broadcast."""
+    from pyspark.sql.functions import pandas_udf
+
+    c = np.array(centroids, dtype=np.float64)
+    cb = np.array(codebooks, dtype=np.float64)
+    m_sub, k_codes, dsub = cb.shape
+
+    @pandas_udf("array<double>")
+    def _table(emb: pd.Series, cell: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.array(emb.tolist(), dtype=np.float64)
+        res = mat - c[cell.to_numpy(dtype=np.int64)]
+        n = len(mat)
+        out = np.zeros((n, m_sub * k_codes))
+        for mi in range(m_sub):
+            acc = np.zeros((n, k_codes))
+            for d in range(dsub):
+                diff = res[:, mi * dsub + d][:, None] - cb[mi, :, d][None, :]
+                acc = acc + diff * diff
+            out[:, mi * k_codes : (mi + 1) * k_codes] = acc
+        return pd.Series(list(out))
+
+    return _table.asNondeterministic()
+
+
+def knn_ivfpq_residual_adc(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: tuple[tuple[float, ...], ...],
+    codebooks: Codebooks,
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Residual IVF+PQ search: candidates from the probed cells, ADC
+    against the per-(query, cell) residual table. Join keys are
+    (cell, query) on bare ints; the corpus side carries only codes —
+    same compressed-domain property as knn_ivfpq_adc, better quantization
+    (the residual census' mean_qerr vs the raw census' is the measured
+    gap; tests pin it). Returns (query_id, rank, neighbor_id, adist)."""
+    from kafka_topic_analyzer_spark.operators.similarity import ivf_assign_fixed
+
+    m_sub, k_codes = len(codebooks), len(codebooks[0])
+    idx = ivfpq_residual_index(corpus, centroids, codebooks).select(
+        F.col("vec_id").alias("neighbor_id"), "cell", "codes"
+    )
+    qdt_rows = ivf_assign_fixed(queries, centroids, nprobe=nprobe).select(
+        F.col("vec_id").alias("query_id"),
+        "cell",
+        pq_residual_qdt_udf(centroids, codebooks)(
+            as_double(F.col("embedding")), F.col("cell")
+        ).alias("qdt"),
+    )
+    scored = (
+        idx.join(F.broadcast(qdt_rows), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _adc_dist(m_sub, k_codes).alias("adist_dec"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adist_dec"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.col("adist_dec").cast("double").alias("adist"),
+        )
     )

@@ -1252,16 +1252,20 @@ LIMIT {OUTLIER_TOP_K}
 # ---------------------------------------------------------------------------
 
 
-def _pq_dist_sql(mi: int, ki: int, emb: str = "embedding") -> str:
+def _pq_dist_sql(mi: int, ki: int, emb: str = "embedding", cb=None) -> str:
     """Squared L2 between subvector ``mi`` of ``emb`` and codebook entry
     (mi, ki): a left-assoc sum of squared-difference terms — the same
     IEEE-754 sequence as the numpy per-dim accumulation in
-    operators/pq._pq_parts_udf."""
-    from kafka_topic_analyzer_spark.operators.pq_codebooks_v1 import CODEBOOKS, DSUB
+    operators/pq._pq_parts_udf. ``cb`` defaults to the raw-vector v1
+    codebooks; the residual query passes the residual artifact."""
+    if cb is None:
+        from kafka_topic_analyzer_spark.operators.pq_codebooks_v1 import CODEBOOKS
 
+        cb = CODEBOOKS
+    dsub = len(cb[0][0])
     terms = []
-    for j, c in enumerate(CODEBOOKS[mi][ki]):
-        e = f"CAST({emb}[{mi * DSUB + j + 1}] AS DOUBLE)"
+    for j, c in enumerate(cb[mi][ki]):
+        e = f"CAST({emb}[{mi * dsub + j + 1}] AS DOUBLE)"
         terms.append(f"({e} - {repr(float(c))}) * ({e} - {repr(float(c))})")
     return "(" + " + ".join(terms) + ")"
 
@@ -1616,4 +1620,131 @@ register(
     "pq_code_census_streaming",
     _pq_code_census_streaming,
     _pq_census_streaming_sql(),
+)
+
+
+def _centroid_case_sql(cell_col: str) -> str:
+    """The coarse centroid as a list literal selected by a 16-way CASE on
+    ``cell_col`` — the SQL form of numpy's c[cells] row pick in the
+    residual UDF."""
+    from kafka_topic_analyzer_spark.operators.ivf_centroids_v1 import CENTROIDS
+
+    whens = " ".join(
+        f"WHEN {ci} THEN {_centroid_list_sql(CENTROIDS[ci])}"
+        for ci in range(len(CENTROIDS))
+    )
+    return f"(CASE {cell_col} {whens} END)"
+
+
+def _knn_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF+PQ (what FAISS IndexIVFPQ actually encodes): the PQ
+    codes quantize x - centroid[cell(x)] under the serving coarse
+    quantizer, against codebooks trained on residuals
+    (operators/pq_codebooks_res_v1.py). Residuals concentrate around 0,
+    so the same 8x16 codebook budget quantizes tighter than the raw-
+    vector form (tests pin the mean-qerr gap); the ADC table becomes
+    per-(query, probed cell) — still queries x nprobe rows, broadcast."""
+    from kafka_topic_analyzer_spark.operators import pq as PQ
+    from kafka_topic_analyzer_spark.operators.ivf_centroids_v1 import CENTROIDS
+    from kafka_topic_analyzer_spark.operators.pq_codebooks_res_v1 import (
+        CODEBOOKS as RES_CB,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return PQ.knn_ivfpq_residual_adc(
+        emb, queries, CENTROIDS, RES_CB, k=TOP_K, nprobe=IVF_NPROBE
+    )
+
+
+def _knn_ivfpq_residual_sql() -> str:
+    from kafka_topic_analyzer_spark.operators.ivf_centroids_v1 import NLIST
+    from kafka_topic_analyzer_spark.operators.pq_codebooks_res_v1 import (
+        CODEBOOKS as RES_CB,
+        K as RES_K,
+        M as RES_M,
+    )
+
+    structs = ", ".join(
+        f"{{'cell': {ci}, 'sim': {_ivf_sim_sql(ci)}}}" for ci in range(NLIST)
+    )
+    res_parts = ", ".join(
+        f"{{'m': {mi}, 'k': {ki}, 'd': {_pq_dist_sql(mi, ki, emb='res', cb=RES_CB)}}}"
+        for mi in range(RES_M)
+        for ki in range(RES_K)
+    )
+    qdt_entries = ", ".join(
+        f"CAST(floor({_pq_dist_sql(mi, ki, emb='res', cb=RES_CB)} * 1e6 + 0.5)"
+        f" / 1e6 AS DECIMAL(18,6))"
+        for mi in range(RES_M)
+        for ki in range(RES_K)
+    )
+    adc_sum = " + ".join(
+        f"qdt[{mi * RES_K} + codes[{mi + 1}] + 1]" for mi in range(RES_M)
+    )
+    residual = (
+        "list_transform(e.embedding, (x, i) ->"
+        f" CAST(x AS DOUBLE) - {_centroid_case_sql('cl.cell')}[i])"
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding,
+         sqrt({_dot_sql("embedding", "embedding")}) AS qn
+  FROM embeddings
+),
+exploded AS (
+  SELECT vec_id, unnest([{structs}]) AS u FROM base
+),
+cells AS (
+  SELECT vec_id, u.cell AS cell,
+         row_number() OVER (PARTITION BY vec_id
+              ORDER BY u.sim DESC, u.cell ASC) AS rk
+  FROM exploded
+),
+cb AS (SELECT vec_id, cell FROM cells WHERE rk = 1),
+cres AS (
+  SELECT e.vec_id, cl.cell, {residual} AS res
+  FROM embeddings e JOIN cb cl ON e.vec_id = cl.vec_id
+),
+parts AS (SELECT vec_id, unnest([{res_parts}]) AS u FROM cres),
+best AS (
+  SELECT vec_id, u.m AS m, u.k AS k, u.d AS d,
+         row_number() OVER (PARTITION BY vec_id, u.m
+              ORDER BY u.d ASC, u.k ASC) AS rk
+  FROM parts
+),
+codes AS (
+  SELECT vec_id, list(k ORDER BY m) AS codes FROM best WHERE rk = 1 GROUP BY vec_id
+),
+idx AS (
+  SELECT c.vec_id AS neighbor_id, cl.cell, c.codes
+  FROM codes c JOIN cb cl ON c.vec_id = cl.vec_id
+),
+qsel AS (SELECT vec_id AS query_id, cell FROM cells
+         WHERE rk <= {IVF_NPROBE} AND vec_id < {N_QUERIES}),
+qres AS (
+  SELECT cl.query_id, cl.cell, {residual} AS res
+  FROM embeddings e JOIN qsel cl ON e.vec_id = cl.query_id
+),
+qdt AS (SELECT query_id, cell, [{qdt_entries}] AS qdt FROM qres),
+scored AS (
+  SELECT query_id, neighbor_id, {adc_sum} AS adist_dec
+  FROM idx JOIN qdt USING (cell)
+  WHERE neighbor_id <> query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adist_dec,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY adist_dec ASC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, CAST(adist_dec AS DOUBLE) AS adist
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+register(
+    "knn_ivfpq_residual_adc",
+    _knn_ivfpq_residual,
+    _knn_ivfpq_residual_sql(),
 )

@@ -53,6 +53,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "padding_waste_by_bucket",
     "knn_pq_adc",
     "knn_ivfpq_adc",
+    "knn_ivfpq_residual_adc",
     "knn_pq_refined",
     "ivf_adaptive_nprobe_search",
     "label_centroid_similarity",

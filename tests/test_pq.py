@@ -210,3 +210,64 @@ def test_pq_census_accounts_every_vector(spark):
         if r["n_assigned"] == 0:
             assert r["mean_qerr"] == 0.0 and r["max_qerr"] == 0.0
     assert set(per_m.values()) == {n_vecs}
+
+
+def test_residual_quantization_is_tighter(spark):
+    """The residual-PQ value proposition: with the same 8x16 budget,
+    codebooks trained on coarse residuals quantize tighter than raw-
+    vector codebooks — corpus mean summed qerr must drop. (Recall is
+    measured in bench; this is the invariant that holds regardless of
+    query-set noise.)"""
+    from pyspark.sql import functions as F
+
+    from kafka_topic_analyzer_spark.functions.vectors import as_double
+    from kafka_topic_analyzer_spark.operators.pq import _residual_parts_udf
+    from kafka_topic_analyzer_spark.operators.pq_codebooks_res_v1 import (
+        CODEBOOKS as RES_CB,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    raw_err = (
+        pq_encode_scored(emb, CODEBOOKS)
+        .select(
+            F.expr(
+                "aggregate(qerrs, CAST(0 AS DOUBLE), (a, x) -> a + x)"
+            ).alias("e")
+        )
+        .agg(F.avg("e"))
+        .first()[0]
+    )
+    res_udf = _residual_parts_udf(CENTROIDS, RES_CB)
+    res_err = (
+        emb.select(res_udf(as_double(F.col("embedding"))).alias("_rp"))
+        .select(
+            F.expr(
+                "aggregate(_rp.qerrs, CAST(0 AS DOUBLE), (a, x) -> a + x)"
+            ).alias("e")
+        )
+        .agg(F.avg("e"))
+        .first()[0]
+    )
+    assert res_err < raw_err, f"residual qerr {res_err} !< raw {raw_err}"
+
+
+def test_residual_index_cells_match_ivf_assignment(spark):
+    """The residual index's cell column must be bit-identical to the
+    serving ivf_assign_fixed assignment — one UDF computing both halves
+    cannot drift from the two-UDF batch path."""
+    from kafka_topic_analyzer_spark.operators.pq import ivfpq_residual_index
+    from kafka_topic_analyzer_spark.operators.pq_codebooks_res_v1 import (
+        CODEBOOKS as RES_CB,
+    )
+    from kafka_topic_analyzer_spark.operators.similarity import ivf_assign_fixed
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in ivfpq_residual_index(emb, CENTROIDS, RES_CB).collect()
+    }
+    want = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign_fixed(emb, CENTROIDS, nprobe=1).collect()
+    }
+    assert got == want

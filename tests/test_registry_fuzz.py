@@ -486,6 +486,7 @@ FUZZED_QUERIES_DIM64 = [
     "pq_code_census_streaming",
     "knn_pq_adc",
     "knn_ivfpq_adc",
+    "knn_ivfpq_residual_adc",
     "knn_pq_refined",
     "label_centroid_similarity",
     "embedding_near_dups_lsh",
