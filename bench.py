@@ -627,6 +627,20 @@ def main() -> None:
         "after_v2": quantizer_occupancy(drifted_emb, load_quantizer(2)),
     }
 
+    # The PQ codebook twin of the re-cut evidence: dead-code capacity and
+    # mean quantization error on the SAME drifted corpus under serving v1
+    # vs the committed re-cut v2 (tools/pq_recut.py).
+    from kafka_topic_analyzer_spark.operators.pq import (
+        load_codebooks as _load_pq,
+        pq_codebook_health as _pq_health,
+    )
+
+    pq_recut = {
+        "drift": "v -> 0.6v + 0.5",
+        "before_v1": _pq_health(drifted_emb, _load_pq(1)),
+        "after_v2": _pq_health(drifted_emb, _load_pq(2)),
+    }
+
     # Z-order PAYOFF (not just layout): write the Morton frame both ways —
     # natural order vs repartitionByRange(z)+sortWithinPartitions(z) — and
     # count parquet row groups a footer-stats reader skips under a
@@ -829,6 +843,9 @@ def main() -> None:
                 "pq_recall_ladder": pq_ladder,
                 "pq_bruteforce_l2_sec": round(pq_brute_l2_sec, 3),
                 "pq_index_footprint": pq_footprint,
+                # drifted-corpus codebook health under serving v1 vs the
+                # committed re-cut v2: the PQ drift loop's before/after
+                "pq_recut_health": pq_recut,
                 "stream_state_rows_per_trigger": state_rows_series,
                 "stream_state_rows_removed": sum(s.rows_removed for s in state_stats),
                 "stream_state_input_rows": sum(s.input_rows for s in state_stats),

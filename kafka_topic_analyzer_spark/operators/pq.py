@@ -557,3 +557,81 @@ def knn_ivfpq_residual_adc(
             F.col("adist_dec").cast("double").alias("adist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Codebook lifecycle: health trigger -> re-train -> versioned artifact.
+# pq_code_census / pq_code_census_streaming MEASURE the signal; these close
+# the loop (the PQ twin of similarity.maybe_recut_quantizer): when dead-code
+# capacity crosses the bar, train candidate codebooks on the CURRENT corpus
+# and ship them as a new artifact version while v_n keeps serving.
+# ---------------------------------------------------------------------------
+
+
+def load_codebooks(version: int = 1, residual: bool = False) -> Codebooks:
+    """Load a versioned checked-in codebook artifact
+    (operators/pq_codebooks_{res_}v{version}.py)."""
+    import importlib
+
+    stem = "pq_codebooks_res_v" if residual else "pq_codebooks_v"
+    mod = importlib.import_module(
+        f"kafka_topic_analyzer_spark.operators.{stem}{version}"
+    )
+    return mod.CODEBOOKS
+
+
+def pq_codebook_health(df: DataFrame, codebooks: Codebooks) -> dict:
+    """Codebook-health stats of ``df`` under FIXED codebooks — the re-cut
+    trigger. One distributed encode scan (the serving path's exact math)
+    + an M*K-sized groupBy; only the 128-row summary reaches the driver.
+    ``dead_frac`` = unused codes / (M*K): dead codes are quantizer
+    capacity the corpus can no longer reach (the PQ analogue of empty IVF
+    cells); ``mean_qerr`` = mean per-vector SUMMED squared quantization
+    error — rises as the corpus drifts off the training distribution."""
+    m_sub, k_codes = len(codebooks), len(codebooks[0])
+    per = (
+        pq_encode_scored(df, codebooks)
+        .select(F.posexplode(F.arrays_zip("codes", "qerrs")).alias("m", "z"))
+        .select("m", F.col("z.codes").alias("code"), F.col("z.qerrs").alias("q"))
+        .groupBy("m", "code")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("q").alias("s"))
+        .collect()
+    )
+    n_vecs = sum(r["n"] for r in per) // m_sub if per else 0
+    dead = m_sub * k_codes - len(per)
+    return {
+        "n_vecs": n_vecs,
+        "n_codes": m_sub * k_codes,
+        "n_dead_codes": dead,
+        "dead_frac": round(dead / (m_sub * k_codes), 4),
+        "mean_qerr": round(sum(r["s"] for r in per) / n_vecs, 4) if n_vecs else 0.0,
+    }
+
+
+def maybe_recut_codebooks(
+    emb: DataFrame,
+    codebooks: Codebooks,
+    dead_frac_bar: float = 0.25,
+    iters: int = 5,
+) -> tuple[Codebooks | None, dict, dict | None]:
+    """The closed drift loop: measure codebook health under the CURRENT
+    artifact; above ``dead_frac_bar`` dead capacity, train candidate
+    codebooks on the current corpus (:func:`pq_train` — bounded
+    deterministic sample) and return ``(new, before, after)``; otherwise
+    ``(None, before, None)``. The serving codebooks are NEVER mutated in
+    place (tools/pq_recut.py writes the next versioned module).
+
+    Measured on the probe's canonical drift (v -> 0.6v + 0.5) at sf0.01:
+    v1 serves 104/128 dead codes (dead_frac 0.81) with mean_qerr 13.63;
+    the re-cut restores 0 dead and mean_qerr 0.20
+    (tests/test_pq.py pins both sides)."""
+    m_sub, k_codes = len(codebooks), len(codebooks[0])
+    before = pq_codebook_health(emb, codebooks)
+    if before["dead_frac"] <= dead_frac_bar:
+        return None, before, None
+    new = tuple(
+        tuple(tuple(float(x) for x in row) for row in sub)
+        for sub in pq_train(emb, m=m_sub, k=k_codes, iters=iters)
+    )
+    after = pq_codebook_health(emb, new)
+    return new, before, after

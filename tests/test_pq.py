@@ -271,3 +271,86 @@ def test_residual_index_cells_match_ivf_assignment(spark):
         for r in ivf_assign_fixed(emb, CENTROIDS, nprobe=1).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Codebook lifecycle (the PQ twin of tests/test_ivf_recut.py)
+# ---------------------------------------------------------------------------
+
+
+def _drifted(emb):
+    from pyspark.sql import functions as F
+
+    return emb.withColumn(
+        "embedding",
+        F.expr("transform(embedding, x -> CAST(0.6*x + 0.5 AS FLOAT))"),
+    )
+
+
+def test_undrifted_corpus_needs_no_codebook_recut(spark):
+    from kafka_topic_analyzer_spark.operators.pq import maybe_recut_codebooks
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    new, before, after = maybe_recut_codebooks(emb, CODEBOOKS, dead_frac_bar=0.25)
+    assert new is None and after is None
+    assert before["dead_frac"] <= 0.25
+
+
+def test_codebook_recut_restores_health_on_drifted_corpus(spark):
+    from kafka_topic_analyzer_spark.operators.pq import maybe_recut_codebooks
+
+    emb = _drifted(load_table(spark, SF_SMOKE, "embeddings"))
+    new, before, after = maybe_recut_codebooks(emb, CODEBOOKS, dead_frac_bar=0.25)
+    assert new is not None, f"drift must trip the bar: {before}"
+    assert before["dead_frac"] > 0.5, before  # most capacity dead under v1
+    assert after["n_dead_codes"] == 0, after
+    assert after["mean_qerr"] < before["mean_qerr"] / 10, (before, after)
+
+
+def test_committed_v2_codebooks_serve_drifted_corpus(spark):
+    """The shipped artifact (cut on drifted sf0.01 by tools/pq_recut.py)
+    must stay healthy on the drifted smoke corpus too."""
+    from kafka_topic_analyzer_spark.operators.pq import (
+        load_codebooks,
+        pq_codebook_health,
+    )
+
+    emb = _drifted(load_table(spark, SF_SMOKE, "embeddings"))
+    v2 = load_codebooks(2)
+    h = pq_codebook_health(emb, v2)
+    assert h["dead_frac"] < 0.25, h
+    h1 = pq_codebook_health(emb, load_codebooks(1))
+    assert h["mean_qerr"] < h1["mean_qerr"] / 5, (h, h1)
+
+
+def test_v1_codebooks_unchanged_by_recut(spark):
+    """Re-cutting must never mutate the serving artifact: v1's encoding
+    of the clean corpus is byte-stable across a recut call."""
+    from kafka_topic_analyzer_spark.operators.pq import maybe_recut_codebooks
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    before_codes = [
+        tuple(r["codes"])
+        for r in pq_encode_scored(emb, CODEBOOKS).orderBy("vec_id").collect()
+    ]
+    maybe_recut_codebooks(_drifted(emb), CODEBOOKS, dead_frac_bar=0.25)
+    after_codes = [
+        tuple(r["codes"])
+        for r in pq_encode_scored(emb, CODEBOOKS).orderBy("vec_id").collect()
+    ]
+    assert before_codes == after_codes
+
+
+def test_codebook_artifact_writer_roundtrip(tmp_path):
+    from tools.pq_recut import write_codebook_artifact
+
+    cb = tuple(
+        tuple(tuple(float(mi * 100 + ki * 10 + j) for j in range(2)) for ki in range(3))
+        for mi in range(2)
+    )
+    out = tmp_path / "pq_codebooks_v9.py"
+    write_codebook_artifact(str(out), cb, 9, "test provenance")
+    ns: dict = {}
+    exec(out.read_text(), ns)
+    assert ns["VERSION"] == 9 and ns["M"] == 2 and ns["K"] == 3 and ns["DSUB"] == 2
+    assert ns["CODEBOOKS"] == cb
