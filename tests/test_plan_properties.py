@@ -574,3 +574,24 @@ def test_ivfpq_search_no_extra_corpus_scans(spark):
     plan = _executed(E.queries()["knn_ivfpq_adc"](spark, SF_SMOKE))
     assert plan.count("FileScan parquet") <= 3, "ivfpq search re-reads corpus"
     assert "SortMergeJoin" not in plan, "cell/query joins must broadcast"
+
+
+def test_ivfpq_residual_search_plan_shape(spark):
+    """Residual IVF+PQ: one-pass index (cell+codes in a single UDF over
+    one scan) + the filtered query side — ≤ 2 corpus-file scans total,
+    broadcast joins only."""
+    import __spark_entry__ as E
+
+    plan = _executed(E.queries()["knn_ivfpq_residual_adc"](spark, SF_SMOKE))
+    assert plan.count("FileScan parquet") <= 2, "residual search re-reads corpus"
+    assert "SortMergeJoin" not in plan, "qdt/cell joins must broadcast"
+
+
+def test_token_chunking_is_one_map_stage(spark):
+    """The chunker must stay a pure scan-side map: one FileScan, zero
+    exchanges before the (documented, output-ordering) sort."""
+    import __spark_entry__ as E
+
+    plan = _executed(E.queries()["token_window_chunking"](spark, SF_SMOKE))
+    assert plan.count("FileScan parquet") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
