@@ -143,6 +143,26 @@ SECTIONS: list[tuple[str, str | None, str]] = [
         "decontamination_manifest",
         "The decontam ACTION (r10): eval grams collapse to a broadcast (benchmarks are small by definition); the corpus side streams through ONE exploded scan into two partial-aggregating per-doc counts; the drop gate is exact-integer arithmetic in the projection (no float threshold); the manifest is a source-sized HashAggregate. At 100 TB the only shuffle is per-doc gram counts.",
     ),
+    (
+        "knn_ivfpq_adc",
+        "knn_ivfpq_adc",
+        "IVF+PQ search (r11): the index build is ONE corpus FileScan feeding both Arrow UDFs (cell + codes); the probed-cell and ADC-table query sides broadcast; ADC scoring is an unrolled 8-term decimal lookup sum in the projection (no higher-order functions, no Python in the scoring path); the only Window is the query_id-bounded rank. No raw corpus vector is read after the index pass.",
+    ),
+    (
+        "knn_ivfpq_residual_adc",
+        "knn_ivfpq_residual_adc",
+        "Residual IVF+PQ (r11): one UDF pass emits (cell, residual codes) — the residual subtract lives inside the same Arrow batch as the assignment, so the index is still a single corpus scan; the per-(query, probed cell) ADC tables broadcast (queries x nprobe rows); scoring identical to the raw form. Recall gain over raw codebooks is in BENCH pq_recall_ladder.",
+    ),
+    (
+        "pq_code_census",
+        "pq_code_census",
+        "Codebook-health census (r11): ONE encode scan, posexplode to (subspace, code) pairs, a partial-aggregating M*K-sized groupBy with decimal-exact error sums, and a 128-row spine join for dead-code visibility. Nothing corpus-sized survives the aggregate; this is the table the re-cut trigger (tools/pq_recut.py) reads.",
+    ),
+    (
+        "token_window_chunking",
+        "token_window_chunking",
+        "Token-window chunker (r11): pure JVM map stage — tokenize, start-sequence, posexplode, slice, md5 — a single FileScan with zero joins and zero pre-sort exchanges; chunk rows are produced scan-side exactly where a 100 TB chunking job wants them.",
+    ),
 ]
 
 
