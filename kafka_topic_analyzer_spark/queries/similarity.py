@@ -1748,3 +1748,77 @@ register(
     _knn_ivfpq_residual,
     _knn_ivfpq_residual_sql(),
 )
+
+
+def _pq_codebook_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codebook-drift signal as a registered query (the PQ twin of
+    ivf_quantizer_drift_audit): encode the CURRENT corpus under the
+    serving codebook artifact and report the re-cut trigger statistics —
+    dead codes (capacity the corpus can no longer reach) and the
+    decimal-exact mean per-vector summed quantization error (rises as
+    the corpus drifts off the training distribution). tools/pq_recut.py
+    acts on this signal; pq_codebooks_v2.py is the committed example.
+
+    One encode scan, M*K-sized groupBy, 1-row summary."""
+    from kafka_topic_analyzer_spark.operators import pq as PQ
+    from kafka_topic_analyzer_spark.operators.pq_codebooks_v1 import (
+        CODEBOOKS,
+        K,
+        M,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    enc = PQ.pq_encode_scored(emb, CODEBOOKS)
+    pairs = enc.select(
+        F.posexplode(F.arrays_zip("codes", "qerrs")).alias("m", "z")
+    ).select(
+        F.col("m").cast("int").alias("m"),
+        F.col("z.codes").cast("int").alias("code"),
+        (
+            F.floor(F.col("z.qerrs") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+        ).cast("decimal(18,6)").alias("qerr"),
+    )
+    per_code = pairs.groupBy("m", "code").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("qerr").alias("errs")
+    )
+    return per_code.agg(
+        (F.sum("n") / F.lit(M)).cast("long").alias("n_vecs"),
+        F.lit(M * K).cast("int").alias("n_codes"),
+        (F.lit(M * K) - F.count(F.lit(1))).cast("long").alias("n_dead_codes"),
+        F.round(
+            (F.lit(M * K) - F.count(F.lit(1))).cast("double") / F.lit(M * K), 6
+        ).alias("dead_frac"),
+        F.round(
+            F.sum("errs").cast("double") / (F.sum("n") / F.lit(M)), 6
+        ).alias("mean_qerr"),
+    )
+
+
+def _pq_drift_audit_sql() -> str:
+    from kafka_topic_analyzer_spark.operators.pq_codebooks_v1 import K, M
+
+    return f"""
+WITH {_pq_codes_ctes().split("codes AS")[0]}
+rounded AS (
+  SELECT vec_id, m, k,
+         CAST(floor(d * 1e6 + 0.5) / 1e6 AS DECIMAL(18,6)) AS qerr
+  FROM best WHERE rk = 1
+),
+per_code AS (
+  SELECT m, k, CAST(count(*) AS BIGINT) AS n, sum(qerr) AS errs
+  FROM rounded GROUP BY m, k
+)
+SELECT CAST(sum(n) / {M} AS BIGINT) AS n_vecs,
+       CAST({M * K} AS INT) AS n_codes,
+       CAST({M * K} - count(*) AS BIGINT) AS n_dead_codes,
+       round(CAST({M * K} - count(*) AS DOUBLE) / {M * K}, 6) AS dead_frac,
+       round(CAST(sum(errs) AS DOUBLE) / (sum(n) / {M}), 6) AS mean_qerr
+FROM per_code
+"""
+
+
+register(
+    "pq_codebook_drift_audit",
+    _pq_codebook_drift_audit,
+    _pq_drift_audit_sql(),
+)

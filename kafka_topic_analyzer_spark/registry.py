@@ -49,6 +49,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # (judge item 3), then the r8 cohort --
     "pq_code_census",
     "pq_code_census_streaming",
+    "pq_codebook_drift_audit",
     "token_window_chunking",
     "padding_waste_by_bucket",
     "knn_pq_adc",

@@ -484,6 +484,7 @@ FUZZED_QUERIES_DIM64 = [
     "ivf_adaptive_nprobe_search",
     "pq_code_census",
     "pq_code_census_streaming",
+    "pq_codebook_drift_audit",
     "knn_pq_adc",
     "knn_ivfpq_adc",
     "knn_ivfpq_residual_adc",
