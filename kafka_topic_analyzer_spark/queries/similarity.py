@@ -1781,15 +1781,22 @@ def _pq_codebook_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_code = pairs.groupBy("m", "code").agg(
         F.count(F.lit(1)).alias("n"), F.sum("qerr").alias("errs")
     )
+    # Tie-safe 6-dp rounding (floor(x*1e6+0.5)/1e6 — the _r6 discipline):
+    # F.round/round() diverge between Spark (HALF_UP on shortest-decimal)
+    # and DuckDB (binary value) on 7th-decimal ties, and a DECIMAL sum /
+    # integer count lands on such ties (advisor r11).
+    def r6(c: F.Column) -> F.Column:
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
     return per_code.agg(
         (F.sum("n") / F.lit(M)).cast("long").alias("n_vecs"),
         F.lit(M * K).cast("int").alias("n_codes"),
         (F.lit(M * K) - F.count(F.lit(1))).cast("long").alias("n_dead_codes"),
-        F.round(
-            (F.lit(M * K) - F.count(F.lit(1))).cast("double") / F.lit(M * K), 6
+        r6(
+            (F.lit(M * K) - F.count(F.lit(1))).cast("double") / F.lit(M * K)
         ).alias("dead_frac"),
-        F.round(
-            F.sum("errs").cast("double") / (F.sum("n") / F.lit(M)), 6
+        r6(
+            F.sum("errs").cast("double") / (F.sum("n") / F.lit(M))
         ).alias("mean_qerr"),
     )
 
@@ -1811,8 +1818,10 @@ per_code AS (
 SELECT CAST(sum(n) / {M} AS BIGINT) AS n_vecs,
        CAST({M * K} AS INT) AS n_codes,
        CAST({M * K} - count(*) AS BIGINT) AS n_dead_codes,
-       round(CAST({M * K} - count(*) AS DOUBLE) / {M * K}, 6) AS dead_frac,
-       round(CAST(sum(errs) AS DOUBLE) / (sum(n) / {M}), 6) AS mean_qerr
+       floor((CAST({M * K} - count(*) AS DOUBLE) / {M * K}) * 1e6 + 0.5) / 1e6
+         AS dead_frac,
+       floor((CAST(sum(errs) AS DOUBLE) / (sum(n) / {M})) * 1e6 + 0.5) / 1e6
+         AS mean_qerr
 FROM per_code
 """
 
@@ -1821,4 +1830,102 @@ register(
     "pq_codebook_drift_audit",
     _pq_codebook_drift_audit,
     _pq_drift_audit_sql(),
+)
+
+
+def _knn_ivfpq_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive-nprobe IVF+PQ (judge r11 item 4): the census-driven probe
+    depth rule of ivf_adaptive_nprobe_search composed with the
+    compressed-domain ADC scorer of knn_ivfpq_adc — the shape a 100 TB
+    deployment actually serves (adaptive probing over the persisted
+    (cell, codes) index; search never reads raw corpus vectors).
+    nprobe_used is in the hashed output, so the driver verifies the
+    selection rule itself."""
+    from kafka_topic_analyzer_spark.operators import pq as PQ
+    from kafka_topic_analyzer_spark.operators.ivf_centroids_v1 import CENTROIDS
+    from kafka_topic_analyzer_spark.operators.pq_codebooks_v1 import CODEBOOKS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return PQ.knn_ivfpq_adaptive(
+        emb, queries, CENTROIDS, CODEBOOKS, k=TOP_K, target_mass=IVF_TARGET_MASS
+    )
+
+
+def _knn_ivfpq_adaptive_sql() -> str:
+    """Oracle: the ivf_adaptive census/smallest-prefix CTEs (postings from
+    the rk=1 assignment — identical to the IVF+PQ index's cells) + the PQ
+    codes/qdt CTEs, ADC-scored over the selected cells."""
+    from kafka_topic_analyzer_spark.operators.ivf_centroids_v1 import NLIST
+
+    structs = ", ".join(
+        f"{{'cell': {ci}, 'sim': {_ivf_sim_sql(ci)}}}" for ci in range(NLIST)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding,
+         sqrt({_dot_sql("embedding", "embedding")}) AS qn
+  FROM embeddings
+),
+exploded AS (
+  SELECT vec_id, unnest([{structs}]) AS u FROM base
+),
+cells AS (
+  SELECT vec_id, u.cell AS cell,
+         row_number() OVER (PARTITION BY vec_id
+              ORDER BY u.sim DESC, u.cell ASC) AS rk
+  FROM exploded
+),
+cb AS (SELECT vec_id AS neighbor_id, cell FROM cells WHERE rk = 1),
+census AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_post FROM cb GROUP BY cell),
+tot AS (SELECT CAST(sum(n_post) AS BIGINT) AS n_total FROM census),
+qcells AS (
+  SELECT vec_id AS query_id, cell, rk FROM cells WHERE vec_id < {N_QUERIES}
+),
+qmass AS (
+  SELECT query_id, cell, rk, COALESCE(n_post, 0) AS n_post
+  FROM qcells LEFT JOIN census USING (cell)
+),
+cum AS (
+  SELECT query_id, cell, n_post,
+         sum(n_post) OVER (PARTITION BY query_id ORDER BY rk) AS cum
+  FROM qmass
+),
+sel AS (
+  SELECT query_id, cell
+  FROM cum CROSS JOIN tot
+  WHERE cum - n_post < CAST(n_total AS DOUBLE) * {IVF_TARGET_MASS}
+),
+npu AS (
+  SELECT query_id, CAST(count(*) AS INT) AS nprobe_used FROM sel GROUP BY query_id
+),
+{_pq_codes_ctes().lstrip()},
+qdt AS (
+  SELECT vec_id AS query_id, {_pq_qdt_sql()} AS qdt
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT query_id, neighbor_id, {_pq_adc_sum_sql()} AS adist_dec
+  FROM cb JOIN sel USING (cell)
+  JOIN codes c ON c.vec_id = neighbor_id
+  JOIN qdt USING (query_id)
+  WHERE neighbor_id <> query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adist_dec,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY adist_dec ASC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, nprobe_used, rank, neighbor_id,
+       CAST(adist_dec AS DOUBLE) AS adist
+FROM ranked JOIN npu USING (query_id)
+WHERE rank <= {TOP_K}
+"""
+
+
+register(
+    "knn_ivfpq_adaptive",
+    _knn_ivfpq_adaptive,
+    _knn_ivfpq_adaptive_sql(),
 )

@@ -43,60 +43,15 @@ def register(name: str, spark_fn: Callable[[SparkSession, str], DataFrame], orac
 # commits SELFCHECK_r{N}.json, so every query has fresh evidence every round
 # even when outside the driver window.
 CHECK_PRIORITY: tuple[str, ...] = (
-    # -- round 11 rotation (tools/rotate_priority.py): the 10 new
-    # rowless queries first (6 from the round's first block + the 4
-    # PQ queries), then the six r7 rows at the freshness bound
-    # (judge item 3), then the r8 cohort --
-    "pq_code_census",
-    "pq_code_census_streaming",
-    "pq_codebook_drift_audit",
-    "token_window_chunking",
-    "padding_waste_by_bucket",
-    "knn_pq_adc",
-    "knn_ivfpq_adc",
-    "knn_ivfpq_residual_adc",
-    "knn_pq_refined",
-    "ivf_adaptive_nprobe_search",
-    "label_centroid_similarity",
-    "dedup_survivorship_by_source",
-    "zipf_fit_audit",
-    "trigram_logprob_quality",
-    "bigram_surprisal_split",
-    "media_decode_audit",  # last row r7
-    "event_value_quantiles_audit",  # last row r7
-    "bm25_doc_ranking",  # last row r7
-    "bpe_train_merges_deep",  # last row r7
-    "bpe_encode_deep",  # last row r7
-    "bpe_encode_heldout",  # last row r7
-    "kafka_alive_keys_hll_audit",  # last row r8
-    "report_metrics_unpivot",  # last row r8
-    "event_lateness_profile",  # last row r8
-    "event_lateness_profile_scalable",  # last row r8
-    "kafka_report_rendered",  # last row r8
-    "kafka_summary_rendered",  # last row r8
-    "q1_pricing_summary",  # last row r8
-    "q3_shipping_priority",  # last row r8
-    "top3_customers_per_segment_scalable",  # last row r8
-    "balance_deciles_scalable",  # last row r8
-    "pii_redaction",  # last row r8
-    "doc_repetition_stats",  # last row r8
-    "doc_fingerprints",  # last row r8
-    "sentence_stats",  # last row r8
-    "exact_dup_summary",  # last row r8
-    "near_dup_pairs_jaccard",  # last row r8
-    "near_dup_threshold_sweep",  # last row r8
-    "knn_bruteforce_cosine",  # last row r8
-    "knn_lsh_cosine",  # last row r8
-    "knn_ivf_cosine",  # last row r8
-    "embedding_pair_stats",  # last row r8
-    "embedding_quantization",  # last row r8
-    "embedding_label_stats",  # last row r8
-    "hybrid_retrieval_rrf",  # last row r8
-    "embedding_dim_moments",  # last row r8
-    "embedding_dim_covariance",  # last row r8
-    "embedding_outliers",  # last row r8
-    "dup_cluster_assignment",  # last row r8
-    "per_group_sample_scalable",  # last row r8
+    # -- round 12 rotation (tools/rotate_priority.py): the new rowless
+    # query first, then the TWENTY r8 rows at the 3-round freshness bound
+    # (judge r11 item 2), then the stalest r9 cohort. At ~171
+    # oracle-backed queries and a 50-query driver window the full
+    # rotation cycle is ceil(171/50) = 4 rounds — the bound this
+    # stalest-first ordering enforces: no green row ever ages past 4
+    # rounds (tools/selfcheck.py still re-hashes the ENTIRE catalog at
+    # both SFs every round as the off-window evidence). --
+    "knn_ivfpq_adaptive",
     "quality_threshold_sweep",  # last row r8
     "lang_temperature_mix",  # last row r8
     "minhash_signatures",  # last row r8
@@ -106,6 +61,46 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "simhash_fingerprints",  # last row r8
     "simhash_near_dups",  # last row r8
     "consensus_near_dups",  # last row r8
+    "fuzzy_match_pairs",  # last row r8
+    "hourly_event_counts",  # last row r8
+    "sliding_window_counts",  # last row r8
+    "user_session_stats",  # last row r8
+    "props_key_distribution",  # last row r8
+    "purchase_attribution_asof",  # last row r8
+    "value_percentiles",  # last row r8
+    "peak_window_event_counts",  # last row r8
+    "bpe_merge_candidates",  # last row r8
+    "bpe_train_merges",  # last row r8
+    "bpe_encode_from_artifact",  # last row r8
+    "q5_regional_revenue",  # last row r9
+    "top3_customers_per_segment",  # last row r9
+    "orders_rollup",  # last row r9
+    "customers_without_recent_orders",  # last row r9
+    "priority_with_discounted_lines",  # last row r9
+    "large_parts_in_lineitem",  # last row r9
+    "order_status_pivot",  # last row r9
+    "supplier_running_revenue",  # last row r9
+    "customer_retention_sets",  # last row r9
+    "orders_cube",  # last row r9
+    "ivf_quantizer_drift_audit",  # last row r9
+    "embedding_threshold_sweep",  # last row r9
+    "stratified_sample_summary",  # last row r9
+    "per_group_sample",  # last row r9
+    "event_value_histogram",  # last row r9
+    "quality_percentile_gate",  # last row r9
+    "sequence_packing",  # last row r9
+    "training_shard_manifest",  # last row r9
+    "doc_chunking",  # last row r9
+    "source_char_dispersion",  # last row r9
+    "per_lang_length_norm",  # last row r9
+    "source_mixing_weights",  # last row r9
+    "corpus_summary",  # last row r9
+    "mixed_sample_audit",  # last row r9
+    "dedup_keep_policy",  # last row r9
+    "lsh_banding_sweep",  # last row r9
+    "hourly_spike_detection",  # last row r9
+    "event_funnel",  # last row r9
+    "weekly_retention_cohorts",  # last row r9
 )
 
 

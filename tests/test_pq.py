@@ -13,6 +13,8 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
+from pyspark.sql import functions as F
+
 from tests.conftest import SF_SMOKE
 
 from kafka_topic_analyzer_spark.operators.pq import (
@@ -354,3 +356,57 @@ def test_codebook_artifact_writer_roundtrip(tmp_path):
     exec(out.read_text(), ns)
     assert ns["VERSION"] == 9 and ns["M"] == 2 and ns["K"] == 3 and ns["DSUB"] == 2
     assert ns["CODEBOOKS"] == cb
+
+
+def test_pq_train_mat_guards_small_samples():
+    """Advisor r11: fewer sample rows than k must raise a CLEAR error
+    (the sub[:k] seeding used to die with a shape-broadcast ValueError),
+    and an empty sample must not crash on the shape unpack."""
+    from kafka_topic_analyzer_spark.operators.pq import pq_train_mat
+
+    with pytest.raises(ValueError, match="need >= k"):
+        pq_train_mat(np.zeros((3, 64)), m=8, k=16)
+    with pytest.raises(ValueError, match="need >= k"):
+        pq_train_mat(np.array([]), m=8, k=16)
+    # exactly k rows is the minimum viable sample
+    out = pq_train_mat(np.arange(16 * 64, dtype=np.float64).reshape(16, 64),
+                       m=8, k=16, iters=1)
+    assert out.shape == (8, 16, 8)
+
+
+def test_maybe_recut_skips_retrain_on_tiny_corpus(spark):
+    """Advisor r11: an (almost) empty corpus reports dead_frac ~1.0 but
+    cannot seed k centroids — the drift loop must decline the re-cut
+    instead of crashing in the trainer."""
+    from kafka_topic_analyzer_spark.operators.pq import maybe_recut_codebooks
+
+    tiny = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .where(F.col("vec_id") < 3)
+    )
+    new, before, after = maybe_recut_codebooks(tiny, CODEBOOKS)
+    assert new is None and after is None
+    assert before["n_vecs"] == 3
+
+
+def test_knn_ivfpq_adaptive_matches_full_probe_at_mass_1(spark):
+    """target_mass=1.0 selects every non-empty-prefix cell, so the
+    adaptive search must return exactly knn_ivfpq_adc at nprobe=nlist —
+    the composition is the census rule AND NOTHING ELSE on top of the
+    fixed-nprobe scorer."""
+    from kafka_topic_analyzer_spark.operators.pq import (
+        knn_ivfpq_adaptive,
+        knn_ivfpq_adc,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    fixed = knn_ivfpq_adc(
+        emb, queries, CENTROIDS, CODEBOOKS, k=5, nprobe=len(CENTROIDS)
+    ).select("query_id", "rank", "neighbor_id", "adist")
+    adaptive = knn_ivfpq_adaptive(
+        emb, queries, CENTROIDS, CODEBOOKS, k=5, target_mass=1.0
+    ).select("query_id", "rank", "neighbor_id", "adist")
+    assert sorted(map(tuple, fixed.collect())) == sorted(
+        map(tuple, adaptive.collect())
+    )

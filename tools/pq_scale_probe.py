@@ -69,6 +69,7 @@ def main() -> None:
     n_base, max_id = base.agg(F.count(F.lit(1)), F.max("vec_id")).first()
     id_shift = (max_id or 0) + 1
 
+
     def exact_l2(corpus, queries):
         q = queries.select(
             F.col("vec_id").alias("query_id"),
@@ -94,6 +95,19 @@ def main() -> None:
             .where(F.col("rank") <= K)
             .select("query_id", "neighbor_id")
         )
+
+    # Discarded warmup pass (judge r11 item 6): the first rung otherwise
+    # pays JVM/codegen/Arrow warmup — the r11 ladder recorded exact-scan
+    # 5.57 s at 16k vs 3.49 s at 64k, a non-monotone artifact. One
+    # untimed mini-run drives every timed code path (exact fold UDF, PQ
+    # encode + ADC, IVF assign, refine) on the base table before any
+    # clock starts.
+    warm_q = base.where(F.col("vec_id") < 5).localCheckpoint(eager=True)
+    exact_l2(base, warm_q).count()
+    knn_pq_adc(base, warm_q, CODEBOOKS, k=K).count()
+    knn_ivfpq_adc(base, warm_q, CENTROIDS, CODEBOOKS, k=K, nprobe=NPROBE).count()
+    knn_pq_refined(base, warm_q, CODEBOOKS, k=K, shortlist=SHORTLIST).count()
+    print("# warmup pass done (untimed)", file=sys.stderr)
 
     out = []
     for scale in scales:

@@ -12,7 +12,9 @@ the codebook is a training ARTIFACT, versioned and shipped with the
 index — re-run this tool to cut a new version when the corpus
 distribution shifts.
 
-Usage: python tools/train_pq_codebooks.py [sf_dir] [out.py]
+Usage: python tools/train_pq_codebooks.py [sf_dir] [out.py] [M] [K] [ITERS]
+(r12: M/K/ITERS are now CLI args so capacity rungs — e.g. the K=256
+serving-grade v3 cut — reuse this one trainer.)
 """
 
 from __future__ import annotations
@@ -27,7 +29,9 @@ OUT = (
     if len(sys.argv) > 2
     else "kafka_topic_analyzer_spark/operators/pq_codebooks_v1.py"
 )
-M, K, ITERS = 8, 16, 5
+M = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+K = int(sys.argv[4]) if len(sys.argv) > 4 else 16
+ITERS = int(sys.argv[5]) if len(sys.argv) > 5 else 5
 
 
 def main() -> None:

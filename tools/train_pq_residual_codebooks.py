@@ -9,7 +9,9 @@ tools/train_pq_codebooks.py; the cell assignment reuses the serving
 path's exact fold math via ivf_assign_fixed so train-time residuals are
 bit-identical to serve-time residuals.
 
-Usage: python tools/train_pq_residual_codebooks.py [sf_dir] [out.py]
+Usage: python tools/train_pq_residual_codebooks.py [sf_dir] [out.py] [M] [K] [ITERS]
+(r12: M/K/ITERS are CLI args so capacity rungs — the K=256 res_v3 cut —
+reuse this one trainer.)
 """
 
 from __future__ import annotations
@@ -24,7 +26,10 @@ OUT = (
     if len(sys.argv) > 2
     else "kafka_topic_analyzer_spark/operators/pq_codebooks_res_v1.py"
 )
-M, K, ITERS, MAX_TRAIN = 8, 16, 5, 16384
+M = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+K = int(sys.argv[4]) if len(sys.argv) > 4 else 16
+ITERS = int(sys.argv[5]) if len(sys.argv) > 5 else 5
+MAX_TRAIN = 16384
 
 
 def main() -> None:
