@@ -627,6 +627,55 @@ def main() -> None:
             "sec": round(_g_sec, 3),
         }
 
+    # The rest of the r12 serving ladder: the packed-BIGINT scan form
+    # (bit-identical ranking, smallest storage), the FULL serving shape
+    # (IVF prune + ADC shortlist + exact refine), and the SQ8 middle rung
+    # (per-dim 8-bit codes — near-exact ranking at 4x compression, the
+    # no-refine-needed alternative when memory allows).
+    from kafka_topic_analyzer_spark.operators.pq import (
+        knn_ivfpq_refined as _knn_ivfpq_ref,
+        knn_pq_adc_packed as _knn_pq_packed,
+    )
+    from kafka_topic_analyzer_spark.operators.sq import (
+        knn_sq8 as _knn_sq8,
+        load_sq8_params as _load_sq8,
+        sq8_encode as _sq8_encode,
+    )
+
+    _SQ8_RANGES = _load_sq8(1)
+    for _name, _mk in (
+        (
+            "adc_packed_at_10",
+            lambda: _knn_pq_packed(emb, ivf_queries, _PQ_CB, k=10),
+        ),
+        (
+            "ivfpq_refined_np4_short50_at_10",
+            lambda: _knn_ivfpq_ref(
+                emb, ivf_queries, _IVF_CB, _PQ_CB, k=10, nprobe=4, shortlist=50
+            ),
+        ),
+        (
+            "sq8_at_10",
+            lambda: _knn_sq8(emb, ivf_queries, _SQ8_RANGES, k=10),
+        ),
+    ):
+        t0 = time.perf_counter()
+        _g = (
+            _mk()
+            .select("query_id", "neighbor_id")
+            .localCheckpoint(eager=True)
+        )
+        _g.count()
+        _g_sec = time.perf_counter() - t0
+        pq_ladder[_name] = {
+            "recall": round(
+                l2_truth.join(_g, ["query_id", "neighbor_id"]).count()
+                / max(n_l2_truth, 1),
+                4,
+            ),
+            "sec": round(_g_sec, 3),
+        }
+
     # Adaptive nprobe composed with the compressed domain (judge r11
     # item 4): census-driven probe depth over ADC scoring — recall and
     # mean probes per target touched-mass, against the same exact-L2
@@ -683,6 +732,10 @@ def main() -> None:
             ).alias("codes_packed"),
         )
         _packed_codes.write.mode("overwrite").parquet(_td + "/packed")
+        _sq8_encode(emb.select("vec_id", "embedding"), _SQ8_RANGES).select(
+            "vec_id",
+            F.expr("transform(codes, c -> CAST(c AS SMALLINT))").alias("codes"),
+        ).write.mode("overwrite").parquet(_td + "/sq8")
 
         def _pq_bytes(sub: str) -> int:
             return sum(
@@ -690,17 +743,20 @@ def main() -> None:
                 for f in pathlib.Path(_td + sub).rglob("*.parquet")
             )
 
-        raw_b, idx_b, packed_b = (
+        raw_b, idx_b, packed_b, sq8_b = (
             _pq_bytes("/raw"),
             _pq_bytes("/idx"),
             _pq_bytes("/packed"),
+            _pq_bytes("/sq8"),
         )
     pq_footprint = {
         "raw_embedding_bytes": raw_b,
         "ivfpq_index_bytes": idx_b,
         "ivfpq_packed_bytes": packed_b,
+        "sq8_codes_bytes": sq8_b,
         "compression_ratio": round(raw_b / max(idx_b, 1), 2),
         "compression_ratio_packed": round(raw_b / max(packed_b, 1), 2),
+        "compression_ratio_sq8": round(raw_b / max(sq8_b, 1), 2),
     }
 
     # Quantizer re-cut loop evidence (judge r9 item 7): the canonical

@@ -261,6 +261,83 @@ def knn_pq_adc(
     )
 
 
+def pack_codes(df: DataFrame, m_sub: int, col: str = "codes") -> DataFrame:
+    """Replace the length-M ``codes`` array with ONE BIGINT — code m in
+    bit lane [8m, 8m+8) (8-bit lanes hold any K <= 256, the FAISS
+    standard). This is the storage form a deployment persists (bench
+    ``pq_index_footprint`` measures it as ``ivfpq_packed_bytes``);
+    :func:`knn_pq_adc_packed` searches it DIRECTLY via shift/mask
+    extraction, so the scan never materializes an array per row."""
+    packed = sum(
+        F.shiftleft(F.element_at(col, mi + 1).cast("bigint"), 8 * mi)
+        for mi in range(m_sub)
+    )
+    return df.withColumn("codes_packed", packed).drop(col)
+
+
+def _adc_dist_packed(m_sub: int, k_codes: int) -> F.Column:
+    """:func:`_adc_dist` over the PACKED code column: each term extracts
+    code m with a shift/mask (pure JVM integer ops, whole-stage codegen)
+    before the table lookup; identical rounding/decimal discipline, so
+    packed and array scoring are bit-identical."""
+    terms = []
+    for mi in range(m_sub):
+        code = F.shiftright(F.col("codes_packed"), 8 * mi).bitwiseAND(
+            F.lit(255)
+        )
+        raw = F.element_at(
+            F.col("qdt"), (F.lit(mi * k_codes + 1) + code).cast("int")
+        )
+        r6 = F.floor(raw * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+        terms.append(r6.cast("decimal(18,6)"))
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return total
+
+
+def knn_pq_adc_packed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: Codebooks,
+    k: int = 5,
+) -> DataFrame:
+    """:func:`knn_pq_adc` over the PACKED index (one BIGINT per vector
+    instead of an 8-int array) — the scan shape a 100 TB deployment
+    actually pays, searched without unpacking to arrays. Results are
+    bit-identical to knn_pq_adc (same rounding, same decimal sum, same
+    total order); bench's footprint block measures the packed column as
+    the smallest on-disk form."""
+    m_sub, k_codes = len(codebooks), len(codebooks[0])
+    c = pack_codes(
+        pq_encode_scored(corpus, codebooks).select(
+            F.col("vec_id").alias("neighbor_id"), "codes"
+        ),
+        m_sub,
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        pq_adc_table_udf(codebooks)(as_double(F.col("embedding"))).alias("qdt"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _adc_dist_packed(m_sub, k_codes).alias("adist_dec"),
+        )
+    )
+    return topk_per_group(
+        scored, ["query_id"], [F.asc("adist_dec"), F.asc("neighbor_id")], k
+    ).select(
+        "query_id",
+        "rank",
+        "neighbor_id",
+        F.col("adist_dec").cast("double").alias("adist"),
+    )
+
+
 def ivfpq_index(
     corpus: DataFrame,
     centroids: tuple[tuple[float, ...], ...],
@@ -347,32 +424,21 @@ def knn_ivfpq_adc(
     )
 
 
-def knn_pq_refined(
+def _exact_refine(
     corpus: DataFrame,
     queries: DataFrame,
-    codebooks: Codebooks,
-    k: int = 5,
-    shortlist: int = 50,
+    short: DataFrame,
+    k: int,
 ) -> DataFrame:
-    """ADC shortlist + exact re-rank (FAISS IndexRefineFlat over
-    IndexPQ): the compressed scan proposes ``shortlist`` candidates per
-    query, then exact squared-L2 re-ranks just those — so raw vectors
-    are read for shortlist*queries rows instead of the whole corpus.
-    This is the deployment answer to PQ's lossy ranking on isotropic
-    data (measured here: ADC rank-recall@5 ~0.14 on sf0.001 embeddings
-    whose within-label variance is 98% of global — near the quantizer
-    worst case — while the 50-shortlist CONTAINS 0.58+ of the exact
-    top-5, which the refine step then surfaces in order).
-
-    Exact distance = dot(q,q) - 2*dot(q,c) + dot(c,c), every dot the
-    engine-portable sequential fold, tie-safe-rounded to 6 dp; ranked
-    (dist ASC, neighbor_id ASC). Returns (query_id, rank, neighbor_id,
-    dist)."""
+    """Shared refine stage (FAISS IndexRefineFlat): exact squared-L2
+    re-rank of a (query_id, neighbor_id) shortlist — raw vectors are read
+    for shortlist*queries rows only. Exact distance = dot(q,q) -
+    2*dot(q,c) + dot(c,c), every dot the engine-portable sequential
+    fold, tie-safe-rounded to 6 dp; ranked (dist ASC, neighbor_id ASC).
+    The final window's input is shortlist-bounded per query, so the raw
+    rank is safe here; returns (query_id, rank, neighbor_id, dist)."""
     from kafka_topic_analyzer_spark.functions.vectors import dot, pair_dot_udf
 
-    short = knn_pq_adc(corpus, queries, codebooks, k=shortlist).select(
-        "query_id", "neighbor_id"
-    )
     q = queries.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -403,6 +469,52 @@ def knn_pq_refined(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "dist")
     )
+
+
+def knn_pq_refined(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: Codebooks,
+    k: int = 5,
+    shortlist: int = 50,
+) -> DataFrame:
+    """ADC full-scan shortlist + exact re-rank (FAISS IndexRefineFlat
+    over IndexPQ): the compressed scan proposes ``shortlist`` candidates
+    per query, :func:`_exact_refine` re-ranks just those. The deployment
+    answer to PQ's lossy ranking on isotropic data (measured here: K=16
+    ADC rank-recall@5 ~0.14 on sf0.001 embeddings whose within-label
+    variance is 98% of global — near the quantizer worst case — while
+    the 50-shortlist CONTAINS 0.58+ of the exact top-5, which refine
+    surfaces in order; the K=256 v3 codebooks lift the ADC floor itself,
+    BENCH pq_recall_ladder)."""
+    short = knn_pq_adc(corpus, queries, codebooks, k=shortlist).select(
+        "query_id", "neighbor_id"
+    )
+    return _exact_refine(corpus, queries, short, k)
+
+
+def knn_ivfpq_refined(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: tuple[tuple[float, ...], ...],
+    codebooks: Codebooks,
+    k: int = 5,
+    nprobe: int = 4,
+    shortlist: int = 50,
+) -> DataFrame:
+    """The FULL production serving shape (FAISS IndexRefineFlat over
+    IndexIVFPQ — what a billion-vector deployment actually runs): IVF
+    cells prune candidates to ~nprobe/nlist of the corpus, ADC scores
+    the survivors compressed-domain, and the exact refine re-reads raw
+    vectors for only shortlist*queries rows. Completes the serving
+    ladder knn_pq_adc -> knn_ivfpq_adc -> here; per query the raw-vector
+    I/O is CONSTANT (shortlist rows) regardless of corpus size while the
+    scored set stays cell-pruned. Returns (query_id, rank, neighbor_id,
+    dist)."""
+    short = knn_ivfpq_adc(
+        corpus, queries, centroids, codebooks, k=shortlist, nprobe=nprobe
+    ).select("query_id", "neighbor_id")
+    return _exact_refine(corpus, queries, short, k)
 
 
 # ---------------------------------------------------------------------------

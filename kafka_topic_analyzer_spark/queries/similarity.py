@@ -1929,3 +1929,319 @@ register(
     _knn_ivfpq_adaptive,
     _knn_ivfpq_adaptive_sql(),
 )
+
+
+def _knn_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL production serving shape (FAISS IndexRefineFlat over
+    IndexIVFPQ): IVF cells prune candidates, ADC scores the survivors
+    compressed-domain, exact refine re-reads raw vectors for only
+    shortlist x queries rows. Completes the registered serving ladder
+    knn_pq_adc -> knn_ivfpq_adc -> knn_pq_refined -> here."""
+    from kafka_topic_analyzer_spark.operators import pq as PQ
+    from kafka_topic_analyzer_spark.operators.ivf_centroids_v1 import CENTROIDS
+    from kafka_topic_analyzer_spark.operators.pq_codebooks_v1 import CODEBOOKS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return PQ.knn_ivfpq_refined(
+        emb,
+        queries,
+        CENTROIDS,
+        CODEBOOKS,
+        k=TOP_K,
+        nprobe=IVF_NPROBE,
+        shortlist=PQ_SHORTLIST,
+    )
+
+
+def _knn_ivfpq_refined_sql() -> str:
+    from kafka_topic_analyzer_spark.operators.ivf_centroids_v1 import NLIST
+
+    structs = ", ".join(
+        f"{{'cell': {ci}, 'sim': {_ivf_sim_sql(ci)}}}" for ci in range(NLIST)
+    )
+    sq_l2 = (
+        f"({_dot_sql('q.embedding', 'q.embedding')}"
+        f" - 2 * {_dot_sql('q.embedding', 'c2.embedding')}"
+        f" + {_dot_sql('c2.embedding', 'c2.embedding')})"
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding,
+         sqrt({_dot_sql("embedding", "embedding")}) AS qn
+  FROM embeddings
+),
+exploded AS (
+  SELECT vec_id, unnest([{structs}]) AS u FROM base
+),
+cells AS (
+  SELECT vec_id, u.cell AS cell,
+         row_number() OVER (PARTITION BY vec_id
+              ORDER BY u.sim DESC, u.cell ASC) AS rk
+  FROM exploded
+),
+cb AS (SELECT vec_id AS neighbor_id, cell FROM cells WHERE rk = 1),
+qb AS (SELECT vec_id AS query_id, cell FROM cells
+       WHERE rk <= {IVF_NPROBE} AND vec_id < {N_QUERIES}),
+{_pq_codes_ctes().lstrip()},
+qdt AS (
+  SELECT vec_id AS query_id, {_pq_qdt_sql()} AS qdt
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+cands AS (
+  SELECT query_id, neighbor_id
+  FROM cb JOIN qb USING (cell)
+  WHERE neighbor_id <> query_id
+),
+adc AS (
+  SELECT query_id, neighbor_id, {_pq_adc_sum_sql()} AS adist_dec
+  FROM cands
+  JOIN codes c ON c.vec_id = neighbor_id
+  JOIN qdt USING (query_id)
+),
+short AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                    ORDER BY adist_dec ASC, neighbor_id ASC) AS rk
+        FROM adc)
+  WHERE rk <= {PQ_SHORTLIST}
+),
+exact AS (
+  SELECT s.query_id, s.neighbor_id,
+         floor({sq_l2} * 1e6 + 0.5) / 1e6 AS dist
+  FROM short s
+  JOIN embeddings q ON q.vec_id = s.query_id
+  JOIN embeddings c2 ON c2.vec_id = s.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, dist,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY dist ASC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM exact
+)
+SELECT query_id, rank, neighbor_id, dist FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+register("knn_ivfpq_refined", _knn_ivfpq_refined, _knn_ivfpq_refined_sql())
+
+
+def _knn_pq_adc_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """knn_pq_adc over the PACKED index — all M codes in one BIGINT's
+    8-bit lanes, searched DIRECTLY via shift/mask extraction (pure JVM
+    integer ops). The scan shape a 100 TB deployment pays: bench's
+    footprint block measures the packed column as the smallest on-disk
+    form; this query proves searching it needs no unpack-to-array pass.
+    Bit-identical to knn_pq_adc (same rounding/decimal sum/total order)."""
+    from kafka_topic_analyzer_spark.operators import pq as PQ
+    from kafka_topic_analyzer_spark.operators.pq_codebooks_v1 import CODEBOOKS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return PQ.knn_pq_adc_packed(emb, queries, CODEBOOKS, k=TOP_K)
+
+
+def _knn_pq_adc_packed_sql() -> str:
+    from kafka_topic_analyzer_spark.operators.pq_codebooks_v1 import K, M
+
+    pack = " + ".join(
+        f"(CAST(codes[{mi + 1}] AS BIGINT) << {8 * mi})" for mi in range(M)
+    )
+    adc = " + ".join(
+        f"qdt[{mi * K} + CAST((codes_packed >> {8 * mi}) & 255 AS INT) + 1]"
+        for mi in range(M)
+    )
+    return f"""
+WITH {_pq_codes_ctes()},
+packed AS (
+  SELECT vec_id AS neighbor_id, {pack} AS codes_packed FROM codes
+),
+qdt AS (
+  SELECT vec_id AS query_id, {_pq_qdt_sql()} AS qdt
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT query_id, neighbor_id, {adc} AS adist_dec
+  FROM packed CROSS JOIN qdt
+  WHERE neighbor_id <> query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adist_dec,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY adist_dec ASC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, CAST(adist_dec AS DOUBLE) AS adist
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+register("knn_pq_adc_packed", _knn_pq_adc_packed, _knn_pq_adc_packed_sql())
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (operators/sq.py) — the middle compression rung:
+# per-dim 8-bit codes against FIXED [lo, hi] ranges (operators/
+# sq8_params_v1.py, tools/train_sq8_params.py — the same train/serve
+# artifact lifecycle). Everything is elementwise arithmetic with per-term
+# tie-safe integer micro-unit rounding, so codes and distances are
+# DuckDB-mirrorable in any evaluation order.
+# ---------------------------------------------------------------------------
+
+
+def _sq_list(vals) -> str:
+    return "[" + ", ".join(repr(float(v)) for v in vals) + "]"
+
+
+def _sq8_codes_sql(emb: str = "embedding") -> str:
+    """DuckDB mirror of operators/sq.sq8_encode_expr (1-based lambda i)."""
+    from kafka_topic_analyzer_spark.operators.sq8_params_v1 import HI, LO
+
+    lo, hi = _sq_list(LO), _sq_list(HI)
+    return f"""list_transform({emb}, (x, i) -> CAST(
+      CASE WHEN {hi}[i] > {lo}[i]
+           THEN least(255, greatest(0, CAST(floor(
+             (CAST(x AS DOUBLE) - {lo}[i]) / ({hi}[i] - {lo}[i]) * 255 + 0.5)
+             AS INT)))
+           ELSE 0 END AS INT))"""
+
+
+def _sq8_terms_sql(codes: str, vec: str) -> str:
+    """DuckDB mirror of operators/sq.sq8_terms_expr."""
+    from kafka_topic_analyzer_spark.operators.sq8_params_v1 import HI, LO
+
+    lo, hi = _sq_list(LO), _sq_list(HI)
+    deq = f"({lo}[i] + CAST(c AS DOUBLE) * ({hi}[i] - {lo}[i]) / 255.0)"
+    diff = f"(CAST({vec}[i] AS DOUBLE) - {deq})"
+    return (
+        f"list_transform({codes}, (c, i) ->"
+        f" CAST(floor({diff} * {diff} * 1e6 + 0.5) AS BIGINT))"
+    )
+
+
+def _knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 full-scan top-k: candidates scored from per-dim 8-bit codes
+    against the raw query (asymmetric — only the candidate grid loses
+    precision). The middle compression rung: 4x smaller than float32
+    with near-exact ranking, no refine pass needed for most workloads."""
+    from kafka_topic_analyzer_spark.operators.sq import knn_sq8, load_sq8_params
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return knn_sq8(emb, queries, load_sq8_params(1), k=TOP_K)
+
+
+def _knn_sq8_sql() -> str:
+    dist = f"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+      {_sq8_terms_sql("c.codes", "q.q_emb")}),
+      (acc, t) -> acc + t)"""
+    return f"""
+WITH codes AS (
+  SELECT vec_id AS neighbor_id, {_sq8_codes_sql()} AS codes FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+      WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT query_id, neighbor_id, {dist} AS dist_u
+  FROM codes c CROSS JOIN q
+  WHERE neighbor_id <> query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, dist_u,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY dist_u ASC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, CAST(dist_u AS DOUBLE) / 1e6 AS adist
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+register("knn_sq8", _knn_sq8, _knn_sq8_sql())
+
+
+def _sq8_saturation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 range-drift census: per-dim saturation counts (codes pinned at
+    0/255 = the corpus has left the trained [lo, hi] — the SQ analogue of
+    dead PQ codes / empty IVF cells) plus the exact integer-micro-unit
+    reconstruction-error sum. The re-cut trigger for
+    tools/train_sq8_params.py. One encode scan, a dim-sized aggregate;
+    sums stay integers so no rounding enters the hash."""
+    from kafka_topic_analyzer_spark.operators.sq import (
+        load_sq8_params,
+        sq8_encode_expr,
+        sq8_terms_expr,
+    )
+
+    ranges = load_sq8_params(1)
+    emb = load_table(spark, sf_dir, "embeddings")
+    enc = emb.withColumn("codes", F.expr(sq8_encode_expr(ranges))).withColumn(
+        "terms", F.expr(sq8_terms_expr(ranges, "codes", "embedding"))
+    )
+    pairs = enc.select(
+        F.posexplode(F.arrays_zip("codes", "terms")).alias("dim", "z")
+    ).select(
+        F.col("dim").cast("int").alias("dim"),
+        F.col("z.codes").alias("code"),
+        F.col("z.terms").alias("err_u"),
+    )
+    return (
+        pairs.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum(F.when(F.col("code") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_lo_sat"),
+            F.sum(F.when(F.col("code") == 255, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hi_sat"),
+            F.sum("err_u").cast("long").alias("sum_err_micro"),
+        )
+        .orderBy("dim")
+    )
+
+
+def _sq8_saturation_sql() -> str:
+    return f"""
+WITH enc AS (
+  SELECT vec_id, embedding, {_sq8_codes_sql()} AS codes FROM embeddings
+),
+pairs AS (
+  SELECT unnest(list_transform(codes, (x, i) -> i - 1)) AS dim,
+         unnest(codes) AS code,
+         unnest({_sq8_terms_sql("codes", "embedding")}) AS err_u
+  FROM enc
+)
+SELECT CAST(dim AS INT) AS dim,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CASE WHEN code = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_lo_sat,
+       CAST(sum(CASE WHEN code = 255 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi_sat,
+       CAST(sum(err_u) AS BIGINT) AS sum_err_micro
+FROM pairs GROUP BY dim ORDER BY dim
+"""
+
+
+register("sq8_saturation_audit", _sq8_saturation_audit, _sq8_saturation_sql())
+
+
+def _sq8_saturation_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of sq8_saturation_audit (streaming/ivf_stream.py):
+    encode-on-arrival under the serving SQ8 ranges, per-dim saturation +
+    reconstruction census as 64 rows of complete-mode streaming state —
+    the range-health metadata a deployment watches online. Shares the
+    batch audit's oracle SQL verbatim (integer-exact sums, no rounding),
+    so the driver hash proves the streaming path computes the identical
+    census."""
+    from kafka_topic_analyzer_spark.streaming.ivf_stream import (
+        streaming_sq8_saturation_census,
+    )
+
+    return streaming_sq8_saturation_census(spark, sf_dir)
+
+
+register(
+    "sq8_saturation_census_streaming",
+    _sq8_saturation_streaming,
+    _sq8_saturation_sql(),
+)

@@ -52,6 +52,11 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # rounds (tools/selfcheck.py still re-hashes the ENTIRE catalog at
     # both SFs every round as the off-window evidence). --
     "knn_ivfpq_adaptive",
+    "knn_ivfpq_refined",
+    "knn_pq_adc_packed",
+    "knn_sq8",
+    "sq8_saturation_audit",
+    "sq8_saturation_census_streaming",
     "quality_threshold_sweep",  # last row r8
     "lang_temperature_mix",  # last row r8
     "minhash_signatures",  # last row r8

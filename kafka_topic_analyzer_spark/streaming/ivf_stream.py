@@ -102,3 +102,52 @@ def streaming_pq_code_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("m", "code", "n_assigned", "sum_vec_id")
         .orderBy("m", "code")
     )
+
+
+def streaming_sq8_saturation_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of sq8_saturation_audit: new embeddings are
+    SQ8-encoded micro-batch by micro-batch under the serving ranges
+    (operators/sq8_params_v1.py — encode is a stateless JVM transform
+    projection, so it runs unchanged on a streaming frame) and the
+    per-dim saturation/reconstruction census is a complete-mode streaming
+    aggregation whose state is DIM rows — 64, constant in corpus size.
+    On a deployment this is the range-health metadata the re-cut trigger
+    (tools/sq8_recut.py) watches online, exactly as the PQ code census
+    feeds tools/pq_recut.py. Sums stay integer micro-units, so the hash
+    is rounding-free."""
+    from kafka_topic_analyzer_spark.operators.sq import (
+        load_sq8_params,
+        sq8_encode_expr,
+        sq8_terms_expr,
+    )
+
+    prepare_session(spark)
+    ranges = load_sq8_params(1)
+    enc = (
+        embeddings_stream(spark, sf_dir)
+        .withColumn("codes", F.expr(sq8_encode_expr(ranges)))
+        .withColumn("terms", F.expr(sq8_terms_expr(ranges, "codes", "embedding")))
+    )
+    pairs = enc.select(
+        F.posexplode(F.arrays_zip("codes", "terms")).alias("dim", "z")
+    ).select(
+        F.col("dim").cast("int").alias("dim"),
+        F.col("z.codes").alias("code"),
+        F.col("z.terms").alias("err_u"),
+    )
+    census = pairs.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum(F.when(F.col("code") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_lo_sat"),
+        F.sum(F.when(F.col("code") == 255, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hi_sat"),
+        F.sum("err_u").cast("long").alias("sum_err_micro"),
+    )
+    name = run_bounded_memory_stream(census, spark, "complete", "ckpt_sq8_")
+    return (
+        spark.table(name)
+        .select("dim", "n_vecs", "n_lo_sat", "n_hi_sat", "sum_err_micro")
+        .orderBy("dim")
+    )

@@ -489,6 +489,12 @@ FUZZED_QUERIES_DIM64 = [
     "knn_ivfpq_adc",
     "knn_ivfpq_residual_adc",
     "knn_pq_refined",
+    "knn_ivfpq_adaptive",
+    "knn_ivfpq_refined",
+    "knn_pq_adc_packed",
+    "knn_sq8",
+    "sq8_saturation_audit",
+    "sq8_saturation_census_streaming",
     "label_centroid_similarity",
     "embedding_near_dups_lsh",
     "semantic_dup_clusters",

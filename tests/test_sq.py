@@ -1,0 +1,242 @@
+"""SQ8 scalar quantization + packed-ADC + full-serving-shape tests.
+
+The oracle registry hash-proves engine parity; these pin the NUMERIC
+semantics against an independent numpy reference and the family-level
+invariants (packed == array scoring, refine >= ADC recall, saturation as
+a drift signal)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+from kafka_topic_analyzer_spark.operators.sq import (
+    knn_sq8,
+    load_sq8_params,
+    sq8_encode,
+    sq8_train,
+)
+from kafka_topic_analyzer_spark.sources.tables import load_table
+
+
+def _np_codes(mat: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    span = hi - lo
+    with np.errstate(divide="ignore", invalid="ignore"):
+        raw = np.floor((mat - lo) / span * 255 + 0.5)
+    raw = np.where(span > 0, raw, 0.0)
+    return np.clip(raw, 0, 255).astype(np.int64)
+
+
+def test_sq8_codes_match_numpy_reference(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings").orderBy("vec_id").limit(64)
+    ranges = load_sq8_params(1)
+    lo = np.array(ranges[0])
+    hi = np.array(ranges[1])
+    rows = sq8_encode(emb, ranges).select("vec_id", "embedding", "codes").collect()
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    want = _np_codes(mat, lo, hi)
+    got = np.array([r["codes"] for r in rows], dtype=np.int64)
+    assert (want == got).all()
+
+
+def test_sq8_train_covers_sample_exactly(spark):
+    """Trained ranges are the sample's per-dim min/max, so encoding the
+    SAME sample saturates only AT the extremes (codes 0/255 exist) and
+    never clamps outside them (every value is representable)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    lo, hi = sq8_train(emb)
+    assert len(lo) == len(hi) == 64
+    assert all(l <= h for l, h in zip(lo, hi))
+    codes = sq8_encode(emb, (lo, hi)).select("codes").collect()
+    arr = np.array([r["codes"] for r in codes])
+    assert arr.min() == 0 and arr.max() == 255
+
+
+def test_sq8_ranking_is_near_exact(spark):
+    """SQ8 keeps every dim at 8-bit resolution, so full-scan ranking must
+    be close to exact squared-L2 — the property that makes it the
+    no-refine-needed middle rung (unlike PQ's subspace loss)."""
+    from kafka_topic_analyzer_spark.functions.vectors import dot, pair_dot_udf
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    got = (
+        knn_sq8(emb, queries, load_sq8_params(1), k=5)
+        .select("query_id", "neighbor_id")
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        dot(F.col("embedding"), F.col("embedding")).alias("qq"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        dot(F.col("embedding"), F.col("embedding")).alias("cc"),
+    )
+    l2 = (
+        F.col("qq")
+        - F.lit(2.0) * pair_dot_udf(F.col("q_emb"), F.col("c_emb"))
+        + F.col("cc")
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("d"), F.asc("neighbor_id"))
+    truth = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", l2.alias("d"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    n_truth = truth.count()
+    hits = truth.join(got, ["query_id", "neighbor_id"]).count()
+    assert hits / n_truth >= 0.9, f"SQ8 recall@5 {hits}/{n_truth}"
+
+
+def test_sq8_saturation_detects_range_drift(spark):
+    """Shift the corpus outside the trained ranges: the hi-saturation
+    census must light up — the re-cut trigger the audit query exists for."""
+    from kafka_topic_analyzer_spark.operators.sq import sq8_encode_expr
+
+    ranges = load_sq8_params(1)
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    drifted = emb.withColumn(
+        "embedding",
+        F.expr("transform(embedding, x -> CAST(x + 5.0 AS FLOAT))"),
+    )
+    codes = drifted.withColumn("codes", F.expr(sq8_encode_expr(ranges)))
+    n_hi = codes.select(
+        F.explode("codes").alias("c")
+    ).where(F.col("c") == 255).count()
+    n_all = codes.select(F.explode("codes")).count()
+    assert n_hi == n_all, "a +5 shift must pin every code at 255"
+
+
+def test_packed_adc_equals_array_adc(spark):
+    """Shift/mask extraction over the packed BIGINT must reproduce the
+    array-codes ADC ranking bit-for-bit (same rounding, same decimal
+    sum, same total order)."""
+    from kafka_topic_analyzer_spark.operators.pq import (
+        knn_pq_adc,
+        knn_pq_adc_packed,
+    )
+    from kafka_topic_analyzer_spark.operators.pq_codebooks_v1 import CODEBOOKS
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    a = sorted(map(tuple, knn_pq_adc(emb, queries, CODEBOOKS, k=5).collect()))
+    p = sorted(
+        map(tuple, knn_pq_adc_packed(emb, queries, CODEBOOKS, k=5).collect())
+    )
+    assert a == p
+
+
+def test_ivfpq_refined_recall_at_least_adc(spark):
+    """The full serving shape (IVF prune + ADC shortlist + exact refine)
+    must rank at least as well as raw IVF+PQ ADC against the exact-L2
+    truth restricted to the same probed candidates — refine can only
+    reorder toward exactness."""
+    from kafka_topic_analyzer_spark.operators.ivf_centroids_v1 import CENTROIDS
+    from kafka_topic_analyzer_spark.operators.pq import (
+        knn_ivfpq_adc,
+        knn_ivfpq_refined,
+    )
+    from kafka_topic_analyzer_spark.operators.pq_codebooks_v1 import CODEBOOKS
+    from kafka_topic_analyzer_spark.functions.vectors import dot, pair_dot_udf
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        dot(F.col("embedding"), F.col("embedding")).alias("qq"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        dot(F.col("embedding"), F.col("embedding")).alias("cc"),
+    )
+    l2 = (
+        F.col("qq")
+        - F.lit(2.0) * pair_dot_udf(F.col("q_emb"), F.col("c_emb"))
+        + F.col("cc")
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("d"), F.asc("neighbor_id"))
+    truth = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", l2.alias("d"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    n = truth.count()
+    adc = knn_ivfpq_adc(emb, queries, CENTROIDS, CODEBOOKS, k=5, nprobe=4)
+    ref = knn_ivfpq_refined(
+        emb, queries, CENTROIDS, CODEBOOKS, k=5, nprobe=4, shortlist=50
+    )
+    adc_hits = truth.join(
+        adc.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    ).count()
+    ref_hits = truth.join(
+        ref.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    ).count()
+    assert ref_hits >= adc_hits, (ref_hits, adc_hits, n)
+
+
+def test_undrifted_corpus_needs_no_sq8_recut(spark):
+    """On the corpus whose extremes sit inside the trained ranges the
+    saturated fraction is the structural floor (~2 codes per dim from
+    the min/max rows themselves) — far under the bar, no re-cut."""
+    from kafka_topic_analyzer_spark.operators.sq import maybe_recut_sq8
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    new, before, after = maybe_recut_sq8(emb, load_sq8_params(1))
+    assert new is None and after is None
+    assert before["sat_frac"] < 0.05
+
+
+def test_sq8_recut_restores_health_on_drifted_corpus(spark):
+    """The canonical +5 shift pins every code at 255 (sat_frac 1.0);
+    re-deriving ranges from the drifted corpus restores the structural
+    floor while the serving artifact is never mutated."""
+    from kafka_topic_analyzer_spark.operators.sq import maybe_recut_sq8
+    from kafka_topic_analyzer_spark.operators import sq8_params_v1 as V1
+
+    lo_before, hi_before = tuple(V1.LO), tuple(V1.HI)
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    drifted = emb.withColumn(
+        "embedding", F.expr("transform(embedding, x -> CAST(x + 5.0 AS FLOAT))")
+    )
+    new, before, after = maybe_recut_sq8(drifted, load_sq8_params(1))
+    assert before["sat_frac"] == 1.0
+    assert new is not None and after["sat_frac"] < 0.05
+    assert after["mean_recon_err"] < before["mean_recon_err"]
+    # serving artifact untouched
+    assert (tuple(V1.LO), tuple(V1.HI)) == (lo_before, hi_before)
+
+
+def test_sq8_artifact_writer_roundtrip(tmp_path):
+    """tools/sq8_recut.write_sq8_artifact must round-trip repr-exact."""
+    import importlib.util
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from sq8_recut import write_sq8_artifact
+
+    ranges = (
+        tuple(float(x) / 7 for x in range(64)),
+        tuple(float(x) / 7 + 1.25 for x in range(64)),
+    )
+    path = tmp_path / "sq8_params_v9.py"
+    write_sq8_artifact(str(path), ranges, 9, "test provenance")
+    spec = importlib.util.spec_from_file_location("sq8_v9", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert (mod.LO, mod.HI) == ranges and mod.VERSION == 9
