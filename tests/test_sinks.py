@@ -334,3 +334,135 @@ def test_streaming_upsert_merge_equals_batch_compaction(spark, tmp_path):
     # multiple epochs actually ran: more than one version dir exists
     versions = [d for d in os.listdir(state_dir) if d.startswith("v")]
     assert len(versions) >= 2
+
+
+def test_bucketed_upsert_equals_full_rewrite(spark, tmp_path):
+    """The bucketed incremental MERGE must produce the identical state
+    table as the full-rewrite mode on the same epoch-ordered replay."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+    from kafka_topic_analyzer_spark.sources.events_log import kafka_frame_from_events
+    from kafka_topic_analyzer_spark.streaming.upsert_sink import (
+        read_state,
+        read_state_bucketed,
+        stream_upsert_compacted_state,
+        stream_upsert_compacted_state_bucketed,
+    )
+
+    kdf = kafka_frame_from_events(spark, SF_SMOKE).where(F.col("key").isNotNull())
+    pdf = kdf.toPandas()
+    src = tmp_path / "slices"
+    src.mkdir()
+    for i, lo in enumerate(range(0, 8, 2)):
+        part = pdf[(pdf["partition"] >= lo) & (pdf["partition"] < lo + 2)]
+        f = src / f"slice{i}.parquet"
+        pq.write_table(pa.Table.from_pandas(part, preserve_index=False), str(f))
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def stream():
+        return (
+            spark.readStream.schema(kdf.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+
+    full_dir = str(tmp_path / "state_full")
+    buck_dir = str(tmp_path / "state_buck")
+    stream_upsert_compacted_state(spark, stream(), full_dir)
+    stream_upsert_compacted_state_bucketed(spark, stream(), buck_dir, n_buckets=16)
+
+    cols = ["key", "partition", "offset", "value"]
+    want = {tuple(r) for r in read_state(spark, full_dir).select(cols).collect()}
+    got = {
+        tuple(r)
+        for r in read_state_bucketed(spark, buck_dir).select(cols).collect()
+    }
+    assert got == want and got
+
+
+def test_bucketed_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """The incrementality claim, structurally: after seeding every bucket,
+    an epoch whose batch touches ONE key writes exactly one new bucket
+    dir and leaves every other manifest entry pointing at the seed epoch
+    — per-epoch cost is O(touched buckets), not O(all keys)."""
+    import os
+
+    from kafka_topic_analyzer_spark.streaming.upsert_sink import (
+        _read_manifest,
+        merge_batch_bucketed,
+        read_state_bucketed,
+    )
+
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    n_buckets = 8
+    seed = spark.createDataFrame(
+        [(f"k{i}", i % 4, i, f"v{i}") for i in range(400)],
+        "key string, partition int, offset long, value string",
+    )
+    merge_batch_bucketed(seed, state, 0, n_buckets=n_buckets)
+    m0 = _read_manifest(state)
+    assert len(m0) == n_buckets, "seed must populate every bucket"
+
+    one = spark.createDataFrame(
+        [("k7", 99, 10_000, "v7-new")],
+        "key string, partition int, offset long, value string",
+    )
+    merge_batch_bucketed(one, state, 1, n_buckets=n_buckets)
+    m1 = _read_manifest(state)
+    changed = {b for b in m1 if m1[b] != m0.get(b)}
+    assert len(changed) == 1, f"one key must touch one bucket: {changed}"
+    epoch1_dirs = [d for d in os.listdir(state) if d.startswith("epoch_v000001")]
+    assert len(epoch1_dirs) == 1
+    written = os.listdir(os.path.join(state, epoch1_dirs[0]))
+    assert len([d for d in written if d.startswith("_bucket=")]) == 1
+    # the updated row won; every other row carried
+    final = read_state_bucketed(spark, state)
+    assert final.where("key = 'k7'").select("value").first()[0] == "v7-new"
+    assert final.count() == 400
+
+
+def test_bucketed_upsert_tombstone_can_empty_a_bucket(spark, tmp_path):
+    """Tombstoning every key of one bucket must drop that bucket from the
+    manifest entirely (the delete path of the MERGE)."""
+    import os
+
+    from pyspark.sql import functions as F
+    from kafka_topic_analyzer_spark.streaming.upsert_sink import (
+        _bucket_col,
+        _read_manifest,
+        merge_batch_bucketed,
+        read_state_bucketed,
+    )
+
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    n_buckets = 4
+    seed = spark.createDataFrame(
+        [(f"k{i}", 0, i, f"v{i}") for i in range(64)],
+        "key string, partition int, offset long, value string",
+    )
+    merge_batch_bucketed(seed, state, 0, n_buckets=n_buckets)
+    # find every key in bucket 0 and tombstone them all
+    keys_b0 = [
+        r["key"]
+        for r in seed.withColumn("_b", _bucket_col(n_buckets))
+        .where("_b = 0")
+        .select("key")
+        .collect()
+    ]
+    assert keys_b0
+    tomb = spark.createDataFrame(
+        [(k, 1, 1_000 + i, None) for i, k in enumerate(keys_b0)],
+        "key string, partition int, offset long, value string",
+    )
+    merge_batch_bucketed(tomb, state, 1, n_buckets=n_buckets)
+    m = _read_manifest(state)
+    assert "0" not in m, "emptied bucket must leave the manifest"
+    final = read_state_bucketed(spark, state)
+    assert final.count() == 64 - len(keys_b0)
+    assert final.withColumn("_b", _bucket_col(n_buckets)).where("_b = 0").count() == 0
