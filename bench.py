@@ -637,6 +637,7 @@ def main() -> None:
         knn_pq_adc_packed as _knn_pq_packed,
     )
     from kafka_topic_analyzer_spark.operators.sq import (
+        knn_ivf_sq8 as _knn_ivf_sq8,
         knn_sq8 as _knn_sq8,
         load_sq8_params as _load_sq8,
         sq8_encode as _sq8_encode,
@@ -657,6 +658,12 @@ def main() -> None:
         (
             "sq8_at_10",
             lambda: _knn_sq8(emb, ivf_queries, _SQ8_RANGES, k=10),
+        ),
+        (
+            "ivf_sq8_np4_at_10",
+            lambda: _knn_ivf_sq8(
+                emb, ivf_queries, _IVF_CB, _SQ8_RANGES, k=10, nprobe=4
+            ),
         ),
     ):
         t0 = time.perf_counter()

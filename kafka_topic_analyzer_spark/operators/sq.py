@@ -228,3 +228,65 @@ def maybe_recut_sq8(
     new = sq8_train(emb)
     after = sq8_saturation_health(emb, new)
     return new, before, after
+
+
+def knn_ivf_sq8(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: tuple[tuple[float, ...], ...],
+    ranges: Ranges,
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF + SQ8 composed (FAISS IndexIVFScalarQuantizer): the coarse
+    quantizer prunes candidates to ~nprobe/nlist of the corpus, SQ8
+    scores the survivors from their 8-bit codes — completing the
+    coarse x fine matrix next to IVF+PQ. The index is ONE corpus pass
+    producing (vec_id, cell, codes): the cell UDF and the JVM encode
+    expression batch over the same scan. Per query the work is nprobe
+    cell-posting scans of 64-byte codes; raw corpus vectors are never
+    read at search time, and unlike IVF+PQ the scoring is near-exact
+    (per-dim grid error only), so no refine pass is needed.
+
+    No ``distinct`` after the cell join: nprobe=1 corpus assignment
+    makes candidate pairs unique by construction (the knn_ivfpq_adc
+    note). Returns (query_id, rank, neighbor_id, adist)."""
+    from kafka_topic_analyzer_spark.functions.vectors import as_double
+    from kafka_topic_analyzer_spark.operators.similarity import (
+        _fixed_cells_udf,
+        ivf_assign_fixed,
+    )
+
+    cells_udf = _fixed_cells_udf(centroids, nprobe=1)
+    idx = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.element_at(
+            cells_udf(as_double(F.col("embedding"))), 1
+        ).alias("cell"),
+        F.expr(sq8_encode_expr(ranges)).alias("codes"),
+    )
+    qb = ivf_assign_fixed(queries, centroids, nprobe=nprobe).select(
+        F.col("vec_id").alias("query_id"), "cell"
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    scored = (
+        idx.join(F.broadcast(qb), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(sq8_dist_micro_expr(ranges)).alias("dist_u"),
+        )
+    )
+    return topk_per_group(
+        scored, ["query_id"], [F.asc("dist_u"), F.asc("neighbor_id")], k
+    ).select(
+        "query_id",
+        "rank",
+        "neighbor_id",
+        (F.col("dist_u").cast("double") / F.lit(1e6)).alias("adist"),
+    )

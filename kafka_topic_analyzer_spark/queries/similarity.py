@@ -2245,3 +2245,125 @@ register(
     _sq8_saturation_streaming,
     _sq8_saturation_sql(),
 )
+
+
+def _knn_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + SQ8 composed (FAISS IndexIVFScalarQuantizer): coarse cells
+    prune candidates, SQ8 scores the survivors from 8-bit codes —
+    completing the coarse x fine matrix next to IVF+PQ, with near-exact
+    scoring (per-dim grid error only) so no refine pass is needed."""
+    from kafka_topic_analyzer_spark.operators.ivf_centroids_v1 import CENTROIDS
+    from kafka_topic_analyzer_spark.operators.sq import knn_ivf_sq8, load_sq8_params
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return knn_ivf_sq8(
+        emb, queries, CENTROIDS, load_sq8_params(1), k=TOP_K, nprobe=IVF_NPROBE
+    )
+
+
+def _knn_ivf_sq8_sql() -> str:
+    from kafka_topic_analyzer_spark.operators.ivf_centroids_v1 import NLIST
+
+    structs = ", ".join(
+        f"{{'cell': {ci}, 'sim': {_ivf_sim_sql(ci)}}}" for ci in range(NLIST)
+    )
+    dist = f"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+      {_sq8_terms_sql("idx.codes", "q.q_emb")}),
+      (acc, t) -> acc + t)"""
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding,
+         sqrt({_dot_sql("embedding", "embedding")}) AS qn
+  FROM embeddings
+),
+exploded AS (
+  SELECT vec_id, unnest([{structs}]) AS u FROM base
+),
+cells AS (
+  SELECT vec_id, u.cell AS cell,
+         row_number() OVER (PARTITION BY vec_id
+              ORDER BY u.sim DESC, u.cell ASC) AS rk
+  FROM exploded
+),
+idx AS (
+  SELECT e.vec_id AS neighbor_id, cl.cell, {_sq8_codes_sql("e.embedding")} AS codes
+  FROM embeddings e JOIN (SELECT vec_id, cell FROM cells WHERE rk = 1) cl
+    ON e.vec_id = cl.vec_id
+),
+qb AS (SELECT vec_id AS query_id, cell FROM cells
+       WHERE rk <= {IVF_NPROBE} AND vec_id < {N_QUERIES}),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+      WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT qb.query_id, idx.neighbor_id, {dist} AS dist_u
+  FROM idx JOIN qb USING (cell)
+  JOIN q ON q.query_id = qb.query_id
+  WHERE idx.neighbor_id <> qb.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, dist_u,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY dist_u ASC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, CAST(dist_u AS DOUBLE) / 1e6 AS adist
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+register("knn_ivf_sq8", _knn_ivf_sq8, _knn_ivf_sq8_sql())
+
+
+def _ivfpq_index_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed incremental IVF+PQ index build
+    (streaming/ivf_stream.py): vectors encoded on arrival, appended per
+    micro-batch to a cell-partitioned parquet index — the ingestion path
+    a 100 TB deployment runs so the serving index is maintained, never
+    rebuilt. The oracle is the BATCH index (cell + packed codes), so the
+    driver hash proves streamed build == batch build row-for-row."""
+    from kafka_topic_analyzer_spark.streaming.ivf_stream import (
+        streaming_ivfpq_index_build,
+    )
+
+    return streaming_ivfpq_index_build(spark, sf_dir)
+
+
+def _ivfpq_index_streaming_sql() -> str:
+    from kafka_topic_analyzer_spark.operators.ivf_centroids_v1 import NLIST
+    from kafka_topic_analyzer_spark.operators.pq_codebooks_v1 import M
+
+    structs = ", ".join(
+        f"{{'cell': {ci}, 'sim': {_ivf_sim_sql(ci)}}}" for ci in range(NLIST)
+    )
+    pack = " + ".join(
+        f"(CAST(codes[{mi + 1}] AS BIGINT) << {8 * mi})" for mi in range(M)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding,
+         sqrt({_dot_sql("embedding", "embedding")}) AS qn
+  FROM embeddings
+),
+exploded AS (
+  SELECT vec_id, unnest([{structs}]) AS u FROM base
+),
+cells AS (
+  SELECT vec_id, u.cell AS cell,
+         row_number() OVER (PARTITION BY vec_id
+              ORDER BY u.sim DESC, u.cell ASC) AS rk
+  FROM exploded
+),
+cb AS (SELECT vec_id, cell FROM cells WHERE rk = 1),
+{_pq_codes_ctes().lstrip()}
+SELECT c.vec_id, CAST(cb.cell AS INT) AS cell, {pack} AS codes_packed
+FROM codes c JOIN cb ON c.vec_id = cb.vec_id
+ORDER BY c.vec_id
+"""
+
+
+register(
+    "ivfpq_index_streaming",
+    _ivfpq_index_streaming,
+    _ivfpq_index_streaming_sql(),
+)

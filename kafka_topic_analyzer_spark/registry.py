@@ -57,6 +57,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "knn_sq8",
     "sq8_saturation_audit",
     "sq8_saturation_census_streaming",
+    "knn_ivf_sq8",
+    "ivfpq_index_streaming",
     "quality_threshold_sweep",  # last row r8
     "lang_temperature_mix",  # last row r8
     "minhash_signatures",  # last row r8

@@ -151,3 +151,50 @@ def streaming_sq8_saturation_census(spark: SparkSession, sf_dir: str) -> DataFra
         .select("dim", "n_vecs", "n_lo_sat", "n_hi_sat", "sum_err_micro")
         .orderBy("dim")
     )
+
+
+def streaming_ivfpq_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF+PQ index BUILD — the 100 TB ingestion path: new
+    vectors are encoded on arrival (coarse cell + PQ codes packed into
+    ONE BIGINT, the serving storage form) and APPENDED per micro-batch to
+    a cell-partitioned parquet index via ``foreachBatch``; the serving
+    index is thereby MAINTAINED by the stream, never rebuilt. Encoding is
+    the same stateless UDF/expressions as the batch ``ivfpq_index`` +
+    ``pack_codes``, so the streamed index equals the batch index
+    row-for-row — which the shared oracle hash proves. Returns the final
+    index read back (vec_id, cell, codes_packed)."""
+    import tempfile
+    import uuid
+
+    from kafka_topic_analyzer_spark.operators.ivf_centroids_v1 import CENTROIDS
+    from kafka_topic_analyzer_spark.operators.pq import ivfpq_index, pack_codes
+    from kafka_topic_analyzer_spark.operators.pq_codebooks_v1 import CODEBOOKS, M
+
+    prepare_session(spark)
+    out_dir = tempfile.mkdtemp(prefix="ivfpq_index_stream_")
+
+    def _append(batch_df: DataFrame, epoch_id: int) -> None:
+        pack_codes(
+            ivfpq_index(batch_df, CENTROIDS, CODEBOOKS), M
+        ).write.mode("append").partitionBy("cell").parquet(out_dir)
+
+    q = (
+        embeddings_stream(spark, sf_dir)
+        .writeStream.foreachBatch(_append)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="ckpt_ivfpq_idx_")
+        )
+        .queryName(f"ivfpq_idx_{uuid.uuid4().hex[:12]}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        if q.isActive:
+            q.stop()
+    return (
+        spark.read.parquet(out_dir)
+        .select("vec_id", F.col("cell").cast("int").alias("cell"), "codes_packed")
+        .orderBy("vec_id")
+    )

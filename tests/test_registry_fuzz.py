@@ -495,6 +495,8 @@ FUZZED_QUERIES_DIM64 = [
     "knn_sq8",
     "sq8_saturation_audit",
     "sq8_saturation_census_streaming",
+    "knn_ivf_sq8",
+    "ivfpq_index_streaming",
     "label_centroid_similarity",
     "embedding_near_dups_lsh",
     "semantic_dup_clusters",

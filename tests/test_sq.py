@@ -240,3 +240,49 @@ def test_sq8_artifact_writer_roundtrip(tmp_path):
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     assert (mod.LO, mod.HI) == ranges and mod.VERSION == 9
+
+
+def test_knn_ivf_sq8_matches_full_scan_at_full_probe(spark):
+    """nprobe=nlist probes every cell, so IVF+SQ8 must return exactly the
+    full-scan knn_sq8 result — the composition is cell pruning AND
+    NOTHING ELSE on top of the SQ8 scorer."""
+    from kafka_topic_analyzer_spark.operators.ivf_centroids_v1 import CENTROIDS
+    from kafka_topic_analyzer_spark.operators.sq import knn_ivf_sq8
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    ranges = load_sq8_params(1)
+    full = knn_sq8(emb, queries, ranges, k=5)
+    ivf = knn_ivf_sq8(emb, queries, CENTROIDS, ranges, k=5, nprobe=len(CENTROIDS))
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, ivf.collect()))
+
+
+def test_streamed_ivfpq_index_equals_batch(spark):
+    """The incrementally streamed index must equal the batch build
+    row-for-row (same cells, same packed codes) — the maintained-index
+    ingestion claim."""
+    from kafka_topic_analyzer_spark.operators.ivf_centroids_v1 import CENTROIDS
+    from kafka_topic_analyzer_spark.operators.pq import ivfpq_index, pack_codes
+    from kafka_topic_analyzer_spark.operators.pq_codebooks_v1 import CODEBOOKS, M
+    from kafka_topic_analyzer_spark.streaming.ivf_stream import (
+        streaming_ivfpq_index_build,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    want = sorted(
+        map(
+            tuple,
+            pack_codes(ivfpq_index(emb, CENTROIDS, CODEBOOKS), M)
+            .select("vec_id", "cell", "codes_packed")
+            .collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            streaming_ivfpq_index_build(spark, SF_SMOKE)
+            .select("vec_id", "cell", "codes_packed")
+            .collect(),
+        )
+    )
+    assert got == want and got
