@@ -623,3 +623,16 @@ def test_ann_topk_routes_through_local_prune(spark):
         assert re.search(r"Filter \(_lr#\d+ <= \d+\)", plan), (
             f"{name}: local top-k prune filter missing"
         )
+
+
+def test_ivf_sq8_search_plan_shape(spark):
+    """knn_ivf_sq8: the (cell, codes) index is ONE corpus scan (cell UDF
+    + JVM encode expression batch over the same FileScan); query-side
+    cells/embeddings are the filtered 10-row side; all joins broadcast;
+    the final rank is local-pruned."""
+    import __spark_entry__ as E
+
+    plan = _executed(E.queries()["knn_ivf_sq8"](spark, SF_SMOKE))
+    assert plan.count("FileScan parquet") <= 3
+    assert "SortMergeJoin" not in plan, "cell/query joins must broadcast"
+    assert "_pid" in plan, "final rank must be local-pruned"
