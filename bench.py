@@ -84,6 +84,53 @@ def main() -> None:
             overhead_times.append(time.perf_counter() - t0)
         overhead_sentinel_sec = round(min(overhead_times), 4)
 
+    # THIRD sentinel (r12): micro-batch/checkpoint-layer drift. The r12
+    # compare flagged windowed_counts_streaming at 1.30x while BOTH
+    # sentinels above got FASTER, and a standalone re-run reproduced the
+    # delta on untouched code — streaming trigger latency (checkpoint
+    # I/O, micro-batch scheduling, state-store open/commit) is an axis
+    # neither canary tracks. This probe is a FIXED tiny windowed count:
+    # 10k rows written once to parquet, drained by one AvailableNow
+    # trigger with a fresh checkpoint per run, min-of-3.
+    stream_sentinel_sec = None
+    if sentinel_rows > 0:
+        import shutil as _ss_shutil
+        import tempfile as _ss_tmp
+
+        _ss_dir = _ss_tmp.mkdtemp(prefix="stream_sentinel_")
+        spark.range(10_000, numPartitions=4).select(
+            F.timestamp_seconds(F.lit(86_400) + F.col("id")).alias("ev_ts"),
+            (F.col("id") % 16).alias("k"),
+        ).write.parquet(os.path.join(_ss_dir, "in"))
+        _ss_times = []
+        try:
+            for _i in range(3):
+                t0 = time.perf_counter()
+                q = (
+                    spark.readStream.schema("ev_ts timestamp, k long")
+                    .parquet(os.path.join(_ss_dir, "in"))
+                    .withWatermark("ev_ts", "60 seconds")
+                    .groupBy(F.window("ev_ts", "600 seconds"), "k")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .writeStream.format("noop")
+                    .outputMode("append")
+                    .option(
+                        "checkpointLocation",
+                        os.path.join(_ss_dir, f"ckpt{_i}"),
+                    )
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                try:
+                    q.awaitTermination()
+                finally:
+                    if q.isActive:
+                        q.stop()
+                _ss_times.append(time.perf_counter() - t0)
+            stream_sentinel_sec = round(min(_ss_times), 4)
+        finally:
+            _ss_shutil.rmtree(_ss_dir, ignore_errors=True)
+
     def run_once(spec) -> tuple[float, int]:
         t0 = time.perf_counter()
         df = spec.spark(spark, sf_dir)
@@ -598,6 +645,14 @@ def main() -> None:
             ),
         ),
         (
+            # the knob that clears the exact-IVF nprobe=8 recall bar
+            # (0.84) on the PQ path: K=256 + a 100-row shortlist
+            "refined_v3_short100_at_10",
+            lambda: _knn_pq_refined(
+                emb, ivf_queries, _PQ_CB3, k=10, shortlist=100
+            ),
+        ),
+        (
             "ivfpq_v3_np4_at_10",
             lambda: _knn_ivfpq_adc(
                 emb, ivf_queries, _IVF_CB, _PQ_CB3, k=10, nprobe=4
@@ -1002,6 +1057,9 @@ def main() -> None:
                 # scheduler/shuffle-overhead canary (two tiny fixed
                 # exchanges): the drift axis the codegen sentinel misses
                 "overhead_sentinel_sec": overhead_sentinel_sec,
+                # micro-batch/checkpoint-layer canary (fixed tiny
+                # AvailableNow windowed count): the streaming drift axis
+                "stream_sentinel_sec": stream_sentinel_sec,
                 "queries": per_query,
                 "spread": per_query_spread,
             },
@@ -1027,6 +1085,9 @@ def main() -> None:
                 # scheduler/shuffle-overhead canary (two tiny fixed
                 # exchanges): the drift axis the codegen sentinel misses
                 "overhead_sentinel_sec": overhead_sentinel_sec,
+                # micro-batch/checkpoint-layer canary (r12): the
+                # streaming drift axis the first two sentinels miss
+                "stream_sentinel_sec": stream_sentinel_sec,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "report_msgs_per_sec": round(n_msgs / report_sec, 1),
                 "report_rows": n_msgs,

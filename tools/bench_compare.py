@@ -65,6 +65,7 @@ def _load_run(detail: dict, local: dict | None) -> dict:
         "sf": detail.get("sf"),
         "sentinel": field("ambient_sentinel_sec"),
         "overhead_sentinel": field("overhead_sentinel_sec"),
+        "stream_sentinel": field("stream_sentinel_sec"),
         "queries": detail.get("queries", {}),
         "spread": detail.get("spread", {}),
     }
@@ -84,6 +85,16 @@ def compare(old: dict, new: dict, bar: float, max_spread: float) -> tuple[str, l
         notes.append(
             f"overhead sentinel {old['overhead_sentinel']:.4f}s -> "
             f"{new['overhead_sentinel']:.4f}s (drift {drifts['overhead']:.3f}x)"
+        )
+    if old.get("stream_sentinel") and new.get("stream_sentinel"):
+        # r12+: micro-batch/checkpoint-layer drift — the axis the other
+        # two sentinels are blind to (the r12 compare flagged
+        # windowed_counts_streaming 1.30x while BOTH sentinels got
+        # faster; a standalone re-run reproduced it on untouched code)
+        drifts["stream"] = new["stream_sentinel"] / old["stream_sentinel"]
+        notes.append(
+            f"stream sentinel {old['stream_sentinel']:.4f}s -> "
+            f"{new['stream_sentinel']:.4f}s (drift {drifts['stream']:.3f}x)"
         )
     if not drifts:
         notes.append(

