@@ -691,6 +691,10 @@ def main() -> None:
         knn_ivfpq_refined as _knn_ivfpq_ref,
         knn_pq_adc_packed as _knn_pq_packed,
     )
+    from kafka_topic_analyzer_spark.operators.binary import (
+        knn_binary_hamming as _knn_binary,
+        knn_binary_refined as _knn_binary_ref,
+    )
     from kafka_topic_analyzer_spark.operators.sq import (
         knn_ivf_sq8 as _knn_ivf_sq8,
         knn_sq8 as _knn_sq8,
@@ -718,6 +722,16 @@ def main() -> None:
             "ivf_sq8_np4_at_10",
             lambda: _knn_ivf_sq8(
                 emb, ivf_queries, _IVF_CB, _SQ8_RANGES, k=10, nprobe=4
+            ),
+        ),
+        (
+            "binary_hamming_at_10",
+            lambda: _knn_binary(emb, ivf_queries, _SQ8_RANGES, k=10),
+        ),
+        (
+            "binary_refined_short50_at_10",
+            lambda: _knn_binary_ref(
+                emb, ivf_queries, _SQ8_RANGES, k=10, shortlist=50
             ),
         ),
     ):
@@ -798,6 +812,15 @@ def main() -> None:
             "vec_id",
             F.expr("transform(codes, c -> CAST(c AS SMALLINT))").alias("codes"),
         ).write.mode("overwrite").parquet(_td + "/sq8")
+        from kafka_topic_analyzer_spark.operators.binary import (
+            binary_encode_expr as _bin_expr,
+            binary_thresholds as _bin_thr,
+        )
+
+        emb.select(
+            "vec_id",
+            F.expr(_bin_expr(_bin_thr(_SQ8_RANGES))).alias("codes"),
+        ).write.mode("overwrite").parquet(_td + "/binary")
 
         def _pq_bytes(sub: str) -> int:
             return sum(
@@ -805,20 +828,23 @@ def main() -> None:
                 for f in pathlib.Path(_td + sub).rglob("*.parquet")
             )
 
-        raw_b, idx_b, packed_b, sq8_b = (
+        raw_b, idx_b, packed_b, sq8_b, bin_b = (
             _pq_bytes("/raw"),
             _pq_bytes("/idx"),
             _pq_bytes("/packed"),
             _pq_bytes("/sq8"),
+            _pq_bytes("/binary"),
         )
     pq_footprint = {
         "raw_embedding_bytes": raw_b,
         "ivfpq_index_bytes": idx_b,
         "ivfpq_packed_bytes": packed_b,
         "sq8_codes_bytes": sq8_b,
+        "binary_codes_bytes": bin_b,
         "compression_ratio": round(raw_b / max(idx_b, 1), 2),
         "compression_ratio_packed": round(raw_b / max(packed_b, 1), 2),
         "compression_ratio_sq8": round(raw_b / max(sq8_b, 1), 2),
+        "compression_ratio_binary": round(raw_b / max(bin_b, 1), 2),
     }
 
     # Quantizer re-cut loop evidence (judge r9 item 7): the canonical

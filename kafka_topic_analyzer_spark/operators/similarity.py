@@ -739,3 +739,77 @@ def maybe_recut_quantizer(
     )
     after = quantizer_occupancy(emb, new)
     return new, before, after
+
+
+def knn_ivf_filtered(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: tuple[tuple[float, ...], ...],
+    k: int = 5,
+    nprobe: int = 4,
+    filter_col: str = "label",
+    round_digits: int = 6,
+) -> DataFrame:
+    """FILTERED ANN (the production retrieval shape: "nearest neighbors
+    WITH the same metadata value" — same-tenant, same-language,
+    same-split): knn_ivf_fixed's plan with the filter applied to the
+    CANDIDATE STREAM, before any distance is computed. The predicate
+    rides the bare-int candidate join (cell, ids, filter key), so
+    filtered-out candidates never reach the cosine stage — at 100 TB the
+    filter multiplies with the cell pruning instead of post-filtering a
+    ranked list (which silently returns < k rows for selective filters).
+    Returns (query_id, rank, neighbor_id, score) ranked within the
+    filtered candidate set."""
+    from kafka_topic_analyzer_spark.functions.vectors import norm, pair_dot_udf
+
+    cb = ivf_assign_fixed(corpus, centroids, nprobe=1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col(filter_col).alias("_n_filter"),
+        "cell",
+    )
+    qb = ivf_assign_fixed(queries, centroids, nprobe=nprobe).select(
+        F.col("vec_id").alias("query_id"),
+        F.col(filter_col).alias("_q_filter"),
+        "cell",
+    )
+    cands = (
+        cb.join(F.broadcast(qb), "cell")
+        .where(
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("_n_filter") == F.col("_q_filter"))
+        )
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    score = F.when(
+        (F.col("q_n") > 0) & (F.col("c_n") > 0),
+        pair_dot_udf(F.col("q_emb"), F.col("c_emb")) / (F.col("q_n") * F.col("c_n")),
+    )
+    scored = (
+        cands.join(
+            F.broadcast(
+                queries.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("q_emb"),
+                    norm(F.col("embedding")).alias("q_n"),
+                )
+            ),
+            "query_id",
+        )
+        .join(
+            corpus.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("c_emb"),
+                norm(F.col("embedding")).alias("c_n"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(score, round_digits).alias("score"),
+        )
+    )
+    return topk_per_group(
+        scored, ["query_id"], [F.desc("score"), F.asc("neighbor_id")], k
+    ).select("query_id", "rank", "neighbor_id", "score")

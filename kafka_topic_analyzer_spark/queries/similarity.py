@@ -2367,3 +2367,258 @@ register(
     _ivfpq_index_streaming,
     _ivfpq_index_streaming_sql(),
 )
+
+
+# ---------------------------------------------------------------------------
+# Binary (1-bit) quantization (operators/binary.py) — the 64x end of the
+# compression ladder: one BIGINT sign code per vector, hamming distance =
+# bit_count(xor), thresholds derived from the serving SQ8 ranges so the
+# rung inherits that artifact lifecycle. Fully mirrorable: bit addends are
+# shared Python int literals (no shifts — DuckDB's checked << rejects
+# 1<<63), xor/bit_count agree bit-for-bit on both engines.
+# ---------------------------------------------------------------------------
+
+
+def _knn_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit full-scan ANN: 8 bytes per vector, two integer ops per pair
+    — the cheapest candidate scan on the ladder. Ranking is coarse
+    (hamming over 64 bits has 65 values; ties on neighbor_id), so the
+    deployment pairs it with the refine twin below."""
+    from kafka_topic_analyzer_spark.operators.binary import knn_binary_hamming
+    from kafka_topic_analyzer_spark.operators.sq import load_sq8_params
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return knn_binary_hamming(emb, queries, load_sq8_params(1), k=TOP_K)
+
+
+def _binary_codes_cte() -> str:
+    from kafka_topic_analyzer_spark.operators.binary import (
+        binary_encode_sql,
+        binary_thresholds,
+    )
+    from kafka_topic_analyzer_spark.operators.sq import load_sq8_params
+
+    thr = binary_thresholds(load_sq8_params(1))
+    return binary_encode_sql(thr)
+
+
+def _knn_binary_hamming_sql() -> str:
+    enc = _binary_codes_cte()
+    return f"""
+WITH codes AS (
+  SELECT vec_id AS neighbor_id, {enc} AS codes FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, {enc} AS qcodes FROM embeddings
+      WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT query_id, neighbor_id,
+         CAST(bit_count(xor(codes, qcodes)) AS INT) AS hamming
+  FROM codes CROSS JOIN q
+  WHERE neighbor_id <> query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, hamming,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY hamming ASC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, hamming FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+register("knn_binary_hamming", _knn_binary_hamming, _knn_binary_hamming_sql())
+
+
+def _knn_binary_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming shortlist + exact squared-L2 refine — the binary rung's
+    deployment shape: the 8-byte scan proposes, raw vectors are read for
+    shortlist x queries rows only."""
+    from kafka_topic_analyzer_spark.operators.binary import knn_binary_refined
+    from kafka_topic_analyzer_spark.operators.sq import load_sq8_params
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return knn_binary_refined(
+        emb, queries, load_sq8_params(1), k=TOP_K, shortlist=PQ_SHORTLIST
+    )
+
+
+def _knn_binary_refined_sql() -> str:
+    enc = _binary_codes_cte()
+    sq_l2 = (
+        f"({_dot_sql('q2.embedding', 'q2.embedding')}"
+        f" - 2 * {_dot_sql('q2.embedding', 'c2.embedding')}"
+        f" + {_dot_sql('c2.embedding', 'c2.embedding')})"
+    )
+    return f"""
+WITH codes AS (
+  SELECT vec_id AS neighbor_id, {enc} AS codes FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, {enc} AS qcodes FROM embeddings
+      WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT query_id, neighbor_id,
+         CAST(bit_count(xor(codes, qcodes)) AS INT) AS hamming
+  FROM codes CROSS JOIN q
+  WHERE neighbor_id <> query_id
+),
+short AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                    ORDER BY hamming ASC, neighbor_id ASC) AS rk
+        FROM scored)
+  WHERE rk <= {PQ_SHORTLIST}
+),
+exact AS (
+  SELECT s.query_id, s.neighbor_id,
+         floor({sq_l2} * 1e6 + 0.5) / 1e6 AS dist
+  FROM short s
+  JOIN embeddings q2 ON q2.vec_id = s.query_id
+  JOIN embeddings c2 ON c2.vec_id = s.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, dist,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY dist ASC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM exact
+)
+SELECT query_id, rank, neighbor_id, dist FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+register("knn_binary_refined", _knn_binary_refined, _knn_binary_refined_sql())
+
+
+def _binary_bit_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dim bit balance of the binary codes — the rung's quality
+    signal: a balanced bit (n_set ~ n/2) carries maximal hamming
+    information; a dim pinned ~always 0/1 contributes nothing. Degrades
+    together with SQ8 range drift (thresholds are the SQ8 midpoints), so
+    the same re-cut refreshes both. One scan, a dim-sized aggregate,
+    integer-exact output."""
+    from kafka_topic_analyzer_spark.operators.binary import binary_thresholds
+    from kafka_topic_analyzer_spark.operators.sq import load_sq8_params
+
+    thr = binary_thresholds(load_sq8_params(1))
+    thr_arr = "array(" + ", ".join(f"CAST({t!r} AS DOUBLE)" for t in thr) + ")"
+    bits = (
+        f"transform(embedding, (x, i) -> CASE WHEN CAST(x AS DOUBLE)"
+        f" > element_at({thr_arr}, i + 1) THEN 1 ELSE 0 END)"
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = emb.select(
+        F.posexplode(F.expr(bits)).alias("dim", "bit")
+    )
+    return (
+        pairs.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("bit").cast("long").alias("n_set"),
+        )
+        .select(F.col("dim").cast("int").alias("dim"), "n_vecs", "n_set")
+        .orderBy("dim")
+    )
+
+
+def _binary_bit_balance_sql() -> str:
+    from kafka_topic_analyzer_spark.operators.binary import binary_thresholds
+    from kafka_topic_analyzer_spark.operators.sq import load_sq8_params
+
+    thr = binary_thresholds(load_sq8_params(1))
+    thr_l = "[" + ", ".join(repr(t) for t in thr) + "]"
+    bits = (
+        f"list_transform(embedding, (x, i) -> CASE WHEN CAST(x AS DOUBLE)"
+        f" > {thr_l}[i] THEN 1 ELSE 0 END)"
+    )
+    return f"""
+WITH pairs AS (
+  SELECT unnest(list_transform({bits}, (b, i) -> i - 1)) AS dim,
+         unnest({bits}) AS bit
+  FROM embeddings
+)
+SELECT CAST(dim AS INT) AS dim,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(bit) AS BIGINT) AS n_set
+FROM pairs GROUP BY dim ORDER BY dim
+"""
+
+
+register(
+    "binary_bit_balance_audit",
+    _binary_bit_balance_audit,
+    _binary_bit_balance_sql(),
+)
+
+
+def _knn_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED ANN (production retrieval: nearest neighbors
+    with the SAME label — same-tenant/same-language/same-split search):
+    the predicate rides the bare-int candidate join BEFORE any distance
+    is computed, so the filter multiplies with the cell pruning instead
+    of post-filtering a ranked list (which silently under-fills k for
+    selective filters)."""
+    from kafka_topic_analyzer_spark.operators.ivf_centroids_v1 import CENTROIDS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return S.knn_ivf_filtered(
+        emb, queries, CENTROIDS, k=TOP_K, nprobe=IVF_NPROBE, filter_col="label"
+    )
+
+
+def _knn_ivf_filtered_sql() -> str:
+    from kafka_topic_analyzer_spark.operators.ivf_centroids_v1 import NLIST
+
+    structs = ", ".join(
+        f"{{'cell': {ci}, 'sim': {_ivf_sim_sql(ci)}}}" for ci in range(NLIST)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding, label,
+         sqrt({_dot_sql("embedding", "embedding")}) AS qn
+  FROM embeddings
+),
+exploded AS (
+  SELECT vec_id, label, unnest([{structs}]) AS u FROM base
+),
+cells AS (
+  SELECT vec_id, label, u.cell AS cell,
+         row_number() OVER (PARTITION BY vec_id
+              ORDER BY u.sim DESC, u.cell ASC) AS rk
+  FROM exploded
+),
+cb AS (SELECT vec_id AS neighbor_id, label AS n_label, cell
+       FROM cells WHERE rk = 1),
+qb AS (SELECT vec_id AS query_id, label AS q_label, cell FROM cells
+       WHERE rk <= {IVF_NPROBE} AND vec_id < {N_QUERIES}),
+cands AS (
+  SELECT DISTINCT neighbor_id, query_id
+  FROM cb JOIN qb USING (cell)
+  WHERE neighbor_id <> query_id AND n_label = q_label
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+    round(
+      CASE WHEN sqrt({_dot_sql("q.embedding", "q.embedding")}) > 0
+            AND sqrt({_dot_sql("c2.embedding", "c2.embedding")}) > 0
+           THEN {_dot_sql("q.embedding", "c2.embedding")}
+                / (sqrt({_dot_sql("q.embedding", "q.embedding")})
+                   * sqrt({_dot_sql("c2.embedding", "c2.embedding")}))
+      END, 6) AS score
+  FROM cands
+  JOIN embeddings q ON q.vec_id = query_id
+  JOIN embeddings c2 ON c2.vec_id = neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, score FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+register("knn_ivf_filtered", _knn_ivf_filtered, _knn_ivf_filtered_sql())

@@ -59,6 +59,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "sq8_saturation_census_streaming",
     "knn_ivf_sq8",
     "ivfpq_index_streaming",
+    "knn_binary_hamming",
+    "knn_binary_refined",
+    "binary_bit_balance_audit",
+    "knn_ivf_filtered",
     "quality_threshold_sweep",  # last row r8
     "lang_temperature_mix",  # last row r8
     "minhash_signatures",  # last row r8

@@ -497,6 +497,10 @@ FUZZED_QUERIES_DIM64 = [
     "sq8_saturation_census_streaming",
     "knn_ivf_sq8",
     "ivfpq_index_streaming",
+    "knn_binary_hamming",
+    "knn_binary_refined",
+    "binary_bit_balance_audit",
+    "knn_ivf_filtered",
     "label_centroid_similarity",
     "embedding_near_dups_lsh",
     "semantic_dup_clusters",

@@ -286,3 +286,103 @@ def test_streamed_ivfpq_index_equals_batch(spark):
         )
     )
     assert got == want and got
+
+
+def test_binary_refine_recall_at_least_hamming(spark):
+    """The binary rung's deployment shape: hamming shortlist + exact
+    refine must rank at least as well as raw hamming top-k against the
+    exact-L2 truth (refine reorders toward exactness), and the packed
+    code must be 8 bytes of information (bit_count in [0, 64])."""
+    from kafka_topic_analyzer_spark.operators.binary import (
+        knn_binary_hamming,
+        knn_binary_refined,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    ranges = load_sq8_params(1)
+    ham = knn_binary_hamming(emb, queries, ranges, k=5)
+    assert ham.where((F.col("hamming") < 0) | (F.col("hamming") > 64)).count() == 0
+
+    from kafka_topic_analyzer_spark.functions.vectors import dot, pair_dot_udf
+    from pyspark.sql import Window as W
+
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        dot(F.col("embedding"), F.col("embedding")).alias("qq"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        dot(F.col("embedding"), F.col("embedding")).alias("cc"),
+    )
+    l2 = (
+        F.col("qq")
+        - F.lit(2.0) * pair_dot_udf(F.col("q_emb"), F.col("c_emb"))
+        + F.col("cc")
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("d"), F.asc("neighbor_id"))
+    truth = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", l2.alias("d"))
+        .withColumn("rank", F.row_number().over(w))
+        .where("rank <= 5")
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    ref = knn_binary_refined(emb, queries, ranges, k=5, shortlist=50)
+    h_hits = truth.join(
+        ham.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    ).count()
+    r_hits = truth.join(
+        ref.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    ).count()
+    assert r_hits >= h_hits
+
+
+def test_binary_codes_pack_all_64_bits(spark):
+    """Every dim must be able to set its bit — including bit 63 (the
+    BIGINT sign): an all-above-threshold vector encodes to -1 (all bits
+    set), an all-below one to 0."""
+    from kafka_topic_analyzer_spark.operators.binary import (
+        binary_encode_expr,
+        binary_thresholds,
+    )
+
+    thr = binary_thresholds(load_sq8_params(1))
+    df = spark.createDataFrame(
+        [(0, [1e6] * 64), (1, [-1e6] * 64)],
+        "vec_id long, embedding array<float>",
+    ).withColumn("codes", F.expr(binary_encode_expr(thr)))
+    rows = {r["vec_id"]: r["codes"] for r in df.collect()}
+    assert rows[0] == -1 and rows[1] == 0
+
+
+def test_filtered_ivf_respects_predicate(spark):
+    """Every returned neighbor must carry the query's own label — the
+    filter applies to the candidate stream, not the ranked output."""
+    from kafka_topic_analyzer_spark.operators.ivf_centroids_v1 import CENTROIDS
+    from kafka_topic_analyzer_spark.operators.similarity import knn_ivf_filtered
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    got = knn_ivf_filtered(emb, queries, CENTROIDS, k=5, nprobe=4)
+    labels = emb.select("vec_id", "label")
+    joined = (
+        got.join(
+            labels.select(
+                F.col("vec_id").alias("query_id"), F.col("label").alias("ql")
+            ),
+            "query_id",
+        )
+        .join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nl")
+            ),
+            "neighbor_id",
+        )
+    )
+    assert joined.where(F.col("ql") != F.col("nl")).count() == 0
+    assert got.count() > 0
