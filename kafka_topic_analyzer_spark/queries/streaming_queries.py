@@ -253,3 +253,58 @@ def _register() -> None:
 
 
 _register()
+
+
+def _streaming_upsert_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed-incremental MERGE sink (streaming/upsert_sink.py,
+    r12) driven end-to-end by the streamed Kafka frame: keyed messages
+    upsert into the manifest-versioned bucket state (latest per key
+    wins, tombstones delete, only touched buckets rewrite per epoch);
+    the returned frame is the FINAL state table, hash-checked against
+    the windowed latest-per-key oracle — the driver row that proves the
+    incremental mode computes exactly the compacted state. Multi-epoch
+    incrementality itself is pinned by tests/test_sinks.py."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kafka_topic_analyzer_spark.sources.events_log import (
+        kafka_frame_from_events_df,
+    )
+    from kafka_topic_analyzer_spark.streaming.report_stream import events_stream
+    from kafka_topic_analyzer_spark.streaming.upsert_sink import (
+        read_state_bucketed,
+        stream_upsert_compacted_state_bucketed,
+    )
+
+    kdf = kafka_frame_from_events_df(events_stream(spark, sf_dir)).where(
+        F.col("key").isNotNull()
+    )
+    state_dir = tempfile.mkdtemp(prefix="upsert_bucketed_q_")
+    stream_upsert_compacted_state_bucketed(spark, kdf, state_dir, n_buckets=64)
+    state = read_state_bucketed(spark, state_dir)
+    return state.select(
+        "key",
+        F.col("partition").cast("int").alias("last_partition"),
+        F.col("offset").cast("long").alias("last_offset"),
+        "value",
+    ).orderBy("key")
+
+
+register(
+    "kafka_upsert_state_bucketed",
+    _streaming_upsert_bucketed,
+    kafka_oracle("""
+, numbered AS (
+  SELECT "key", "partition", "offset", "value",
+         row_number() OVER (PARTITION BY "key" ORDER BY "partition" DESC, "offset" DESC) AS rn
+  FROM kafka_messages WHERE "key" IS NOT NULL
+)
+SELECT "key",
+       CAST("partition" AS INTEGER) AS last_partition,
+       CAST("offset" AS BIGINT) AS last_offset,
+       "value"
+FROM numbered WHERE rn = 1 AND "value" IS NOT NULL
+ORDER BY "key"
+"""),
+)

@@ -63,6 +63,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "knn_binary_refined",
     "binary_bit_balance_audit",
     "knn_ivf_filtered",
+    "kafka_upsert_state_bucketed",
     "quality_threshold_sweep",  # last row r8
     "lang_temperature_mix",  # last row r8
     "minhash_signatures",  # last row r8

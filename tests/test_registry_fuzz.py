@@ -394,6 +394,7 @@ FUZZED_QUERIES = [
     "windowed_counts_streaming",
     "kafka_report_partition_streaming",
     "kafka_compacted_state_streaming",
+    "kafka_upsert_state_bucketed",
     "session_windows_streaming",
     # relational family on the boundary-adversarial TPC-H fixture
     "q1_pricing_summary",
