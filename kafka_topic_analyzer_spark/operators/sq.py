@@ -118,6 +118,40 @@ def sq8_dist_micro_expr(
       CAST(0 AS BIGINT), (acc, t) -> acc + t)"""
 
 
+def sq8_dist_micro_udf(ranges: Ranges):
+    """Arrow-batched twin of :func:`sq8_dist_micro_expr`: the SAME
+    integer micro-unit distance (dequantize, per-dim squared diff,
+    floor(d*d*1e6 + 0.5) as int64, exact sum) computed by vectorized
+    numpy instead of an interpreted higher-order fold. Higher-order
+    functions are CodegenFallback in Spark — measured ~5x the exact
+    scan's cost at 256k vectors — while the Arrow batch pays one numpy
+    pass per partition (the pair_dot_udf discipline). Every elementwise
+    op keeps the scalar form's IEEE-754 association (c*(hi-lo), /255,
+    lo+…; (d*d)*1e6), so the int64 values are bit-identical and the
+    DuckDB mirror (the HOF form) still hash-matches."""
+    from pyspark.sql.functions import pandas_udf
+
+    lo = np.array(ranges[0], dtype=np.float64)
+    hi = np.array(ranges[1], dtype=np.float64)
+
+    @pandas_udf("long")
+    def _dist(codes, q_emb):
+        import pandas as pd
+
+        if len(codes) == 0:
+            return pd.Series([], dtype="int64")
+        c = np.array(codes.tolist(), dtype=np.float64)
+        qm = np.array(q_emb.tolist(), dtype=np.float64)
+        deq = lo + c * (hi - lo) / 255.0
+        diff = qm - deq
+        terms = np.floor(diff * diff * 1e6 + 0.5).astype(np.int64)
+        return pd.Series(terms.sum(axis=1))
+
+    # asNondeterministic: values ARE deterministic (SQL-mirrored); the
+    # marker stops Catalyst duplicating the UDF (lsh_buckets rationale)
+    return _dist.asNondeterministic()
+
+
 def knn_sq8(
     corpus: DataFrame,
     queries: DataFrame,
@@ -131,14 +165,21 @@ def knn_sq8(
     routes through topk_per_group (corpus-sized candidate sets — the ANN
     family discipline). Returns (query_id, rank, neighbor_id, adist),
     adist = exact micro-unit sum / 1e6."""
-    c = sq8_encode(corpus, ranges).select(
-        F.col("vec_id").alias("neighbor_id"), "codes"
+    from kafka_topic_analyzer_spark.operators.ranks import _default_shards
+
+    # Materialization barrier (see binary.knn_binary_hamming): without
+    # the exchange, CollapseProject inlines the per-dim encode into the
+    # per-pair distance and re-encodes every candidate for every query.
+    c = (
+        sq8_encode(corpus, ranges)
+        .select(F.col("vec_id").alias("neighbor_id"), "codes")
+        .repartition(_default_shards(corpus))
     )
     q = queries.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
     )
-    dist_u = F.expr(sq8_dist_micro_expr(ranges))
+    dist_u = sq8_dist_micro_udf(ranges)(F.col("codes"), F.col("q_emb"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
@@ -257,14 +298,18 @@ def knn_ivf_sq8(
         ivf_assign_fixed,
     )
 
+    from kafka_topic_analyzer_spark.operators.ranks import _default_shards
+
     cells_udf = _fixed_cells_udf(centroids, nprobe=1)
+    # Materialization barrier (see knn_sq8): keep the encode out of the
+    # per-candidate distance projection.
     idx = corpus.select(
         F.col("vec_id").alias("neighbor_id"),
         F.element_at(
             cells_udf(as_double(F.col("embedding"))), 1
         ).alias("cell"),
         F.expr(sq8_encode_expr(ranges)).alias("codes"),
-    )
+    ).repartition(_default_shards(corpus))
     qb = ivf_assign_fixed(queries, centroids, nprobe=nprobe).select(
         F.col("vec_id").alias("query_id"), "cell"
     )
@@ -279,7 +324,9 @@ def knn_ivf_sq8(
         .select(
             "query_id",
             "neighbor_id",
-            F.expr(sq8_dist_micro_expr(ranges)).alias("dist_u"),
+            sq8_dist_micro_udf(ranges)(F.col("codes"), F.col("q_emb")).alias(
+                "dist_u"
+            ),
         )
     )
     return topk_per_group(

@@ -54,6 +54,7 @@ def main() -> None:
     from pyspark.sql import Window as W, functions as F
 
     from kafka_topic_analyzer_spark.functions.vectors import dot, pair_dot_udf
+    from kafka_topic_analyzer_spark.operators.binary import knn_binary_hamming
     from kafka_topic_analyzer_spark.operators.ivf_centroids_v1 import CENTROIDS
     from kafka_topic_analyzer_spark.operators.pq import (
         knn_ivfpq_adc,
@@ -61,8 +62,11 @@ def main() -> None:
         knn_pq_refined,
     )
     from kafka_topic_analyzer_spark.operators.pq_codebooks_v1 import CODEBOOKS
+    from kafka_topic_analyzer_spark.operators.sq import knn_sq8, load_sq8_params
     from kafka_topic_analyzer_spark.session import get_spark
     from kafka_topic_analyzer_spark.sources.tables import load_table
+
+    SQ8_RANGES = load_sq8_params(1)
 
     spark = get_spark("pq-scale-probe")
     base = load_table(spark, sf_dir, "embeddings")
@@ -107,6 +111,8 @@ def main() -> None:
     knn_pq_adc(base, warm_q, CODEBOOKS, k=K).count()
     knn_ivfpq_adc(base, warm_q, CENTROIDS, CODEBOOKS, k=K, nprobe=NPROBE).count()
     knn_pq_refined(base, warm_q, CODEBOOKS, k=K, shortlist=SHORTLIST).count()
+    knn_sq8(base, warm_q, SQ8_RANGES, k=K).count()
+    knn_binary_hamming(base, warm_q, SQ8_RANGES, k=K).count()
     print("# warmup pass done (untimed)", file=sys.stderr)
 
     out = []
@@ -150,6 +156,12 @@ def main() -> None:
                 ),
                 "refined": lambda: knn_pq_refined(
                     corpus, queries, CODEBOOKS, k=K, shortlist=SHORTLIST
+                ),
+                # r12 rungs: per-dim 8-bit scoring (near-exact) and the
+                # 1-bit hamming scan (two integer ops per pair)
+                "sq8": lambda: knn_sq8(corpus, queries, SQ8_RANGES, k=K),
+                "binary": lambda: knn_binary_hamming(
+                    corpus, queries, SQ8_RANGES, k=K
                 ),
             }
             for name, build in paths.items():
