@@ -386,3 +386,30 @@ def test_filtered_ivf_respects_predicate(spark):
     )
     assert joined.where(F.col("ql") != F.col("nl")).count() == 0
     assert got.count() > 0
+
+
+def test_sq8_udf_distance_equals_hof_expression(spark):
+    """The Arrow-batched distance twin must produce the IDENTICAL int64
+    micro-units as the interpreted higher-order fold (which remains the
+    DuckDB mirror) — the bit-identity that lets the UDF serve the hot
+    path while the HOF form proves parity."""
+    from kafka_topic_analyzer_spark.operators.sq import (
+        sq8_dist_micro_expr,
+        sq8_dist_micro_udf,
+        sq8_encode,
+    )
+
+    ranges = load_sq8_params(1)
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(20)
+    enc = sq8_encode(emb, ranges).select("vec_id", "codes")
+    q = emb.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    ).limit(5)
+    pairs = enc.crossJoin(q).select(
+        "vec_id",
+        "qid",
+        F.expr(sq8_dist_micro_expr(ranges)).alias("hof"),
+        sq8_dist_micro_udf(ranges)(F.col("codes"), F.col("q_emb")).alias("udf"),
+    )
+    assert pairs.where(F.col("hof") != F.col("udf")).count() == 0
+    assert pairs.count() == 100
