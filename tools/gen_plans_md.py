@@ -156,7 +156,7 @@ SECTIONS: list[tuple[str, str | None, str]] = [
     (
         "knn_ivf_sq8",
         "knn_ivf_sq8",
-        "IVF + SQ8 (r12): one corpus FileScan feeds BOTH the cell UDF and the pure-JVM SQ8 encode transform (no Python in the scoring path at all — encode and the integer micro-unit distance are transform/aggregate expressions); probed cells and raw query vectors broadcast; near-exact scoring means no refine stage appears. The final rank is the local-prune pair.",
+        "IVF + SQ8 (r12): one corpus FileScan feeds BOTH the cell UDF and the pure-JVM SQ8 encode transform, then an Exchange MATERIALIZES the (cell, codes) index before the join — without it CollapseProject inlines the 64-term encode into the per-pair distance (measured 8x slower; the serving analogue is scoring STORED codes). The distance is the Arrow-batched integer-micro-unit UDF (bit-identical to the interpreted HOF mirror, which stays the DuckDB oracle); probed cells and raw query vectors broadcast; near-exact scoring means no refine stage appears. The final rank is the local-prune pair.",
     ),
     (
         "knn_pq_adc_packed",
