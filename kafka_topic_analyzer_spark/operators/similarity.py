@@ -807,7 +807,13 @@ def knn_ivf_filtered(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(score, round_digits).alias("score"),
+            # tie-safe floor rounding (r6 discipline; advisor r12): round()
+            # half-even diverges between engines on 7th-decimal ties,
+            # floor(x*1e6+0.5)/1e6 is the identical expression both run.
+            (
+                F.floor(score * F.lit(float(10**round_digits)) + F.lit(0.5))
+                / F.lit(float(10**round_digits))
+            ).alias("score"),
         )
     )
     return topk_per_group(

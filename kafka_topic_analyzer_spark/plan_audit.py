@@ -93,8 +93,17 @@ def audit_plan(
     for s in specs:
         if classify_partition(s) == "local":
             continue
-        if any(set(s) <= loc for loc in locals_):
-            continue  # pruned/composed: a local sibling covers this key
+        # pruned/composed: excused ONLY when a local sibling is EXACTLY
+        # this key plus one task/shard column — the topk_per_group /
+        # two-level-scan shape where the keyed window is the final stage
+        # over that sibling's bounded survivors. The old subset rule
+        # (set(s) <= loc) let ANY window whose key is a subset of ANY
+        # local window pass — in particular the empty global partition is
+        # a subset of everything, so one topk stage anywhere in the plan
+        # silently excused every unrelated window (advisor r12). Global-
+        # over-shard-rows compositions go through the explicit allowlist.
+        if any(set(s) | {lc} == loc for loc in locals_ for lc in LOCAL_COLS):
+            continue
         if s in allowed:
             continue
         bad.append(s)

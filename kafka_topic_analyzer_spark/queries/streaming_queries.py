@@ -283,6 +283,12 @@ def _streaming_upsert_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     state_dir = tempfile.mkdtemp(prefix="upsert_bucketed_q_")
     stream_upsert_compacted_state_bucketed(spark, kdf, state_dir, n_buckets=64)
     state = read_state_bucketed(spark, state_dir)
+    if state is None:
+        # Empty manifest (no keyed non-tombstone messages): the oracle
+        # returns zero rows — mirror that instead of raising (advisor r12).
+        return spark.createDataFrame(
+            [], "key string, last_partition int, last_offset bigint, value string"
+        )
     return state.select(
         "key",
         F.col("partition").cast("int").alias("last_partition"),

@@ -199,6 +199,37 @@ def merge_batch_bucketed(
     with open(tmp, "w") as f:
         json.dump(manifest, f, sort_keys=True)
     os.replace(tmp, os.path.join(state_dir, MANIFEST))  # atomic flip
+    # A long-running trickle stream would otherwise grow state_dir without
+    # bound (every epoch leaves its superseded bucket files behind once
+    # the manifest pointer moves — advisor r12). Safe AFTER the flip:
+    # readers resolve paths through the manifest, and a version dir no
+    # manifest entry references (including torn dirs from a crash between
+    # write and flip) can never be read again.
+    vacuum_state_bucketed(state_dir)
+
+
+def vacuum_state_bucketed(state_dir: str) -> list[str]:
+    """Delete epoch version dirs no longer referenced by any manifest
+    entry; returns the removed dir names. Idempotent — the recovery /
+    retention rule for the bucketed MERGE (SCALING.md streaming section):
+    live state is exactly the manifest's current bucket dirs, everything
+    else is garbage from superseded epochs or crashed (never-flipped)
+    writes."""
+    import shutil
+
+    manifest = _read_manifest(state_dir)
+    referenced = {rel.split(os.sep)[0] for rel in manifest.values()}
+    removed = []
+    for entry in os.listdir(state_dir):
+        path = os.path.join(state_dir, entry)
+        if (
+            entry.startswith("epoch_v")
+            and entry not in referenced
+            and os.path.isdir(path)
+        ):
+            shutil.rmtree(path)
+            removed.append(entry)
+    return sorted(removed)
 
 
 def stream_upsert_compacted_state_bucketed(
