@@ -124,3 +124,30 @@ def test_noisy_over_bar_queries_are_listed_for_review():
     assert flagged == []
     assert "too noisy to testify" in md
     assert "noisy" in md
+
+
+def test_io_sentinel_normalizes_throughput_probes():
+    """The r12 scenario: headline msgs/s fell 22% while cpu/overhead
+    sentinels barely moved — with an io sentinel recording a matching
+    disk slowdown, the normalized throughput ratio reads ~1.0 and the
+    swing is attributed to host I/O drift."""
+    old = _run({"q": 1.0})
+    new = _run({"q": 1.0})
+    old["io_sentinel"], new["io_sentinel"] = 2.0, 2.56  # disk 1.28x slower
+    old["throughput"] = {"baseline_sized_msgs_per_sec": 10_470_000.0}
+    new["throughput"] = {"baseline_sized_msgs_per_sec": 8_200_000.0}
+    md, flagged = compare(old, new, bar=1.3, max_spread=0.3)
+    assert flagged == []
+    assert "io sentinel" in md and "drift 1.280x" in md
+    assert "baseline_sized_msgs_per_sec" in md
+    # raw 0.78x, normalized 0.78 * 1.28 ~ 1.00
+    assert "| 0.78 | 1.00 |" in md
+
+
+def test_throughput_without_io_sentinel_is_unattributed():
+    old = _run({"q": 1.0})
+    new = _run({"q": 1.0})
+    old["throughput"] = {"steady_state_msgs_per_sec": 2.0e7}
+    new["throughput"] = {"steady_state_msgs_per_sec": 1.5e7}
+    md, _ = compare(old, new, bar=1.3, max_spread=0.3)
+    assert "n/a (no io sentinel)" in md

@@ -66,6 +66,20 @@ def _load_run(detail: dict, local: dict | None) -> dict:
         "sentinel": field("ambient_sentinel_sec"),
         "overhead_sentinel": field("overhead_sentinel_sec"),
         "stream_sentinel": field("stream_sentinel_sec"),
+        "io_sentinel": field("io_sentinel_sec"),
+        # headline throughput probes (write+scan ~1 GB of parquet — the
+        # I/O-exposed figures the io sentinel normalizes, r13)
+        "throughput": {
+            k: field(k)
+            for k in (
+                "baseline_sized_msgs_per_sec",
+                "baseline_sized_mb_per_sec",
+                "steady_state_msgs_per_sec",
+                "steady_state_mb_per_sec",
+                "report_msgs_per_sec",
+            )
+            if field(k)
+        },
         "queries": detail.get("queries", {}),
         "spread": detail.get("spread", {}),
     }
@@ -95,6 +109,18 @@ def compare(old: dict, new: dict, bar: float, max_spread: float) -> tuple[str, l
         notes.append(
             f"stream sentinel {old['stream_sentinel']:.4f}s -> "
             f"{new['stream_sentinel']:.4f}s (drift {drifts['stream']:.3f}x)"
+        )
+    io_drift = None
+    if old.get("io_sentinel") and new.get("io_sentinel"):
+        # r13+: disk/page-cache drift — the axis the r12 -22% headline
+        # throughput swing exposed (no sentinel covered the ~1 GB
+        # parquet write+scan the probes pay). NOT added to the query
+        # flag rule (queries read page-cached fixture files); used to
+        # normalize the throughput probes below.
+        io_drift = new["io_sentinel"] / old["io_sentinel"]
+        notes.append(
+            f"io sentinel {old['io_sentinel']:.4f}s -> "
+            f"{new['io_sentinel']:.4f}s (drift {io_drift:.3f}x)"
         )
     if not drifts:
         notes.append(
@@ -215,6 +241,29 @@ def compare(old: dict, new: dict, bar: float, max_spread: float) -> tuple[str, l
         lines.append(
             f"| {q} | {t_old:.3f} | {t_new:.3f} | {norm:.2f} | {best:.2f} | {sp:.2f} |"
         )
+    tp_common = sorted(
+        set(old.get("throughput", {})) & set(new.get("throughput", {}))
+    )
+    if tp_common:
+        lines += [
+            "",
+            "## Throughput probes (rates; I/O-sentinel-normalized, r13)",
+            "",
+            "Raw ratio = new/old rate (>1 is faster). A host-I/O slowdown "
+            "of d multiplies probe time by d and divides the rate by d, so "
+            "normalized = raw x io-drift; without an io sentinel on both "
+            "sides the raw ratio stands unattributed.",
+            "",
+            "| probe | old | new | raw x | vs io drift |",
+            "|---|---|---|---|---|",
+        ]
+        for k in tp_common:
+            v_old, v_new = old["throughput"][k], new["throughput"][k]
+            raw = v_new / v_old if v_old else float("nan")
+            norm = f"{raw * io_drift:.2f}" if io_drift else "n/a (no io sentinel)"
+            lines.append(
+                f"| {k} | {v_old:,.0f} | {v_new:,.0f} | {raw:.2f} | {norm} |"
+            )
     if added:
         lines += ["", f"New queries this round: {', '.join(added)}"]
     if removed:
