@@ -410,3 +410,36 @@ def test_knn_ivfpq_adaptive_matches_full_probe_at_mass_1(spark):
     assert sorted(map(tuple, fixed.collect())) == sorted(
         map(tuple, adaptive.collect())
     )
+
+
+def test_distributed_trainer_matches_sample(spark):
+    """pq_train_distributed (full-corpus Lloyd, driver sees only
+    m*k*dsub aggregate rows) must converge to the sample trainer's
+    artifact on a corpus the sample fully covers — same seeds, same
+    stable-argmin assignment, same empty-code policy; the only
+    divergence allowed is float-sum order inside the means (last-ulp)."""
+    import numpy as np
+
+    from kafka_topic_analyzer_spark.operators.pq import (
+        pq_train,
+        pq_train_distributed,
+    )
+    from kafka_topic_analyzer_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cb_sample = pq_train(emb, m=8, k=16, iters=3)
+    cb_dist = pq_train_distributed(emb, m=8, k=16, iters=3)
+    assert cb_dist.shape == cb_sample.shape == (8, 16, 8)
+    assert np.allclose(cb_dist, cb_sample, rtol=1e-6, atol=1e-9)
+    # and the artifacts encode identically (assignment-level equality)
+    from kafka_topic_analyzer_spark.operators.pq import pq_encode_scored
+
+    a = {
+        r["vec_id"]: tuple(r["codes"])
+        for r in pq_encode_scored(emb, tuple(map(tuple, (tuple(map(tuple, s)) for s in cb_sample)))).select("vec_id", "codes").collect()
+    }
+    b = {
+        r["vec_id"]: tuple(r["codes"])
+        for r in pq_encode_scored(emb, tuple(map(tuple, (tuple(map(tuple, s)) for s in cb_dist)))).select("vec_id", "codes").collect()
+    }
+    assert a == b

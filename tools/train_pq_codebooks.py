@@ -15,6 +15,15 @@ distribution shifts.
 Usage: python tools/train_pq_codebooks.py [sf_dir] [out.py] [M] [K] [ITERS]
 (r12: M/K/ITERS are now CLI args so capacity rungs — e.g. the K=256
 serving-grade v3 cut — reuse this one trainer.)
+
+Pass --distributed (anywhere in argv) to train with the full-corpus
+Lloyd (operators/pq.pq_train_distributed) instead of the bounded-sample
+collect: every iteration assigns the whole corpus executor-side and the
+driver sees only m*k*dsub aggregate rows. Same seeds/ties/empty-code
+policy — on a corpus the sample covers the two trainers converge to the
+same artifact (tests/test_pq.py pins it); use --distributed when the
+corpus outgrows sample representativeness (SCALING.md "Quantizer
+training at scale").
 """
 
 from __future__ import annotations
@@ -22,6 +31,9 @@ from __future__ import annotations
 import sys
 
 sys.path.insert(0, ".")
+
+DISTRIBUTED = "--distributed" in sys.argv
+sys.argv = [a for a in sys.argv if a != "--distributed"]
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = (
@@ -35,13 +47,19 @@ ITERS = int(sys.argv[5]) if len(sys.argv) > 5 else 5
 
 
 def main() -> None:
-    from kafka_topic_analyzer_spark.operators.pq import pq_train
+    from kafka_topic_analyzer_spark.operators.pq import (
+        pq_train,
+        pq_train_distributed,
+    )
     from kafka_topic_analyzer_spark.session import get_spark
     from kafka_topic_analyzer_spark.sources.tables import load_table
 
     spark = get_spark("train-pq")
     emb = load_table(spark, SF_DIR, "embeddings")
-    cb = pq_train(emb, m=M, k=K, iters=ITERS)
+    if DISTRIBUTED:
+        cb = pq_train_distributed(emb, m=M, k=K, iters=ITERS)
+    else:
+        cb = pq_train(emb, m=M, k=K, iters=ITERS)
     m, k, dsub = cb.shape
     lines = [
         '"""Fixed PQ codebooks (generated artifact).',
