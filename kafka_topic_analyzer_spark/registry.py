@@ -43,65 +43,19 @@ def register(name: str, spark_fn: Callable[[SparkSession, str], DataFrame], orac
 # commits SELFCHECK_r{N}.json, so every query has fresh evidence every round
 # even when outside the driver window.
 CHECK_PRIORITY: tuple[str, ...] = (
-    # -- round 12 rotation (tools/rotate_priority.py): the THIRTEEN new
-    # rowless r12 queries first (the quantization-ladder, filtered-ANN,
-    # streamed-index and bucketed-upsert additions), then the TWENTY r8
-    # rows at the 3-round freshness bound (judge r11 item 2), then the
-    # stalest r9 cohort fills the 50-query window. At 183 oracle-backed
-    # queries the full rotation cycle is ceil(183/50) = 4 rounds — the
-    # bound this stalest-first ordering enforces: no green row ever ages
-    # past 4 rounds (tools/selfcheck.py still re-hashes the ENTIRE
-    # catalog at both SFs every round as the off-window evidence). --
-    "knn_ivfpq_adaptive",
-    "knn_ivfpq_refined",
-    "knn_pq_adc_packed",
-    "knn_sq8",
-    "sq8_saturation_audit",
-    "sq8_saturation_census_streaming",
-    "knn_ivf_sq8",
-    "ivfpq_index_streaming",
-    "knn_binary_hamming",
-    "knn_binary_refined",
-    "binary_bit_balance_audit",
-    "knn_ivf_filtered",
-    "kafka_upsert_state_bucketed",
-    "quality_threshold_sweep",  # last row r8
-    "lang_temperature_mix",  # last row r8
-    "minhash_signatures",  # last row r8
-    "minhash_near_dups",  # last row r8
-    "embedding_near_dup_pairs",  # last row r8
-    "embedding_near_dups_lsh",  # last row r8
-    "simhash_fingerprints",  # last row r8
-    "simhash_near_dups",  # last row r8
-    "consensus_near_dups",  # last row r8
-    "fuzzy_match_pairs",  # last row r8
-    "hourly_event_counts",  # last row r8
-    "sliding_window_counts",  # last row r8
-    "user_session_stats",  # last row r8
-    "props_key_distribution",  # last row r8
-    "purchase_attribution_asof",  # last row r8
-    "value_percentiles",  # last row r8
-    "peak_window_event_counts",  # last row r8
-    "bpe_merge_candidates",  # last row r8
-    "bpe_train_merges",  # last row r8
-    "bpe_encode_from_artifact",  # last row r8
-    "q5_regional_revenue",  # last row r9
-    "top3_customers_per_segment",  # last row r9
-    "orders_rollup",  # last row r9
-    "customers_without_recent_orders",  # last row r9
-    "priority_with_discounted_lines",  # last row r9
-    "large_parts_in_lineitem",  # last row r9
-    "order_status_pivot",  # last row r9
-    "supplier_running_revenue",  # last row r9
-    "customer_retention_sets",  # last row r9
-    "orders_cube",  # last row r9
-    "ivf_quantizer_drift_audit",  # last row r9
-    "embedding_threshold_sweep",  # last row r9
-    "stratified_sample_summary",  # last row r9
-    "per_group_sample",  # last row r9
-    "event_value_histogram",  # last row r9
-    "quality_percentile_gate",  # last row r9
-    "sequence_packing",  # last row r9
+    # -- round 13 rotation (tools/rotate_priority.py): the FOUR new
+    # rowless r13 queries first (the K=256 driver-hashable twins and the
+    # OPQ rung), then ALL 33 r9-stale rows (the oldest cohort — judge
+    # r12 item 2), then the 13 oldest r10 rows fill the 50-query window.
+    # At 187 oracle-backed queries the rotation cycle stays 4 rounds:
+    # nothing's newest green row ages past r10 after this round
+    # (tools/selfcheck.py still re-hashes the ENTIRE catalog at both SFs
+    # every round as the off-window evidence). --
+
+    "knn_pq_adc_v3",
+    "knn_ivfpq_adc_v3",
+    "knn_ivfpq_refined_v3",
+    "knn_opq_adc",
     "training_shard_manifest",  # last row r9
     "doc_chunking",  # last row r9
     "source_char_dispersion",  # last row r9
@@ -114,6 +68,40 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "hourly_spike_detection",  # last row r9
     "event_funnel",  # last row r9
     "weekly_retention_cohorts",  # last row r9
+    "user_state_history",  # last row r9
+    "events_quality_checks",  # last row r9
+    "kafka_report_partition_streaming",  # last row r9
+    "kafka_compacted_state_streaming",  # last row r9
+    "windowed_counts_streaming",  # last row r9
+    "purchase_click_join_streaming",  # last row r9
+    "exact_dedup_streaming",  # last row r9
+    "dedup_within_watermark_streaming",  # last row r9
+    "session_windows_streaming",  # last row r9
+    "image_feature_stats",  # last row r9
+    "audio_chunk_stats",  # last row r9
+    "image_resize_inventory",  # last row r9
+    "top_terms_per_source",  # last row r9
+    "vocab_coverage_curve",  # last row r9
+    "term_postings",  # last row r9
+    "keyword_search",  # last row r9
+    "bpe_encode_corpus",  # last row r9
+    "unigram_logprob_quality",  # last row r9
+    "source_unigram_kl",  # last row r9
+    "boilerplate_coverage",  # last row r9
+    "curation_funnel",  # last row r9
+    "kafka_report_partition",  # last row r10
+    "kafka_report_global",  # last row r10
+    "kafka_alive_keys",  # last row r10
+    "kafka_compacted_state",  # last row r10
+    "kafka_consumer_config_audit",  # last row r10
+    "kafka_empty_topic_guard_audit",  # last row r10
+    "kafka_scan_observability_audit",  # last row r10
+    "rich_customers_per_segment",  # last row r10
+    "balance_deciles",  # last row r10
+    "monthly_order_growth",  # last row r10
+    "q6_forecast_revenue",  # last row r10
+    "q12_returnflag_priority",  # last row r10
+    "q14_promo_share",  # last row r10
 )
 
 
