@@ -2982,3 +2982,86 @@ FROM ranked WHERE rank <= {TOP_K}
 
 
 register("knn_opq_adc", _knn_opq_adc, _knn_opq_adc_sql())
+
+
+def _knn_opq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ ADC shortlist + exact refine (FAISS IndexRefineFlat over
+    OPQMatrix->IndexPQ): the deployment shape of the OPQ rung. The
+    refine re-ranks in the ROTATED space — valid because the rotation
+    preserves L2 exactly, so rotated exact distances rank identically
+    to raw exact distances."""
+    from kafka_topic_analyzer_spark.operators import opq as OPQ
+    from kafka_topic_analyzer_spark.operators.opq_rotation_v1 import ROTATION
+    from kafka_topic_analyzer_spark.operators.pq_codebooks_opq_v1 import (
+        CODEBOOKS,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return OPQ.knn_opq_refined(
+        emb, queries, ROTATION, CODEBOOKS, k=TOP_K, shortlist=PQ_SHORTLIST
+    )
+
+
+def _knn_opq_refined_sql() -> str:
+    from kafka_topic_analyzer_spark.operators.opq_rotation_v1 import DIM
+    from kafka_topic_analyzer_spark.operators.pq_fixture import (
+        rotation_fixture_path,
+    )
+
+    rot_path = rotation_fixture_path("v1")
+    sq_l2 = (
+        f"({_dot_sql('q.embedding', 'q.embedding')}"
+        f" - 2 * {_dot_sql('q.embedding', 'c2.embedding')}"
+        f" + {_dot_sql('c2.embedding', 'c2.embedding')})"
+    )
+    return f"""
+WITH rot AS (SELECT j, vals FROM read_parquet('{rot_path}')),
+rotvals AS (
+  SELECT e.vec_id, r.j AS j,
+         list_reduce(
+           list_prepend(CAST(0 AS DOUBLE),
+             list_transform(range(1, {DIM + 1}), i ->
+               CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+               * r.vals[CAST(i AS INT)])),
+           (a, b) -> a + b) AS v
+  FROM embeddings e CROSS JOIN rot r
+),
+rotated AS (
+  SELECT vec_id, list(v ORDER BY j) AS embedding
+  FROM rotvals GROUP BY vec_id
+),
+{_pq256_codes_ctes(src="rotated", version="opq_v1").lstrip()},
+{_pq256_qdt_cte().lstrip()},
+adc AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         {_pq256_adc_sum_sql(version="opq_v1")} AS adist_dec
+  FROM codes c CROSS JOIN qdt
+  WHERE c.vec_id <> query_id
+),
+short AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                    ORDER BY adist_dec ASC, neighbor_id ASC) AS rk
+        FROM adc)
+  WHERE rk <= {PQ_SHORTLIST}
+),
+exact AS (
+  SELECT s.query_id, s.neighbor_id,
+         floor({sq_l2} * 1e6 + 0.5) / 1e6 AS dist
+  FROM short s
+  JOIN rotated q ON q.vec_id = s.query_id
+  JOIN rotated c2 ON c2.vec_id = s.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, dist,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY dist ASC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM exact
+)
+SELECT query_id, rank, neighbor_id, dist FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+register("knn_opq_refined", _knn_opq_refined, _knn_opq_refined_sql())
