@@ -3065,3 +3065,130 @@ SELECT query_id, rank, neighbor_id, dist FROM ranked WHERE rank <= {TOP_K}
 
 
 register("knn_opq_refined", _knn_opq_refined, _knn_opq_refined_sql())
+
+
+def _knn_ivfpq_residual_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF+PQ at the K=256 serving code size — what FAISS
+    IndexIVFPQ actually ships by default (8-bit codes over residuals).
+    Completes the serving-grade driver-hash family: every PQ variant
+    (raw/IVF/refined/residual/OPQ) now has a green row on its
+    production artifacts."""
+    from kafka_topic_analyzer_spark.operators import pq as PQ
+    from kafka_topic_analyzer_spark.operators.ivf_centroids_v1 import CENTROIDS
+    from kafka_topic_analyzer_spark.operators.pq_codebooks_res_v3 import (
+        CODEBOOKS as RES_CB3,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return PQ.knn_ivfpq_residual_adc(
+        emb, queries, CENTROIDS, RES_CB3, k=TOP_K, nprobe=IVF_NPROBE
+    )
+
+
+def _knn_ivfpq_residual_v3_sql() -> str:
+    from kafka_topic_analyzer_spark.operators.ivf_centroids_v1 import NLIST
+    from kafka_topic_analyzer_spark.operators.pq_codebooks_res_v3 import (
+        DSUB as RES_DSUB,
+        K as RES_K,
+        M as RES_M,
+    )
+    from kafka_topic_analyzer_spark.operators.pq_fixture import (
+        codebook_fixture_path,
+    )
+
+    path = codebook_fixture_path("res_v3")
+    structs = ", ".join(
+        f"{{'cell': {ci}, 'sim': {_ivf_sim_sql(ci)}}}" for ci in range(NLIST)
+    )
+    adc_sum = " + ".join(
+        f"qdt[{mi * RES_K} + codes[{mi + 1}] + 1]" for mi in range(RES_M)
+    )
+    residual = (
+        "list_transform(e.embedding, (x, i) ->"
+        f" CAST(x AS DOUBLE) - {_centroid_case_sql('cl.cell')}[i])"
+    )
+    diff = (
+        f"(v.res[cb.m * {RES_DSUB} + CAST(i AS INT)]"
+        f" - cb.vals[CAST(i AS INT)])"
+    )
+    dist_fold = (
+        f"list_reduce(list_transform(range(1, {RES_DSUB + 1}),"
+        f" i -> {diff} * {diff}), (a, b) -> a + b)"
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding,
+         sqrt({_dot_sql("embedding", "embedding")}) AS qn
+  FROM embeddings
+),
+exploded AS (
+  SELECT vec_id, unnest([{structs}]) AS u FROM base
+),
+cells AS (
+  SELECT vec_id, u.cell AS cell,
+         row_number() OVER (PARTITION BY vec_id
+              ORDER BY u.sim DESC, u.cell ASC) AS rk
+  FROM exploded
+),
+cb AS (SELECT vec_id, cell FROM cells WHERE rk = 1),
+cb256 AS (SELECT m, k, vals FROM read_parquet('{path}')),
+cres AS (
+  SELECT e.vec_id, cl.cell, {residual} AS res
+  FROM embeddings e JOIN cb cl ON e.vec_id = cl.vec_id
+),
+cdists AS (
+  SELECT v.vec_id, cb.m AS m, cb.k AS k, {dist_fold} AS d
+  FROM cres v CROSS JOIN cb256 cb
+),
+cbest AS (
+  SELECT vec_id, m, k,
+         row_number() OVER (PARTITION BY vec_id, m
+              ORDER BY d ASC, k ASC) AS rk
+  FROM cdists
+),
+codes AS (
+  SELECT vec_id, list(k ORDER BY m) AS codes
+  FROM cbest WHERE rk = 1 GROUP BY vec_id
+),
+idx AS (
+  SELECT c.vec_id AS neighbor_id, cl.cell, c.codes
+  FROM codes c JOIN cb cl ON c.vec_id = cl.vec_id
+),
+qsel AS (SELECT vec_id AS query_id, cell FROM cells
+         WHERE rk <= {IVF_NPROBE} AND vec_id < {N_QUERIES}),
+qres AS (
+  SELECT cl.query_id, cl.cell, {residual} AS res
+  FROM embeddings e JOIN qsel cl ON e.vec_id = cl.query_id
+),
+qdists AS (
+  SELECT v.query_id, v.cell, cb.m AS m, cb.k AS k, {dist_fold} AS d
+  FROM qres v CROSS JOIN cb256 cb
+),
+qdt AS (
+  SELECT query_id, cell,
+         list(CAST(floor(d * 1e6 + 0.5) / 1e6 AS DECIMAL(18,6))
+              ORDER BY m, k) AS qdt
+  FROM qdists GROUP BY query_id, cell
+),
+scored AS (
+  SELECT query_id, neighbor_id, {adc_sum} AS adist_dec
+  FROM idx JOIN qdt USING (cell)
+  WHERE neighbor_id <> query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adist_dec,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY adist_dec ASC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, CAST(adist_dec AS DOUBLE) AS adist
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+register(
+    "knn_ivfpq_residual_adc_v3",
+    _knn_ivfpq_residual_v3,
+    _knn_ivfpq_residual_v3_sql(),
+)

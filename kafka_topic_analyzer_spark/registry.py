@@ -43,21 +43,22 @@ def register(name: str, spark_fn: Callable[[SparkSession, str], DataFrame], orac
 # commits SELFCHECK_r{N}.json, so every query has fresh evidence every round
 # even when outside the driver window.
 CHECK_PRIORITY: tuple[str, ...] = (
-    # -- round 13 rotation (tools/rotate_priority.py): the FIVE new
-    # rowless r13 queries first (the K=256 driver-hashable twins and the
-    # OPQ rung + its refined serving shape), then ALL 33 r9-stale rows
-    # (the oldest cohort — judge r12 item 2), then the 12 oldest r10
-    # rows fill the 50-query window. At 188 oracle-backed queries the
-    # rotation cycle stays 4 rounds: nothing's newest green row ages
-    # past r10 after this round (tools/selfcheck.py still re-hashes the
-    # ENTIRE catalog at both SFs every round as the off-window
-    # evidence). --
+    # -- round 13 rotation (tools/rotate_priority.py): the SIX new
+    # rowless r13 queries first (K=256 driver-hashable twins incl. the
+    # residual form, and the OPQ rung + its refined serving shape), then
+    # ALL 33 r9-stale rows (the oldest cohort — judge r12 item 2), then
+    # the oldest r10 rows fill the 50-query window. At 189 oracle-backed
+    # queries the rotation cycle stays 4 rounds: nothing's newest green
+    # row ages past r10 after this round (tools/selfcheck.py still
+    # re-hashes the ENTIRE catalog at both SFs every round as the
+    # off-window evidence). --
 
     "knn_pq_adc_v3",
     "knn_ivfpq_adc_v3",
     "knn_ivfpq_refined_v3",
     "knn_opq_adc",
     "knn_opq_refined",
+    "knn_ivfpq_residual_adc_v3",
     "training_shard_manifest",  # last row r9
     "doc_chunking",  # last row r9
     "source_char_dispersion",  # last row r9
@@ -102,7 +103,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "balance_deciles",  # last row r10
     "monthly_order_growth",  # last row r10
     "q6_forecast_revenue",  # last row r10
-    "q12_returnflag_priority",  # last row r10
 )
 
 
