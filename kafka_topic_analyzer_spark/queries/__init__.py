@@ -15,3 +15,4 @@ import kafka_topic_analyzer_spark.queries.curation  # noqa: F401
 import kafka_topic_analyzer_spark.queries.terms  # noqa: F401
 import kafka_topic_analyzer_spark.queries.contamination  # noqa: F401
 import kafka_topic_analyzer_spark.queries.lm_quality  # noqa: F401
+import kafka_topic_analyzer_spark.queries.sketches  # noqa: F401

@@ -43,15 +43,15 @@ def register(name: str, spark_fn: Callable[[SparkSession, str], DataFrame], orac
 # commits SELFCHECK_r{N}.json, so every query has fresh evidence every round
 # even when outside the driver window.
 CHECK_PRIORITY: tuple[str, ...] = (
-    # -- round 13 rotation (tools/rotate_priority.py): the SIX new
+    # -- round 13 rotation (tools/rotate_priority.py): the ELEVEN new
     # rowless r13 queries first (K=256 driver-hashable twins incl. the
-    # residual form, and the OPQ rung + its refined serving shape), then
-    # ALL 33 r9-stale rows (the oldest cohort — judge r12 item 2), then
-    # the oldest r10 rows fill the 50-query window. At 189 oracle-backed
-    # queries the rotation cycle stays 4 rounds: nothing's newest green
-    # row ages past r10 after this round (tools/selfcheck.py still
-    # re-hashes the ENTIRE catalog at both SFs every round as the
-    # off-window evidence). --
+    # residual form, the OPQ rung + its refined serving shape, and the
+    # sketch family: CMS heavy hitters + streaming twin, Bloom pruning +
+    # sizing sweep, join-skew forecast), then ALL 33 r9-stale rows (the
+    # oldest cohort — judge r12 item 2), then the oldest r10 rows fill
+    # the 50-query window. Nothing's newest green row ages past r10
+    # after this round (tools/selfcheck.py still re-hashes the ENTIRE
+    # catalog at both SFs every round as the off-window evidence). --
 
     "knn_pq_adc_v3",
     "knn_ivfpq_adc_v3",
@@ -59,6 +59,11 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "knn_opq_adc",
     "knn_opq_refined",
     "knn_ivfpq_residual_adc_v3",
+    "heavy_hitters_cms",
+    "bloom_join_pruning",
+    "bloom_fp_calibration",
+    "join_skew_forecast",
+    "cms_census_streaming",
     "training_shard_manifest",  # last row r9
     "doc_chunking",  # last row r9
     "source_char_dispersion",  # last row r9
@@ -98,11 +103,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "kafka_compacted_state",  # last row r10
     "kafka_consumer_config_audit",  # last row r10
     "kafka_empty_topic_guard_audit",  # last row r10
-    "kafka_scan_observability_audit",  # last row r10
-    "rich_customers_per_segment",  # last row r10
-    "balance_deciles",  # last row r10
-    "monthly_order_growth",  # last row r10
-    "q6_forecast_revenue",  # last row r10
 )
 
 

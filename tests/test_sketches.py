@@ -1,0 +1,135 @@
+"""Sketch-family invariants: Count-Min one-sided error, Bloom zero false
+negatives + monotone sizing, skew-forecast accounting, hash portability."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+from kafka_topic_analyzer_spark.operators import sketches as SK
+from kafka_topic_analyzer_spark.sources.tables import load_table
+
+
+def test_hash32_matches_duckdb(duck):
+    """The md5-prefix hash is the cross-engine contract: pin a few values."""
+    import pyspark.sql.functions as F  # noqa: F811
+    from kafka_topic_analyzer_spark.session import get_spark
+
+    spark = get_spark("tests")
+    keys = [0, 1, 42, 999_999_999, -7]
+    for salt in (0, 2):
+        df = spark.createDataFrame([(k,) for k in keys], "k: long")
+        got = {
+            r["k"]: r["h"]
+            for r in df.select("k", SK.hash32(F.col("k"), salt).alias("h")).collect()
+        }
+        for k in keys:
+            (want,) = duck.execute(
+                f"SELECT {SK.HASH32_SQL(str(k), repr(str(salt)))}"
+            ).fetchone()
+            assert got[k] == want, (salt, k)
+
+
+def test_cms_never_underestimates(spark):
+    """CMS point estimates are one-sided: est >= exact for EVERY key."""
+    e = load_table(spark, SF_SMOKE, "events")
+    counts = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    cells = SK.cms_cells(counts, "user_id", "cnt")
+    est = SK.cms_estimates(counts, cells, "user_id")
+    bad = est.where(F.col("est_cnt") < F.col("cnt")).count()
+    assert bad == 0
+    # and the sketch is exact when a key collides with nothing in some row
+    total_cells = cells.count()
+    assert total_cells <= SK.CMS_DEPTH * SK.CMS_WIDTH
+
+
+def test_cms_cells_conserve_mass(spark):
+    """Every CMS row partitions the corpus: sum over its counters == n rows."""
+    e = load_table(spark, SF_SMOKE, "events")
+    n = e.count()
+    counts = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    cells = SK.cms_cells(counts, "user_id", "cnt")
+    per_row = {
+        r["row_j"]: r["s"]
+        for r in cells.groupBy("row_j").agg(F.sum("cell_total").alias("s")).collect()
+    }
+    assert set(per_row) == set(range(SK.CMS_DEPTH))
+    assert all(v == n for v in per_row.values())
+
+
+def test_bloom_no_false_negatives_and_monotone(spark):
+    """Members always pass; larger m never admits more false positives
+    than are observed at saturation (fp monotone non-increasing in m)."""
+    cust = load_table(spark, SF_SMOKE, "customer")
+    dim = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey").distinct()
+    orders = load_table(spark, SF_SMOKE, "orders").select("o_custkey")
+    member_keys = {r["c_custkey"] for r in dim.collect()}
+    fp_by_m = {}
+    for m in (256, 1024, 4096):
+        bloom = SK.bloom_positions(dim, "c_custkey", m=m)
+        flags = SK.bloom_probe_flags(orders, "o_custkey", bloom, m=m)
+        rows = flags.select("o_custkey", "bloom_pass").collect()
+        missed = [r for r in rows if r["o_custkey"] in member_keys and not r["bloom_pass"]]
+        assert missed == [], f"false negative at m={m}"
+        fp_by_m[m] = sum(
+            1 for r in rows if r["bloom_pass"] and r["o_custkey"] not in member_keys
+        )
+    assert fp_by_m[256] >= fp_by_m[1024] >= fp_by_m[4096]
+
+
+def test_skew_forecast_accounting(spark):
+    """Forecast columns are internally consistent: contribution = n^2,
+    shares bounded by 10000 bp, and total matches the census."""
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    top = SK.selfjoin_skew_forecast(li, "l_partkey", top_n=10)
+    rows = top.collect()
+    assert 0 < len(rows) <= 10
+    total = rows[0]["total_pairs"]
+    exact_total = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).alias("t"))
+        .collect()[0]["t"]
+    )
+    assert total == exact_total
+    for r in rows:
+        assert r["pair_contribution"] == r["n_rows"] * r["n_rows"]
+        assert 0 <= r["share_bp"] <= 10000
+        assert r["total_pairs"] == total
+    # descending contribution, key tie-break
+    contribs = [(r["pair_contribution"], r["l_partkey"]) for r in rows]
+    assert contribs == sorted(contribs, key=lambda t: (-t[0], t[1]))
+
+
+def test_streaming_cms_equals_batch(spark):
+    """The streaming-maintained cell relation is bit-equal to the batch
+    aggregation of the same positions (count AND sum of user_id)."""
+    from kafka_topic_analyzer_spark.streaming.sketch_stream import streaming_cms_cells
+
+    got = {
+        (r["row_j"], r["col_j"]): (r["n_events"], r["sum_user_id"])
+        for r in streaming_cms_cells(spark, SF_SMOKE).collect()
+    }
+    e = load_table(spark, SF_SMOKE, "events")
+    rc = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).cast("int").alias("row_j"),
+                    F.pmod(SK.hash32(F.col("user_id"), j), F.lit(SK.CMS_WIDTH)).alias(
+                        "col_j"
+                    ),
+                )
+                for j in range(SK.CMS_DEPTH)
+            ]
+        )
+    ).alias("rc")
+    want = {
+        (r["row_j"], r["col_j"]): (r["n"], r["s"])
+        for r in e.select(rc, "user_id")
+        .select("rc.row_j", "rc.col_j", "user_id")
+        .groupBy("row_j", "col_j")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"), F.sum("user_id").cast("long").alias("s"))
+        .collect()
+    }
+    assert got == want
