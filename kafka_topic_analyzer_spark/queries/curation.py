@@ -1019,6 +1019,130 @@ ORDER BY 1
 )
 
 
+# Zone-map pruning audit — what the Z-order layout is FOR
+
+
+_PRUNE_FILES_BITS = 10  # 64 files: z div 1024 (zorder) / tx div 4 (linear)
+_UX_LO, _UX_HI = 32, 47  # 16 of 256 user buckets
+_TX_LO, _TX_HI = 64, 95  # 32 of 256 hour buckets
+
+
+def _layout_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified zone-map (min/max footer) pruning: the same 2-D box
+    predicate (user_bucket in [32,47] AND hour_bucket in [64,95]) scanned
+    under TWO 64-file layouts — Z-ordered (files = z div 1024) vs linear
+    time-ordered (files = hour_bucket div 4, what a naive append produces).
+
+    Each layout's per-file min/max (ux, tx) spans are what parquet footers
+    would advertise; a file is PRUNED when its span box misses the
+    predicate box. The two output rows put a number on why
+    zorder_layout_audit's layout exists: rows_scanned under Z-order is a
+    fraction of the linear layout's for the same rows_matched (identical
+    by construction — pruning never changes the answer, only the I/O).
+    Plan: one projection + two 64-group aggregates over it — the audit
+    itself is footer-metadata-sized, exactly like the real pruning
+    decision at 100 TB."""
+    e = load_table(spark, sf_dir, "events")
+    tsec = F.floor(F.col("ts") / F.lit(1_000_000_000)).cast("long")
+    base = (
+        e.withColumn("ux", F.pmod(F.col("user_id"), F.lit(256)))
+        .withColumn("tx", F.pmod(F.floor(tsec / F.lit(3600)), F.lit(256)).cast("long"))
+        .withColumn("z", F.expr(_z_interleave_terms("ux", "tx")))
+        .withColumn(
+            "is_match",
+            F.col("ux").between(_UX_LO, _UX_HI) & F.col("tx").between(_TX_LO, _TX_HI),
+        )
+    )
+
+    def audit(layout: str, file_id):
+        fstats = (
+            base.groupBy(file_id.alias("file_id"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.when(F.col("is_match"), 1).otherwise(0))
+                .cast("long")
+                .alias("n_match"),
+                F.min("ux").alias("min_ux"),
+                F.max("ux").alias("max_ux"),
+                F.min("tx").alias("min_tx"),
+                F.max("tx").alias("max_tx"),
+            )
+            .withColumn(
+                "ovl",
+                ~(
+                    (F.col("max_ux") < _UX_LO)
+                    | (F.col("min_ux") > _UX_HI)
+                    | (F.col("max_tx") < _TX_LO)
+                    | (F.col("min_tx") > _TX_HI)
+                ),
+            )
+        )
+        agged = fstats.agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum(F.when(~F.col("ovl"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_files_pruned"),
+            F.sum(F.when(F.col("ovl"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_files_scanned"),
+            F.sum("n_rows").cast("long").alias("rows_total"),
+            F.sum(F.when(F.col("ovl"), F.col("n_rows")).otherwise(0))
+            .cast("long")
+            .alias("rows_scanned"),
+            F.sum("n_match").cast("long").alias("rows_matched"),
+        )
+        return agged.withColumn("layout", F.lit(layout)).select(
+            "layout", "n_files", "n_files_pruned", "n_files_scanned",
+            "rows_total", "rows_scanned", "rows_matched",
+        )
+
+    zed = audit("zorder", F.expr("z div 1024"))
+    lin = audit("linear", F.expr("tx div 4"))
+    return zed.unionByName(lin).orderBy("layout")
+
+
+def _layout_audit_sql(layout: str, file_expr: str) -> str:
+    return f"""
+  SELECT '{layout}' AS layout,
+         CAST(count(*) AS BIGINT) AS n_files,
+         CAST(sum(CASE WHEN NOT ovl THEN 1 ELSE 0 END) AS BIGINT) AS n_files_pruned,
+         CAST(sum(CASE WHEN ovl THEN 1 ELSE 0 END) AS BIGINT) AS n_files_scanned,
+         CAST(sum(n_rows) AS BIGINT) AS rows_total,
+         CAST(sum(CASE WHEN ovl THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+         CAST(sum(n_match) AS BIGINT) AS rows_matched
+  FROM (
+    SELECT {file_expr} AS file_id, count(*) AS n_rows,
+           sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS n_match,
+           NOT (max(ux) < {_UX_LO} OR min(ux) > {_UX_HI}
+                OR max(tx) < {_TX_LO} OR min(tx) > {_TX_HI}) AS ovl
+    FROM zed GROUP BY 1
+  )
+"""
+
+
+register(
+    "layout_pruning_audit",
+    _layout_pruning_audit,
+    f"""
+WITH base AS (
+  SELECT user_id,
+         ((user_id % 256) + 256) % 256 AS ux,
+         ((({_Z_TS} // 3600) % 256) + 256) % 256 AS tx
+  FROM events
+),
+zed AS (
+  SELECT ux, tx, {_z_interleave_terms("ux", "tx")} AS z,
+         (ux BETWEEN {_UX_LO} AND {_UX_HI} AND tx BETWEEN {_TX_LO} AND {_TX_HI}) AS is_match
+  FROM base
+)
+{_layout_audit_sql("zorder", "z // 1024")}
+UNION ALL
+{_layout_audit_sql("linear", "tx // 4")}
+ORDER BY layout
+""",
+)
+
+
 # ---------------------------------------------------------------------------
 # Data-validation passes for the corpus tables (the events expectations
 # pattern extended to documents/embeddings: every invariant in ONE

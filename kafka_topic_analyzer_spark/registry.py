@@ -43,11 +43,12 @@ def register(name: str, spark_fn: Callable[[SparkSession, str], DataFrame], orac
 # commits SELFCHECK_r{N}.json, so every query has fresh evidence every round
 # even when outside the driver window.
 CHECK_PRIORITY: tuple[str, ...] = (
-    # -- round 13 rotation (tools/rotate_priority.py): the ELEVEN new
+    # -- round 13 rotation (tools/rotate_priority.py): the TWELVE new
     # rowless r13 queries first (K=256 driver-hashable twins incl. the
     # residual form, the OPQ rung + its refined serving shape, and the
     # sketch family: CMS heavy hitters + streaming twin, Bloom pruning +
-    # sizing sweep, join-skew forecast), then ALL 33 r9-stale rows (the
+    # sizing sweep, join-skew forecast, zone-map pruning audit), then
+    # ALL 33 r9-stale rows (the
     # oldest cohort — judge r12 item 2), then the oldest r10 rows fill
     # the 50-query window. Nothing's newest green row ages past r10
     # after this round (tools/selfcheck.py still re-hashes the ENTIRE
@@ -64,6 +65,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "bloom_fp_calibration",
     "join_skew_forecast",
     "cms_census_streaming",
+    "layout_pruning_audit",
     "training_shard_manifest",  # last row r9
     "doc_chunking",  # last row r9
     "source_char_dispersion",  # last row r9
@@ -102,7 +104,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "kafka_alive_keys",  # last row r10
     "kafka_compacted_state",  # last row r10
     "kafka_consumer_config_audit",  # last row r10
-    "kafka_empty_topic_guard_audit",  # last row r10
 )
 
 

@@ -110,3 +110,21 @@ def test_band_skips_treats_missing_stats_as_overlap(tmp_path):
     pq.write_table(pa.table({"other": [1, 2]}), nocol + "/part-0.parquet")
     res2 = rowgroup_band_skips(nocol, 100, 200)
     assert res2["ux"] == res2["tx"] == res2["both"] == 0
+
+
+def test_layout_pruning_audit_invariants(spark):
+    """The zone-map audit's two layouts agree on the answer (rows_matched)
+    while the Z-ordered layout scans no more rows than the linear one —
+    pruning changes I/O, never results."""
+    from kafka_topic_analyzer_spark.queries.curation import _layout_pruning_audit
+
+    rows = {r["layout"]: r for r in _layout_pruning_audit(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"zorder", "linear"}
+    z, lin = rows["zorder"], rows["linear"]
+    assert z["rows_matched"] == lin["rows_matched"]
+    assert z["rows_total"] == lin["rows_total"]
+    assert z["rows_scanned"] <= lin["rows_scanned"]
+    for r in (z, lin):
+        # every matching row lives in a scanned file
+        assert r["rows_matched"] <= r["rows_scanned"] <= r["rows_total"]
+        assert r["n_files_pruned"] + r["n_files_scanned"] == r["n_files"]
