@@ -153,3 +153,75 @@ def knn_opq_refined(
         k=k,
         shortlist=shortlist,
     )
+
+
+def knn_ivf_opq_adc(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids,
+    rotation: Rotation,
+    codebooks,
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """OPQ composed with IVF+PQ (FAISS IndexPreTransform(OPQMatrix,
+    IndexIVFPQ), the full production serving stack): IVF cells prune
+    candidates, ADC scores them against codes of the ROTATED vectors.
+
+    The coarse quantizer stays in RAW space here: rotation preserves dot
+    products and norms, so raw-vs-raw cell assignment is identical to
+    rotated-vs-rotated — keeping the serving IVF artifact unchanged while
+    the fine quantizer gains OPQ's balanced subspaces. One corpus pass
+    builds (vec_id, cell, rotated codes) — the persisted index shape —
+    and no raw corpus vector is read at search time, exactly as
+    pq.knn_ivfpq_adc (whose candidate-set/no-distinct reasoning and
+    topk_per_group final stage this shares)."""
+    from kafka_topic_analyzer_spark.operators.pq import (
+        _adc_dist,
+        _pq_parts_udf,
+        pq_adc_table_udf,
+    )
+    from kafka_topic_analyzer_spark.operators.ranks import topk_per_group
+    from kafka_topic_analyzer_spark.operators.similarity import (
+        _fixed_cells_udf,
+        ivf_assign_fixed,
+    )
+
+    m_sub, k_codes = len(codebooks), len(codebooks[0])
+    cells_udf = _fixed_cells_udf(centroids, nprobe=1)
+    parts_udf = _pq_parts_udf(codebooks)
+    rot_udf = opq_rotate_udf(rotation)
+    idx = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.element_at(
+            cells_udf(as_double(F.col("embedding"))), 1
+        ).alias("cell"),
+        parts_udf(rot_udf(as_double(F.col("embedding"))))["codes"].alias("codes"),
+    )
+    qb = ivf_assign_fixed(queries, centroids, nprobe=nprobe).select(
+        F.col("vec_id").alias("query_id"), "cell"
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        pq_adc_table_udf(codebooks)(
+            rot_udf(as_double(F.col("embedding")))
+        ).alias("qdt"),
+    )
+    scored = (
+        idx.join(F.broadcast(qb), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _adc_dist(m_sub, k_codes).alias("adist_dec"),
+        )
+    )
+    return topk_per_group(
+        scored, ["query_id"], [F.asc("adist_dec"), F.asc("neighbor_id")], k
+    ).select(
+        "query_id",
+        "rank",
+        "neighbor_id",
+        F.col("adist_dec").cast("double").alias("adist"),
+    )

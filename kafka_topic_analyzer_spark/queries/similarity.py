@@ -3067,6 +3067,100 @@ SELECT query_id, rank, neighbor_id, dist FROM ranked WHERE rank <= {TOP_K}
 register("knn_opq_refined", _knn_opq_refined, _knn_opq_refined_sql())
 
 
+def _knn_ivf_opq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production ANN stack, OPQ composed with IVF+PQ (FAISS
+    IndexPreTransform(OPQMatrix, IndexIVFPQ)): IVF cell pruning in raw
+    space (rotation preserves dot/norm, so raw assignment == rotated
+    assignment — the serving IVF artifact is reused unchanged) + K=256
+    ADC over codes of the ROTATED vectors (operators/opq.py
+    knn_ivf_opq_adc). Completes the quantization-ladder cross the
+    standalone OPQ rung left open."""
+    from kafka_topic_analyzer_spark.operators import opq as OPQ
+    from kafka_topic_analyzer_spark.operators.ivf_centroids_v1 import CENTROIDS
+    from kafka_topic_analyzer_spark.operators.opq_rotation_v1 import ROTATION
+    from kafka_topic_analyzer_spark.operators.pq_codebooks_opq_v1 import (
+        CODEBOOKS as OPQ_CB,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return OPQ.knn_ivf_opq_adc(
+        emb, queries, CENTROIDS, ROTATION, OPQ_CB, k=TOP_K, nprobe=IVF_NPROBE
+    )
+
+
+def _knn_ivf_opq_adc_sql() -> str:
+    from kafka_topic_analyzer_spark.operators.ivf_centroids_v1 import NLIST
+    from kafka_topic_analyzer_spark.operators.opq_rotation_v1 import DIM
+    from kafka_topic_analyzer_spark.operators.pq_fixture import (
+        rotation_fixture_path,
+    )
+
+    structs = ", ".join(
+        f"{{'cell': {ci}, 'sim': {_ivf_sim_sql(ci)}}}" for ci in range(NLIST)
+    )
+    rot_path = rotation_fixture_path("v1")
+    return f"""
+WITH rot AS (SELECT j, vals FROM read_parquet('{rot_path}')),
+rotvals AS (
+  SELECT e.vec_id, r.j AS j,
+         list_reduce(
+           list_prepend(CAST(0 AS DOUBLE),
+             list_transform(range(1, {DIM + 1}), i ->
+               CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+               * r.vals[CAST(i AS INT)])),
+           (a, b) -> a + b) AS v
+  FROM embeddings e CROSS JOIN rot r
+),
+rotated AS (
+  SELECT vec_id, list(v ORDER BY j) AS embedding
+  FROM rotvals GROUP BY vec_id
+),
+base AS (
+  SELECT vec_id, embedding,
+         sqrt({_dot_sql("embedding", "embedding")}) AS qn
+  FROM embeddings
+),
+exploded AS (
+  SELECT vec_id, unnest([{structs}]) AS u FROM base
+),
+cells AS (
+  SELECT vec_id, u.cell AS cell,
+         row_number() OVER (PARTITION BY vec_id
+              ORDER BY u.sim DESC, u.cell ASC) AS rk
+  FROM exploded
+),
+cvb AS (SELECT vec_id AS neighbor_id, cell FROM cells WHERE rk = 1),
+qvb AS (SELECT vec_id AS query_id, cell FROM cells
+        WHERE rk <= {IVF_NPROBE} AND vec_id < {N_QUERIES}),
+{_pq256_codes_ctes(src="rotated", version="opq_v1").lstrip()},
+{_pq256_qdt_cte().lstrip()},
+cands AS (
+  SELECT query_id, neighbor_id
+  FROM cvb JOIN qvb USING (cell)
+  WHERE neighbor_id <> query_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         {_pq256_adc_sum_sql(version="opq_v1")} AS adist_dec
+  FROM cands
+  JOIN codes c ON c.vec_id = neighbor_id
+  JOIN qdt USING (query_id)
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adist_dec,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY adist_dec ASC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, CAST(adist_dec AS DOUBLE) AS adist
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+register("knn_ivf_opq_adc", _knn_ivf_opq_adc, _knn_ivf_opq_adc_sql())
+
+
 def _knn_ivfpq_residual_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Residual IVF+PQ at the K=256 serving code size — what FAISS
     IndexIVFPQ actually ships by default (8-bit codes over residuals).

@@ -43,9 +43,10 @@ def register(name: str, spark_fn: Callable[[SparkSession, str], DataFrame], orac
 # commits SELFCHECK_r{N}.json, so every query has fresh evidence every round
 # even when outside the driver window.
 CHECK_PRIORITY: tuple[str, ...] = (
-    # -- round 13 rotation (tools/rotate_priority.py): the TWELVE new
+    # -- round 13 rotation (tools/rotate_priority.py): the THIRTEEN new
     # rowless r13 queries first (K=256 driver-hashable twins incl. the
-    # residual form, the OPQ rung + its refined serving shape, and the
+    # residual form, the OPQ rung + its refined serving shape + the
+    # IVF+OPQ+PQ composition, and the
     # sketch family: CMS heavy hitters + streaming twin, Bloom pruning +
     # sizing sweep, join-skew forecast, zone-map pruning audit), then
     # ALL 33 r9-stale rows (the
@@ -59,6 +60,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "knn_ivfpq_refined_v3",
     "knn_opq_adc",
     "knn_opq_refined",
+    "knn_ivf_opq_adc",
     "knn_ivfpq_residual_adc_v3",
     "heavy_hitters_cms",
     "bloom_join_pruning",
@@ -103,7 +105,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "kafka_report_global",  # last row r10
     "kafka_alive_keys",  # last row r10
     "kafka_compacted_state",  # last row r10
-    "kafka_consumer_config_audit",  # last row r10
 )
 
 

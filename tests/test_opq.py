@@ -116,3 +116,90 @@ def test_opq_quantization_error_below_raw(spark):
 def test_trainer_m_matches_codebooks():
     assert ROT_M == len(OPQ_CB) == 8
     assert len(OPQ_CB[0]) == 256
+
+
+def test_ivf_assignment_is_rotation_invariant(spark):
+    """The knn_ivf_opq_adc design premise: assigning RAW vectors to RAW
+    centroids gives the same cells as assigning ROTATED vectors to
+    ROTATED centroids (rotation preserves dot products and norms), so the
+    composition reuses the serving IVF artifact unchanged."""
+    from kafka_topic_analyzer_spark.operators.ivf_centroids_v1 import CENTROIDS
+    from kafka_topic_analyzer_spark.operators.similarity import ivf_assign_fixed
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(200)
+    raw = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign_fixed(emb, CENTROIDS, nprobe=1).collect()
+    }
+    rot = np.array(ROTATION)
+    rot_centroids = tuple(
+        tuple(float(v) for v in rot @ np.array(c)) for c in CENTROIDS
+    )
+    rotated = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign_fixed(
+            rotate(emb, ROTATION), rot_centroids, nprobe=1
+        ).collect()
+    }
+    assert raw == rotated
+
+
+def test_knn_ivf_opq_adc_matches_probed_exact_adc(spark):
+    """The composed search returns, per query, exactly the top-k by
+    rotated-space ADC distance among IVF-probed candidates — checked
+    against an independent numpy recomputation."""
+    from kafka_topic_analyzer_spark.operators.ivf_centroids_v1 import CENTROIDS
+    from kafka_topic_analyzer_spark.operators.opq import knn_ivf_opq_adc
+    from kafka_topic_analyzer_spark.operators.similarity import ivf_assign_fixed
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3)
+    got = knn_ivf_opq_adc(
+        emb, queries, CENTROIDS, ROTATION, OPQ_CB, k=5, nprobe=4
+    ).collect()
+
+    rot = np.array(ROTATION)
+    vecs = {
+        r["vec_id"]: rot @ np.array(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    cb = np.array(OPQ_CB)  # (m, k, dsub)
+    m_sub, k_codes, dsub = cb.shape
+    codes = {
+        vid: [
+            int(np.lexsort((np.arange(k_codes), ((cb[mi] - v[mi * dsub:(mi + 1) * dsub]) ** 2).sum(axis=1)))[0])
+            for mi in range(m_sub)
+        ]
+        for vid, v in vecs.items()
+    }
+    cell_of = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign_fixed(emb, CENTROIDS, nprobe=1).collect()
+    }
+    probed = {
+        r["vec_id"]: set()
+        for r in queries.collect()
+    }
+    for r in ivf_assign_fixed(queries, CENTROIDS, nprobe=4).collect():
+        probed[r["vec_id"]].add(r["cell"])
+
+    by_query = {}
+    for row in got:
+        by_query.setdefault(row["query_id"], []).append(row)
+    for qid, rows in by_query.items():
+        qv = vecs[qid]
+        # ADC table with the engine's 6-dp tie-safe rounding per entry
+        qdt = np.floor(
+            ((cb - qv.reshape(m_sub, 1, dsub)) ** 2).sum(axis=2) * 1e6 + 0.5
+        ) / 1e6
+        cand = [
+            (round(sum(qdt[mi][codes[nid][mi]] for mi in range(m_sub)), 6), nid)
+            for nid, c in cell_of.items()
+            if c in probed[qid] and nid != qid
+        ]
+        want = sorted(cand)[:5]
+        got_pairs = [
+            (round(r["adist"], 6), r["neighbor_id"])
+            for r in sorted(rows, key=lambda r: r["rank"])
+        ]
+        assert got_pairs == want, qid
