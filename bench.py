@@ -661,6 +661,7 @@ def main() -> None:
     # parquet codebook fixture, queries/similarity.py); this block
     # measures the recall/latency economics at that code size.
     from kafka_topic_analyzer_spark.operators.opq import (
+        knn_ivf_opq_adc as _knn_ivf_opq_adc,
         knn_opq_adc as _knn_opq_adc,
         knn_opq_refined as _knn_opq_refined,
     )
@@ -716,6 +717,15 @@ def main() -> None:
             "opq_refined_v3_short50_at_10",
             lambda: _knn_opq_refined(
                 emb, ivf_queries, _OPQ_ROT, _OPQ_CB, k=10, shortlist=50
+            ),
+        ),
+        # OPQ composed with IVF (r13): the full FAISS
+        # IndexPreTransform(OPQMatrix, IndexIVFPQ) stack — raw-space
+        # coarse pruning (rotation-invariant assignment), rotated codes.
+        (
+            "ivf_opq_adc_np4_at_10",
+            lambda: _knn_ivf_opq_adc(
+                emb, ivf_queries, _IVF_CB, _OPQ_ROT, _OPQ_CB, k=10, nprobe=4
             ),
         ),
     ):
