@@ -156,8 +156,16 @@ def main() -> None:
                     F.xxhash64("id", F.lit(2)).alias("h3"),
                     F.xxhash64("id", F.lit(3)).alias("h4"),
                 ).write.parquet(_p)
+                # masked addends: a raw sum of four full-range xxhash64
+                # columns overflows BIGINT under ANSI mode; the sentinel
+                # only needs to force a full read of every column
                 spark.read.parquet(_p).agg(
-                    F.sum(F.col("h1") + F.col("h2") + F.col("h3") + F.col("h4"))
+                    F.sum(
+                        (F.col("h1") % 65536)
+                        + (F.col("h2") % 65536)
+                        + (F.col("h3") % 65536)
+                        + (F.col("h4") % 65536)
+                    )
                 ).collect()
                 _io_times.append(time.perf_counter() - t0)
                 _io_shutil.rmtree(_p, ignore_errors=True)
