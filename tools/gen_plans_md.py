@@ -178,6 +178,21 @@ SECTIONS: list[tuple[str, str | None, str]] = [
         "token_window_chunking",
         "Token-window chunker (r11): pure JVM map stage — tokenize, start-sequence, posexplode, slice, md5 — a single FileScan with zero joins and zero pre-sort exchanges; chunk rows are produced scan-side exactly where a 100 TB chunking job wants them.",
     ),
+    (
+        "bloom_join_pruning",
+        "bloom_join_pruning",
+        "Bloom scan-side pruning (r13): the orders fact scan feeds THREE BroadcastHashJoins against the (<= m)-row bit relation plus the broadcast member join — the fact side never exchanges; the only shuffles in the plan are the dim-side DISTINCTs and single-row aggregates. This is the plan shape AQE's runtime bloom injects, made explicit.",
+    ),
+    (
+        "heavy_hitters_cms",
+        "heavy_hitters_cms",
+        "Count-Min build+probe (r13): ONE corpus shuffle (the per-user census, partial+final HashAggregate), cells from an explode of the census (d rows per DISTINCT key), estimates via a BroadcastHashJoin against the <= d*w cell relation, and the candidate pick is a TakeOrderedAndProject — no global sort, no window.",
+    ),
+    (
+        "layout_pruning_audit",
+        "layout_pruning_audit",
+        "Zone-map audit (r13): one projection (Morton key + box predicate beside the scan) feeding two 64-group partial-agged aggregates — the audit costs footer-metadata arithmetic, exactly like the pruning decision it simulates; rows_matched is identical across layouts by construction.",
+    ),
 ]
 
 
