@@ -2092,6 +2092,7 @@ FROM ranked WHERE rank <= {TOP_K}
 register("knn_pq_adc_packed", _knn_pq_adc_packed, _knn_pq_adc_packed_sql())
 
 
+
 # ---------------------------------------------------------------------------
 # Scalar quantization (operators/sq.py) — the middle compression rung:
 # per-dim 8-bit codes against FIXED [lo, hi] ranges (operators/
@@ -2761,6 +2762,63 @@ FROM ranked WHERE rank <= {TOP_K}
 
 
 register("knn_pq_adc_v3", _knn_pq_adc_v3, _knn_pq_adc_v3_sql())
+
+
+def _knn_pq_adc_packed_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packed-BIGINT scan at the SERVING code size: K=256 codes fill
+    the full 8-bit lanes (the smallest on-disk index form, bench
+    pq_index_footprint), searched via shift/mask extraction with no
+    unpack pass. Exercises the wrap-exact top-lane pack mirror end-to-end
+    at codes >= 128 — the case the K=16 form never reaches (advisor r12:
+    a raw `<< 56` overflows DuckDB's checked shift there)."""
+    from kafka_topic_analyzer_spark.operators import pq as PQ
+    from kafka_topic_analyzer_spark.operators.pq_codebooks_v3 import CODEBOOKS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return PQ.knn_pq_adc_packed(emb, queries, CODEBOOKS, k=TOP_K)
+
+
+def _knn_pq_adc_packed_v3_sql() -> str:
+    from kafka_topic_analyzer_spark.operators.pq_codebooks_v3 import K, M
+
+    pack = " + ".join(
+        f"(CAST(codes[{mi + 1}] AS BIGINT) << {8 * mi})"
+        if 8 * mi + 8 < 64
+        else (
+            f"(((CAST(codes[{mi + 1}] AS BIGINT) & 127) << {8 * mi})"
+            f" + CASE WHEN codes[{mi + 1}] >= 128"
+            f" THEN -9223372036854775808 ELSE 0 END)"
+        )
+        for mi in range(M)
+    )
+    adc = " + ".join(
+        f"qdt[{mi * K} + CAST((codes_packed >> {8 * mi}) & 255 AS INT) + 1]"
+        for mi in range(M)
+    )
+    return f"""
+WITH {_pq256_codes_ctes().lstrip()},
+{_pq256_qdt_cte().lstrip()},
+packed AS (
+  SELECT vec_id AS neighbor_id, {pack} AS codes_packed FROM codes
+),
+scored AS (
+  SELECT query_id, neighbor_id, {adc} AS adist_dec
+  FROM packed CROSS JOIN qdt
+  WHERE neighbor_id <> query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adist_dec,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY adist_dec ASC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, CAST(adist_dec AS DOUBLE) AS adist
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+register("knn_pq_adc_packed_v3", _knn_pq_adc_packed_v3, _knn_pq_adc_packed_v3_sql())
 
 
 def _knn_ivfpq_adc_v3(spark: SparkSession, sf_dir: str) -> DataFrame:

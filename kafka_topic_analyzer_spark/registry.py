@@ -43,7 +43,7 @@ def register(name: str, spark_fn: Callable[[SparkSession, str], DataFrame], orac
 # commits SELFCHECK_r{N}.json, so every query has fresh evidence every round
 # even when outside the driver window.
 CHECK_PRIORITY: tuple[str, ...] = (
-    # -- round 13 rotation (tools/rotate_priority.py): the THIRTEEN new
+    # -- round 13 rotation (tools/rotate_priority.py): the FOURTEEN new
     # rowless r13 queries first (K=256 driver-hashable twins incl. the
     # residual form, the OPQ rung + its refined serving shape + the
     # IVF+OPQ+PQ composition, and the
@@ -62,6 +62,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "knn_opq_refined",
     "knn_ivf_opq_adc",
     "knn_ivfpq_residual_adc_v3",
+    "knn_pq_adc_packed_v3",
     "heavy_hitters_cms",
     "bloom_join_pruning",
     "bloom_fp_calibration",
@@ -104,7 +105,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "kafka_report_partition",  # last row r10
     "kafka_report_global",  # last row r10
     "kafka_alive_keys",  # last row r10
-    "kafka_compacted_state",  # last row r10
 )
 
 
