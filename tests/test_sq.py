@@ -135,6 +135,35 @@ def test_packed_adc_equals_array_adc(spark):
     assert a == p
 
 
+def test_packed_adc_equals_array_adc_k256(spark):
+    """Same bit-identity at the serving code size: K=256 codes occupy the
+    FULL 8-bit lanes (values >= 128 hit the top lane's sign bit — the
+    wrap case the K=16 form never reaches)."""
+    from kafka_topic_analyzer_spark.operators.pq import (
+        knn_pq_adc,
+        knn_pq_adc_packed,
+        pack_codes,
+        pq_encode_scored,
+    )
+    from kafka_topic_analyzer_spark.operators.pq_codebooks_v3 import CODEBOOKS, M
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    a = sorted(map(tuple, knn_pq_adc(emb, queries, CODEBOOKS, k=5).collect()))
+    p = sorted(
+        map(tuple, knn_pq_adc_packed(emb, queries, CODEBOOKS, k=5).collect())
+    )
+    assert a == p
+    # the wrap case actually occurs: some top-lane code >= 128
+    top = (
+        pack_codes(pq_encode_scored(emb, CODEBOOKS).select("vec_id", "codes"), M)
+        .select(F.shiftright("codes_packed", 8 * (M - 1)).bitwiseAND(F.lit(255).cast("bigint")).alias("c"))
+        .agg(F.max("c"))
+        .collect()[0][0]
+    )
+    assert top >= 128
+
+
 def test_ivfpq_refined_recall_at_least_adc(spark):
     """The full serving shape (IVF prune + ADC shortlist + exact refine)
     must rank at least as well as raw IVF+PQ ADC against the exact-L2
