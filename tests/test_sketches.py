@@ -133,3 +133,43 @@ def test_streaming_cms_equals_batch(spark):
         .collect()
     }
     assert got == want
+
+
+def test_runtime_bloom_filter_injects_on_this_join_shape(spark):
+    """bloom_join_pruning is the explicit, auditable form of Spark's AQE
+    runtime bloom filter. Pin that the built-in DOES inject a
+    bloom_filter_agg / BloomFilterMightContain pair on exactly this join
+    shape (selective dim -> fact) once the application side crosses the
+    size threshold — on the small fixture we lower the threshold; at
+    warehouse scale the default (10 GB scan) triggers naturally.
+
+    All three knobs are runtime SQL confs: set on the shared session and
+    restored after, so nothing leaks into other tests.
+    """
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        c = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").where(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+        o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        j = o.join(c, o.o_custkey == c.c_custkey).groupBy("c_mktsegment").count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        assert j.count() > 0
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
