@@ -135,10 +135,21 @@ def cms_estimates(
     probes = candidates.select(*candidates.columns, rc).select(
         *candidates.columns, "rc.row_j", "rc.col_j"
     )
+    # LEFT join + coalesce(0): a candidate key absent from the census may
+    # hash to cells no census key touched — those cells simply don't exist
+    # in the (sparse) cell relation, but their CMS counter value is 0. An
+    # inner join would take the min over only the non-empty cells
+    # (inflated) and drop the key entirely when ALL its cells are empty
+    # (advisor r13). Member keys are unaffected: every cell they hash to
+    # holds at least their own count, so no NULL ever reaches their min.
     return (
-        probes.join(F.broadcast(cells), ["row_j", "col_j"])
+        probes.join(F.broadcast(cells), ["row_j", "col_j"], "left")
         .groupBy(*candidates.columns)
-        .agg(F.min("cell_total").cast("long").alias("est_cnt"))
+        .agg(
+            F.min(F.coalesce(F.col("cell_total"), F.lit(0)))
+            .cast("long")
+            .alias("est_cnt")
+        )
     )
 
 
@@ -165,6 +176,15 @@ def bloom_probe_flags(
     ``key`` are set. k broadcast left-joins against the bit relation — the
     fact side never shuffles, which is the entire point of scan-side
     pruning."""
+    reserved = {c for j in range(k) for c in (f"_bp{j}", f"_bm{j}")}
+    clash = reserved & set(fact.columns)
+    if clash:
+        # withColumn would silently overwrite (then drop) a caller column
+        # of the same name, corrupting data instead of failing (advisor
+        # r13) — refuse loudly.
+        raise ValueError(
+            f"bloom_probe_flags: fact already has reserved column(s) {sorted(clash)}"
+        )
     out = fact
     flags = []
     for j, p in enumerate(_positions(F.col(key), k, m)):
@@ -197,8 +217,17 @@ def selfjoin_skew_forecast(df: DataFrame, key: str, top_n: int = 15) -> DataFram
     return (
         contrib.crossJoin(F.broadcast(total))
         .withColumn(
+            # the *10000 product overflows BIGINT once a key holds ~30M+
+            # rows (pc up to ~9.2e18, *1e4 = 9.2e22) — exactly the
+            # extreme-skew regime this forecast exists for at 100 TB
+            # (advisor r13). DECIMAL(38,0) holds 1e38; integral div on
+            # decimals matches DuckDB's HUGEINT // bit-for-bit (both are
+            # exact floor division on exact integers).
             "share_bp",
-            F.expr("(pair_contribution * 10000) div total_pairs").cast("long"),
+            F.expr(
+                "CAST((CAST(pair_contribution AS DECIMAL(38,0)) * 10000)"
+                " div total_pairs AS BIGINT)"
+            ),
         )
         .orderBy(F.desc("pair_contribution"), key)
         .limit(top_n)

@@ -366,7 +366,9 @@ contrib AS (
 ),
 tot AS (SELECT CAST(sum(pair_contribution) AS BIGINT) AS total_pairs FROM contrib)
 SELECT CAST(l_partkey AS BIGINT) AS l_partkey, n_rows, pair_contribution,
-       CAST((pair_contribution * 10000) // total_pairs AS BIGINT) AS share_bp,
+       -- HUGEINT product mirrors Spark's DECIMAL(38,0) div: both exact
+       -- floor division, no BIGINT overflow at extreme skew (advisor r13)
+       CAST(CAST(pair_contribution AS HUGEINT) * 10000 // total_pairs AS BIGINT) AS share_bp,
        total_pairs
 FROM contrib, tot
 ORDER BY pair_contribution DESC, l_partkey

@@ -57,6 +57,40 @@ def test_cms_cells_conserve_mass(spark):
     assert all(v == n for v in per_row.values())
 
 
+def test_cms_nonmember_probe_estimates_zero_or_min(spark):
+    """Generic-API hazard pinned (advisor r13): a probe key ABSENT from
+    the census must still estimate correctly — 0 when any of its d cells
+    is empty, never silently dropped from the output."""
+    counts = spark.createDataFrame(
+        [(1, 10), (2, 20)], "user_id: long, cnt: long"
+    )
+    cells = SK.cms_cells(counts, "user_id", "cnt")
+    # probe a key far outside the census; with 2 keys x 4 rows in a
+    # 4x512 sketch, at least one of ANY third key's cells is empty with
+    # overwhelming certainty — but the invariant we pin is weaker and
+    # exact: the key appears in the output and est >= 0 (0 if a cell is
+    # empty, a collision total otherwise; never NULL, never missing)
+    probes = spark.createDataFrame([(999_999,), (1,)], "user_id: long")
+    est = {r["user_id"]: r["est_cnt"] for r in SK.cms_estimates(probes, cells, "user_id").collect()}
+    assert set(est) == {999_999, 1}, "non-member key dropped from output"
+    assert est[1] >= 10  # member: one-sided as ever
+    assert est[999_999] is not None and est[999_999] >= 0
+    # and with this tiny census the non-member's min-cell is in fact 0
+    assert est[999_999] == 0
+
+
+def test_bloom_probe_flags_rejects_reserved_column_clash(spark):
+    """bloom_probe_flags refuses a fact frame already carrying one of its
+    temp column names instead of silently corrupting it (advisor r13)."""
+    import pytest
+
+    dim = spark.createDataFrame([(1,)], "k: long")
+    bloom = SK.bloom_positions(dim, "k")
+    fact = spark.createDataFrame([(1, 7)], "k: long, _bp0: long")
+    with pytest.raises(ValueError, match="_bp0"):
+        SK.bloom_probe_flags(fact, "k", bloom)
+
+
 def test_bloom_no_false_negatives_and_monotone(spark):
     """Members always pass; larger m never admits more false positives
     than are observed at saturation (fp monotone non-increasing in m)."""
@@ -65,7 +99,17 @@ def test_bloom_no_false_negatives_and_monotone(spark):
     orders = load_table(spark, SF_SMOKE, "orders").select("o_custkey")
     member_keys = {r["c_custkey"] for r in dim.collect()}
     fp_by_m = {}
-    for m in (256, 1024, 4096):
+    # The monotonicity assertion below is only GUARANTEED because the
+    # swept sizes are nested powers of two: when m1 | m2, pos mod m1 is
+    # determined by pos mod m2, so every bit set at m2 collapses onto a
+    # set bit at m1 and a key passing at m2 must pass at m1 — FP counts
+    # are deterministically non-increasing. With non-dividing sizes the
+    # claim is only probabilistic and this test would be flaky (advisor
+    # r13); the assert pins the precondition against future edits.
+    sweep = (256, 1024, 4096)
+    for a, b in zip(sweep, sweep[1:]):
+        assert b % a == 0, "bloom m sweep must be nested moduli (m1 | m2)"
+    for m in sweep:
         bloom = SK.bloom_positions(dim, "c_custkey", m=m)
         flags = SK.bloom_probe_flags(orders, "o_custkey", bloom, m=m)
         rows = flags.select("o_custkey", "bloom_pass").collect()
