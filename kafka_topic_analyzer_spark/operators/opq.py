@@ -54,11 +54,19 @@ def opq_train_rotation(mat: np.ndarray, m: int) -> np.ndarray:
     original eigen index, bucket ties on the bucket index.
     """
     n, dim = mat.shape
+    centered = mat - mat.mean(axis=0, keepdims=True)
+    cov = centered.T @ centered / max(n - 1, 1)
+    return _rotation_from_cov(cov, m)
+
+
+def _rotation_from_cov(cov: np.ndarray, m: int) -> np.ndarray:
+    """Steps 2-3 of :func:`opq_train_rotation` from a precomputed
+    covariance — shared with the distributed trainer, whose covariance
+    arrives from an aggregation instead of one in-memory matmul."""
+    dim = cov.shape[0]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
-    centered = mat - mat.mean(axis=0, keepdims=True)
-    cov = centered.T @ centered / max(n - 1, 1)
     evals, evecs = np.linalg.eigh(cov)  # ascending
     order = np.argsort(-evals, kind="stable")
     evals, evecs = evals[order], evecs[:, order]
@@ -225,3 +233,193 @@ def knn_ivf_opq_adc(
         "neighbor_id",
         F.col("adist_dec").cast("double").alias("adist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training — sample (driver) and distributed (full-corpus) twins.
+# ---------------------------------------------------------------------------
+
+
+def fold_rotate_mat(mat: np.ndarray, rot: np.ndarray) -> np.ndarray:
+    """Sequential-fold matmul — bit-identical to :func:`opq_rotate_udf`'s
+    accumulation (and therefore to the DuckDB serving mirror)."""
+    acc = np.zeros((len(mat), rot.shape[0]))
+    for i in range(rot.shape[0]):
+        acc = acc + mat[:, i][:, None] * rot[:, i][None, :]
+    return acc
+
+
+def encode_decode_mat(y: np.ndarray, cb: np.ndarray) -> np.ndarray:
+    """Quantized reconstruction of rotated sample ``y`` under codebooks
+    ``cb`` (stable argmin per subspace — ties to the lowest code, the
+    _pq_parts_udf policy)."""
+    m, _k, dsub = cb.shape
+    rec = np.zeros_like(y)
+    for mi in range(m):
+        sub = y[:, mi * dsub : (mi + 1) * dsub]
+        d2 = ((sub[:, None, :] - cb[mi][None, :, :]) ** 2).sum(axis=2)
+        codes = np.argmin(d2, axis=1)
+        rec[:, mi * dsub : (mi + 1) * dsub] = cb[mi][codes]
+    return rec
+
+
+def opq_train_sample(
+    mat: np.ndarray,
+    m: int,
+    k: int,
+    iters: int = 5,
+    opq_iters: int = 10,
+    verbose: bool = False,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Parametric OPQ (Ge et al. 2013, algorithm 2 / FAISS OPQMatrix) on
+    an in-memory sample: PCA-balanced init, then alternate
+    (codebooks | rotation) — the rotation update is the orthogonal
+    Procrustes solution against the current quantized reconstruction
+    (u, s, vt = svd(X^T @ REC); R = (u @ vt)^T). Extracted from
+    tools/train_opq.py so the distributed twin can pin against the
+    identical loop. Returns (rotation, codebooks trained on the final
+    rotation)."""
+    from kafka_topic_analyzer_spark.operators.pq import pq_train_mat
+
+    rot = opq_train_rotation(mat, m=m)
+    for it in range(opq_iters):
+        y = fold_rotate_mat(mat, rot)
+        cb = pq_train_mat(y, m=m, k=k, iters=iters)
+        rec = encode_decode_mat(y, cb)
+        if verbose:
+            err = float(((y - rec) ** 2).sum())
+            print(f"opq iter {it}: recon err {err:.2f}")
+        u, _s, vt = np.linalg.svd(mat.T @ rec)
+        rot = (u @ vt).T
+    cb = pq_train_mat(fold_rotate_mat(mat, rot), m=m, k=k, iters=iters)
+    return rot, cb
+
+
+def _agg_moments(df: DataFrame, col: str = "embedding") -> tuple[int, np.ndarray]:
+    """(n, per-dim sum) via one map-side-combinable aggregate — the mean
+    pass of the distributed covariance."""
+    rows = (
+        df.select(F.posexplode(col).alias("d", "x"))
+        .groupBy("d")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    dim = len(rows)
+    s = np.zeros(dim)
+    n = 0
+    for r in rows:
+        s[r["d"]] = r["s"]
+        n = max(n, r["n"])
+    return int(n), s
+
+
+def _agg_outer(df: DataFrame, make_pair) -> np.ndarray:
+    """Sum over all rows of outer(a_row, b_row) where ``make_pair(batch
+    ndarray) -> (A, B)`` derives the two factors per Arrow batch.
+
+    mapInPandas emits each batch's dim_a x dim_b partial (one BLAS
+    A.T @ B) as (i, j, v) rows; a groupBy(i, j) SUM combines partials
+    map-side, so the driver sees dim_a*dim_b rows total (4096 at
+    dim=64) and no vector ever leaves the executors — the
+    pq_train_distributed discipline applied to second moments."""
+    import pandas as pd  # noqa: F811
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            a, b = make_pair(mat)
+            part = a.T @ b  # dim_a x dim_b partial
+            ii, jj = np.indices(part.shape)
+            yield pd.DataFrame(
+                {"i": ii.ravel(), "j": jj.ravel(), "v": part.ravel()}
+            )
+
+    rows = (
+        df.select("embedding")
+        .mapInPandas(gen, "i int, j int, v double")
+        .groupBy("i", "j")
+        .agg(F.sum("v").alias("v"))
+        .collect()
+    )
+    di = max(r["i"] for r in rows) + 1
+    dj = max(r["j"] for r in rows) + 1
+    out = np.zeros((di, dj))
+    for r in rows:
+        out[r["i"], r["j"]] = r["v"]
+    return out
+
+
+def opq_train_rotation_distributed(df: DataFrame, m: int) -> np.ndarray:
+    """Distributed twin of :func:`opq_train_rotation`: the centered
+    covariance is computed with two full-corpus passes (mean, then
+    sum of outer(x - mean, x - mean)) whose driver traffic is dim +
+    dim^2 aggregate rows; eigh + sign fix + balanced allocation run on
+    the driver over the dim x dim matrix exactly as the sample path.
+    Divergence vs the sample: float-sum order only (BLAS per Arrow
+    batch + partition-order combine vs one BLAS matmul)."""
+    from kafka_topic_analyzer_spark.functions.vectors import as_double
+
+    base = df.select(as_double(F.col("embedding")).alias("embedding"))
+    n, s = _agg_moments(base)
+    if n < 2:
+        raise ValueError(f"opq_train_rotation_distributed: n={n} rows")
+    mean = s / n
+    cov_sum = _agg_outer(base, lambda mat: ((mat - mean), (mat - mean)))
+    cov = cov_sum / (n - 1)
+    return _rotation_from_cov(cov, m)
+
+
+def opq_train_codebooks_distributed(
+    df: DataFrame, rotation: Rotation | np.ndarray, m: int, k: int, iters: int = 5
+) -> np.ndarray:
+    """The codebook half of the OPQ alternation at corpus scale: rotate
+    with the serving fold UDF, then the distributed Lloyd
+    (operators/pq.pq_train_distributed — full-corpus assignment,
+    centroid-sized driver traffic)."""
+    from kafka_topic_analyzer_spark.operators.pq import pq_train_distributed
+
+    rot_t = tuple(tuple(float(x) for x in row) for row in np.asarray(rotation))
+    return pq_train_distributed(rotate(df, rot_t), m=m, k=k, iters=iters)
+
+
+def opq_train_distributed(
+    df: DataFrame,
+    m: int,
+    k: int,
+    iters: int = 5,
+    opq_iters: int = 10,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Full distributed OPQ alternation — :func:`opq_train_sample` with
+    every corpus-sized step replaced by its aggregation twin:
+
+    * rotation init: distributed centered covariance + driver eigh;
+    * codebook update: distributed Lloyd on the rotated corpus;
+    * Procrustes cross-covariance X^T @ REC: the same mapInPandas
+      outer-product aggregate, with REC derived per batch by the
+      identical fold-rotate + stable-argmin encode/decode as the sample
+      loop (driver sees dim^2 rows per alternation, never vectors).
+
+    Same seeds/tie policies throughout, so the artifact pins
+    (near-)identical to the sample trainer on a corpus the sample
+    covers (tests/test_opq.py) — the 100 TB path when the bounded
+    sample stops being representative."""
+    from kafka_topic_analyzer_spark.functions.vectors import as_double
+
+    base = df.select("vec_id", as_double(F.col("embedding")).alias("embedding"))
+    rot = opq_train_rotation_distributed(base, m)
+    for _ in range(opq_iters):
+        cb = opq_train_codebooks_distributed(base, rot, m=m, k=k, iters=iters)
+        rot_now, cb_now = rot.copy(), cb.copy()
+        cross = _agg_outer(
+            base,
+            lambda mat: (
+                mat,
+                encode_decode_mat(fold_rotate_mat(mat, rot_now), cb_now),
+            ),
+        )
+        u, _s, vt = np.linalg.svd(cross)
+        rot = (u @ vt).T
+    cb = opq_train_codebooks_distributed(base, rot, m=m, k=k, iters=iters)
+    return rot, cb

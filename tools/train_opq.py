@@ -1,9 +1,10 @@
 """One-off generator for the checked-in OPQ artifacts (judge r13 item 4).
 
-Cuts TWO versioned modules from one bounded deterministic sample:
+Cuts TWO versioned modules from one training pass:
 
 * ``operators/opq_rotation_v1.py`` — the learned orthogonal rotation
-  (PCA + balanced eigenvalue allocation, operators/opq.opq_train_rotation);
+  (PCA + balanced eigenvalue allocation init, then the parametric
+  codebooks|Procrustes alternation — operators/opq.opq_train_sample);
 * ``operators/pq_codebooks_opq_v1.py`` — PQ codebooks trained on the
   ROTATED sample (same per-subspace Lloyd as every other cut), so the
   quantizer sees the variance-balanced space it will serve in.
@@ -12,7 +13,16 @@ The rotated training sample is produced with the SAME sequential-fold
 matmul serving uses (operators/opq.opq_rotate_udf's arithmetic), so the
 codebooks are cut on exactly the values they will quantize.
 
+``--distributed`` trains on the FULL corpus instead of the bounded
+sample (operators/opq.opq_train_distributed: distributed covariance,
+distributed Lloyd for every codebook update, distributed Procrustes
+cross-covariance — driver traffic is dim^2 + m*k*dsub rows per
+alternation, never vectors). Same seeds/tie policies, so on a corpus
+the sample covers the two paths pin (near-)identical
+(tests/test_opq.py); use it when the sample stops being representative.
+
 Usage: python tools/train_opq.py [sf_dir] [M] [K] [ITERS] [max_train]
+                                 [--distributed] [--out-suffix vN]
 """
 
 from __future__ import annotations
@@ -23,76 +33,59 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-M = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-K = int(sys.argv[3]) if len(sys.argv) > 3 else 256
-ITERS = int(sys.argv[4]) if len(sys.argv) > 4 else 5
-MAX_TRAIN = int(sys.argv[5]) if len(sys.argv) > 5 else 16384
+ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
+FLAGS = [a for a in sys.argv[1:] if a.startswith("--")]
+SF_DIR = ARGS[0] if len(ARGS) > 0 else "/root/testdata/sf0.1"
+M = int(ARGS[1]) if len(ARGS) > 1 else 8
+K = int(ARGS[2]) if len(ARGS) > 2 else 256
+ITERS = int(ARGS[3]) if len(ARGS) > 3 else 5
+MAX_TRAIN = int(ARGS[4]) if len(ARGS) > 4 else 16384
+DISTRIBUTED = "--distributed" in FLAGS
+SUFFIX = "v1"
+for f in FLAGS:
+    if f.startswith("--out-suffix="):
+        SUFFIX = f.split("=", 1)[1]
 
-ROT_OUT = "kafka_topic_analyzer_spark/operators/opq_rotation_v1.py"
-CB_OUT = "kafka_topic_analyzer_spark/operators/pq_codebooks_opq_v1.py"
-
-
-def _fold_rotate(mat: np.ndarray, rot: np.ndarray) -> np.ndarray:
-    """Sequential-fold matmul — bit-identical to opq_rotate_udf."""
-    acc = np.zeros((len(mat), rot.shape[0]))
-    for i in range(rot.shape[0]):
-        acc = acc + mat[:, i][:, None] * rot[:, i][None, :]
-    return acc
-
+ROT_OUT = f"kafka_topic_analyzer_spark/operators/opq_rotation_{SUFFIX}.py"
+CB_OUT = f"kafka_topic_analyzer_spark/operators/pq_codebooks_opq_{SUFFIX}.py"
 
 OPQ_ITERS = 10
 
 
-def _encode_decode(y: np.ndarray, cb: np.ndarray) -> np.ndarray:
-    """Quantized reconstruction of rotated sample y under codebooks cb."""
-    m, k, dsub = cb.shape
-    rec = np.zeros_like(y)
-    for mi in range(m):
-        sub = y[:, mi * dsub : (mi + 1) * dsub]
-        d2 = ((sub[:, None, :] - cb[mi][None, :, :]) ** 2).sum(axis=2)
-        codes = np.argmin(d2, axis=1)
-        rec[:, mi * dsub : (mi + 1) * dsub] = cb[mi][codes]
-    return rec
-
-
 def main() -> None:
-    from kafka_topic_analyzer_spark.operators.opq import opq_train_rotation
-    from kafka_topic_analyzer_spark.operators.pq import pq_train_mat
+    from kafka_topic_analyzer_spark.operators.opq import (
+        opq_train_distributed,
+        opq_train_sample,
+    )
     from kafka_topic_analyzer_spark.session import get_spark
     from kafka_topic_analyzer_spark.sources.tables import load_table
 
     spark = get_spark("train-opq")
     emb = load_table(spark, SF_DIR, "embeddings")
-    sample = emb.orderBy("vec_id").limit(MAX_TRAIN).select("embedding").collect()
-    mat = np.array([r["embedding"] for r in sample], dtype=np.float64)
-    # Parametric OPQ (Ge et al. 2013, algorithm 2 / FAISS OPQMatrix):
-    # PCA-balanced init, then alternate (codebooks | rotation) — the
-    # rotation update is the orthogonal Procrustes solution against the
-    # current quantized reconstruction. The training objective
-    # ||XR^T - Q(XR^T)||^2 decreases monotonically (measured: 466 -> 427
-    # over 10 iters on the sf0.1 sample); we run a fixed OPQ_ITERS and
-    # emit the final (R, codebooks) pair, retraining the codebooks once
-    # more on the final rotation so the shipped pair is consistent.
-    rot = opq_train_rotation(mat, m=M)
-    for it in range(OPQ_ITERS):
-        y = _fold_rotate(mat, rot)
-        cb = pq_train_mat(y, m=M, k=K, iters=ITERS)
-        rec = _encode_decode(y, cb)
-        err = float(((y - rec) ** 2).sum())
-        print(f"opq iter {it}: recon err {err:.2f}")
-        u, _s, vt = np.linalg.svd(mat.T @ rec)
-        rot = (u @ vt).T
+    if DISTRIBUTED:
+        rot, cb = opq_train_distributed(
+            emb, m=M, k=K, iters=ITERS, opq_iters=OPQ_ITERS
+        )
+        trained_on = f"{SF_DIR} embeddings (FULL corpus, distributed)"
+    else:
+        sample = (
+            emb.orderBy("vec_id").limit(MAX_TRAIN).select("embedding").collect()
+        )
+        mat = np.array([r["embedding"] for r in sample], dtype=np.float64)
+        rot, cb = opq_train_sample(
+            mat, m=M, k=K, iters=ITERS, opq_iters=OPQ_ITERS, verbose=True
+        )
+        trained_on = f"{SF_DIR} embeddings (bounded sample of {len(mat)})"
     assert np.allclose(rot @ rot.T, np.eye(rot.shape[0]), atol=1e-10), "not orthogonal"
-    cb = pq_train_mat(_fold_rotate(mat, rot), m=M, k=K, iters=ITERS)
 
     dim = rot.shape[0]
     lines = [
         '"""Fixed OPQ rotation (generated artifact).',
         "",
-        f"Trained by tools/train_opq.py on {SF_DIR} embeddings",
-        f"(PCA + balanced eigenvalue allocation into m={M} subspaces —",
-        "operators/opq.opq_train_rotation; orthogonal to 1e-10).",
+        f"Trained by tools/train_opq.py on {trained_on}",
+        f"(PCA + balanced eigenvalue allocation into m={M} subspaces +",
+        f"{OPQ_ITERS} codebooks|Procrustes alternations — operators/opq;",
+        "orthogonal to 1e-10).",
         "ROTATION[j][i]: rotated[j] = sum_i ROTATION[j][i] * x[i].",
         'repr-exact doubles — both engines parse identical IEEE-754."""',
         "",
@@ -113,10 +106,10 @@ def main() -> None:
     lines = [
         '"""Fixed OPQ-space PQ codebooks (generated artifact).',
         "",
-        f"Trained by tools/train_opq.py on {SF_DIR} embeddings AFTER the",
-        f"opq_rotation_v1 rotation (m={M}, k={K}, iters={ITERS} — same",
-        "deterministic Lloyd as every pq_codebooks cut, operators/pq.",
-        'pq_train_mat). repr-exact doubles."""',
+        f"Trained by tools/train_opq.py on {trained_on} AFTER the",
+        f"opq_rotation_{SUFFIX} rotation (m={M}, k={K}, iters={ITERS} — same",
+        "deterministic Lloyd as every pq_codebooks cut).",
+        'repr-exact doubles."""',
         "",
         f"M = {m}",
         f"K = {k}",
