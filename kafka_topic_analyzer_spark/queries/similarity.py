@@ -1411,117 +1411,6 @@ ORDER BY spine.m, spine.code
 register("pq_code_census", _pq_code_census, _pq_code_census_sql())
 
 
-def _knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Compressed-domain full-scan ANN (FAISS IndexPQ): candidates are
-    scored from 8 small-int codes via the query's precomputed ADC table —
-    the corpus' raw vectors are never read at search time. The PQ
-    baseline the IVF+PQ composition prunes."""
-    from kafka_topic_analyzer_spark.operators import pq as PQ
-    from kafka_topic_analyzer_spark.operators.pq_codebooks_v1 import CODEBOOKS
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < N_QUERIES)
-    return PQ.knn_pq_adc(emb, queries, CODEBOOKS, k=TOP_K)
-
-
-def _knn_pq_adc_sql() -> str:
-    return f"""
-WITH {_pq_codes_ctes()},
-qdt AS (
-  SELECT vec_id AS query_id, {_pq_qdt_sql()} AS qdt
-  FROM embeddings WHERE vec_id < {N_QUERIES}
-),
-scored AS (
-  SELECT query_id, c.vec_id AS neighbor_id,
-         {_pq_adc_sum_sql()} AS adist_dec
-  FROM codes c CROSS JOIN qdt
-  WHERE c.vec_id <> query_id
-),
-ranked AS (
-  SELECT query_id, neighbor_id, adist_dec,
-         CAST(row_number() OVER (PARTITION BY query_id
-              ORDER BY adist_dec ASC, neighbor_id ASC) AS INTEGER) AS rank
-  FROM scored
-)
-SELECT query_id, rank, neighbor_id, CAST(adist_dec AS DOUBLE) AS adist
-FROM ranked WHERE rank <= {TOP_K}
-"""
-
-
-register("knn_pq_adc", _knn_pq_adc, _knn_pq_adc_sql())
-
-
-def _knn_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The production billion-vector serving shape (FAISS IndexIVFPQ):
-    IVF cells prune candidates to ~nprobe/nlist of the corpus, PQ/ADC
-    scores the survivors in the compressed domain. The index — one corpus
-    pass producing (vec_id, cell, codes) — is what a 100 TB deployment
-    persists; search never touches raw corpus vectors."""
-    from kafka_topic_analyzer_spark.operators import pq as PQ
-    from kafka_topic_analyzer_spark.operators.ivf_centroids_v1 import CENTROIDS
-    from kafka_topic_analyzer_spark.operators.pq_codebooks_v1 import CODEBOOKS
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < N_QUERIES)
-    return PQ.knn_ivfpq_adc(
-        emb, queries, CENTROIDS, CODEBOOKS, k=TOP_K, nprobe=IVF_NPROBE
-    )
-
-
-def _knn_ivfpq_adc_sql() -> str:
-    from kafka_topic_analyzer_spark.operators.ivf_centroids_v1 import NLIST
-
-    structs = ", ".join(
-        f"{{'cell': {ci}, 'sim': {_ivf_sim_sql(ci)}}}" for ci in range(NLIST)
-    )
-    return f"""
-WITH base AS (
-  SELECT vec_id, embedding,
-         sqrt({_dot_sql("embedding", "embedding")}) AS qn
-  FROM embeddings
-),
-exploded AS (
-  SELECT vec_id, unnest([{structs}]) AS u FROM base
-),
-cells AS (
-  SELECT vec_id, u.cell AS cell,
-         row_number() OVER (PARTITION BY vec_id
-              ORDER BY u.sim DESC, u.cell ASC) AS rk
-  FROM exploded
-),
-cb AS (SELECT vec_id AS neighbor_id, cell FROM cells WHERE rk = 1),
-qb AS (SELECT vec_id AS query_id, cell FROM cells
-       WHERE rk <= {IVF_NPROBE} AND vec_id < {N_QUERIES}),
-{_pq_codes_ctes().lstrip()},
-qdt AS (
-  SELECT vec_id AS query_id, {_pq_qdt_sql()} AS qdt
-  FROM embeddings WHERE vec_id < {N_QUERIES}
-),
-cands AS (
-  SELECT query_id, neighbor_id
-  FROM cb JOIN qb USING (cell)
-  WHERE neighbor_id <> query_id
-),
-scored AS (
-  SELECT query_id, neighbor_id, {_pq_adc_sum_sql()} AS adist_dec
-  FROM cands
-  JOIN codes c ON c.vec_id = neighbor_id
-  JOIN qdt USING (query_id)
-),
-ranked AS (
-  SELECT query_id, neighbor_id, adist_dec,
-         CAST(row_number() OVER (PARTITION BY query_id
-              ORDER BY adist_dec ASC, neighbor_id ASC) AS INTEGER) AS rank
-  FROM scored
-)
-SELECT query_id, rank, neighbor_id, CAST(adist_dec AS DOUBLE) AS adist
-FROM ranked WHERE rank <= {TOP_K}
-"""
-
-
-register("knn_ivfpq_adc", _knn_ivfpq_adc, _knn_ivfpq_adc_sql())
-
-
 PQ_SHORTLIST = 50
 
 
@@ -1634,120 +1523,6 @@ def _centroid_case_sql(cell_col: str) -> str:
         for ci in range(len(CENTROIDS))
     )
     return f"(CASE {cell_col} {whens} END)"
-
-
-def _knn_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Residual IVF+PQ (what FAISS IndexIVFPQ actually encodes): the PQ
-    codes quantize x - centroid[cell(x)] under the serving coarse
-    quantizer, against codebooks trained on residuals
-    (operators/pq_codebooks_res_v1.py). Residuals concentrate around 0,
-    so the same 8x16 codebook budget quantizes tighter than the raw-
-    vector form (tests pin the mean-qerr gap); the ADC table becomes
-    per-(query, probed cell) — still queries x nprobe rows, broadcast."""
-    from kafka_topic_analyzer_spark.operators import pq as PQ
-    from kafka_topic_analyzer_spark.operators.ivf_centroids_v1 import CENTROIDS
-    from kafka_topic_analyzer_spark.operators.pq_codebooks_res_v1 import (
-        CODEBOOKS as RES_CB,
-    )
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < N_QUERIES)
-    return PQ.knn_ivfpq_residual_adc(
-        emb, queries, CENTROIDS, RES_CB, k=TOP_K, nprobe=IVF_NPROBE
-    )
-
-
-def _knn_ivfpq_residual_sql() -> str:
-    from kafka_topic_analyzer_spark.operators.ivf_centroids_v1 import NLIST
-    from kafka_topic_analyzer_spark.operators.pq_codebooks_res_v1 import (
-        CODEBOOKS as RES_CB,
-        K as RES_K,
-        M as RES_M,
-    )
-
-    structs = ", ".join(
-        f"{{'cell': {ci}, 'sim': {_ivf_sim_sql(ci)}}}" for ci in range(NLIST)
-    )
-    res_parts = ", ".join(
-        f"{{'m': {mi}, 'k': {ki}, 'd': {_pq_dist_sql(mi, ki, emb='res', cb=RES_CB)}}}"
-        for mi in range(RES_M)
-        for ki in range(RES_K)
-    )
-    qdt_entries = ", ".join(
-        f"CAST(floor({_pq_dist_sql(mi, ki, emb='res', cb=RES_CB)} * 1e6 + 0.5)"
-        f" / 1e6 AS DECIMAL(18,6))"
-        for mi in range(RES_M)
-        for ki in range(RES_K)
-    )
-    adc_sum = " + ".join(
-        f"qdt[{mi * RES_K} + codes[{mi + 1}] + 1]" for mi in range(RES_M)
-    )
-    residual = (
-        "list_transform(e.embedding, (x, i) ->"
-        f" CAST(x AS DOUBLE) - {_centroid_case_sql('cl.cell')}[i])"
-    )
-    return f"""
-WITH base AS (
-  SELECT vec_id, embedding,
-         sqrt({_dot_sql("embedding", "embedding")}) AS qn
-  FROM embeddings
-),
-exploded AS (
-  SELECT vec_id, unnest([{structs}]) AS u FROM base
-),
-cells AS (
-  SELECT vec_id, u.cell AS cell,
-         row_number() OVER (PARTITION BY vec_id
-              ORDER BY u.sim DESC, u.cell ASC) AS rk
-  FROM exploded
-),
-cb AS (SELECT vec_id, cell FROM cells WHERE rk = 1),
-cres AS (
-  SELECT e.vec_id, cl.cell, {residual} AS res
-  FROM embeddings e JOIN cb cl ON e.vec_id = cl.vec_id
-),
-parts AS (SELECT vec_id, unnest([{res_parts}]) AS u FROM cres),
-best AS (
-  SELECT vec_id, u.m AS m, u.k AS k, u.d AS d,
-         row_number() OVER (PARTITION BY vec_id, u.m
-              ORDER BY u.d ASC, u.k ASC) AS rk
-  FROM parts
-),
-codes AS (
-  SELECT vec_id, list(k ORDER BY m) AS codes FROM best WHERE rk = 1 GROUP BY vec_id
-),
-idx AS (
-  SELECT c.vec_id AS neighbor_id, cl.cell, c.codes
-  FROM codes c JOIN cb cl ON c.vec_id = cl.vec_id
-),
-qsel AS (SELECT vec_id AS query_id, cell FROM cells
-         WHERE rk <= {IVF_NPROBE} AND vec_id < {N_QUERIES}),
-qres AS (
-  SELECT cl.query_id, cl.cell, {residual} AS res
-  FROM embeddings e JOIN qsel cl ON e.vec_id = cl.query_id
-),
-qdt AS (SELECT query_id, cell, [{qdt_entries}] AS qdt FROM qres),
-scored AS (
-  SELECT query_id, neighbor_id, {adc_sum} AS adist_dec
-  FROM idx JOIN qdt USING (cell)
-  WHERE neighbor_id <> query_id
-),
-ranked AS (
-  SELECT query_id, neighbor_id, adist_dec,
-         CAST(row_number() OVER (PARTITION BY query_id
-              ORDER BY adist_dec ASC, neighbor_id ASC) AS INTEGER) AS rank
-  FROM scored
-)
-SELECT query_id, rank, neighbor_id, CAST(adist_dec AS DOUBLE) AS adist
-FROM ranked WHERE rank <= {TOP_K}
-"""
-
-
-register(
-    "knn_ivfpq_residual_adc",
-    _knn_ivfpq_residual,
-    _knn_ivfpq_residual_sql(),
-)
 
 
 def _pq_codebook_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1929,167 +1704,6 @@ register(
     _knn_ivfpq_adaptive,
     _knn_ivfpq_adaptive_sql(),
 )
-
-
-def _knn_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The FULL production serving shape (FAISS IndexRefineFlat over
-    IndexIVFPQ): IVF cells prune candidates, ADC scores the survivors
-    compressed-domain, exact refine re-reads raw vectors for only
-    shortlist x queries rows. Completes the registered serving ladder
-    knn_pq_adc -> knn_ivfpq_adc -> knn_pq_refined -> here."""
-    from kafka_topic_analyzer_spark.operators import pq as PQ
-    from kafka_topic_analyzer_spark.operators.ivf_centroids_v1 import CENTROIDS
-    from kafka_topic_analyzer_spark.operators.pq_codebooks_v1 import CODEBOOKS
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < N_QUERIES)
-    return PQ.knn_ivfpq_refined(
-        emb,
-        queries,
-        CENTROIDS,
-        CODEBOOKS,
-        k=TOP_K,
-        nprobe=IVF_NPROBE,
-        shortlist=PQ_SHORTLIST,
-    )
-
-
-def _knn_ivfpq_refined_sql() -> str:
-    from kafka_topic_analyzer_spark.operators.ivf_centroids_v1 import NLIST
-
-    structs = ", ".join(
-        f"{{'cell': {ci}, 'sim': {_ivf_sim_sql(ci)}}}" for ci in range(NLIST)
-    )
-    sq_l2 = (
-        f"({_dot_sql('q.embedding', 'q.embedding')}"
-        f" - 2 * {_dot_sql('q.embedding', 'c2.embedding')}"
-        f" + {_dot_sql('c2.embedding', 'c2.embedding')})"
-    )
-    return f"""
-WITH base AS (
-  SELECT vec_id, embedding,
-         sqrt({_dot_sql("embedding", "embedding")}) AS qn
-  FROM embeddings
-),
-exploded AS (
-  SELECT vec_id, unnest([{structs}]) AS u FROM base
-),
-cells AS (
-  SELECT vec_id, u.cell AS cell,
-         row_number() OVER (PARTITION BY vec_id
-              ORDER BY u.sim DESC, u.cell ASC) AS rk
-  FROM exploded
-),
-cb AS (SELECT vec_id AS neighbor_id, cell FROM cells WHERE rk = 1),
-qb AS (SELECT vec_id AS query_id, cell FROM cells
-       WHERE rk <= {IVF_NPROBE} AND vec_id < {N_QUERIES}),
-{_pq_codes_ctes().lstrip()},
-qdt AS (
-  SELECT vec_id AS query_id, {_pq_qdt_sql()} AS qdt
-  FROM embeddings WHERE vec_id < {N_QUERIES}
-),
-cands AS (
-  SELECT query_id, neighbor_id
-  FROM cb JOIN qb USING (cell)
-  WHERE neighbor_id <> query_id
-),
-adc AS (
-  SELECT query_id, neighbor_id, {_pq_adc_sum_sql()} AS adist_dec
-  FROM cands
-  JOIN codes c ON c.vec_id = neighbor_id
-  JOIN qdt USING (query_id)
-),
-short AS (
-  SELECT query_id, neighbor_id
-  FROM (SELECT query_id, neighbor_id,
-               row_number() OVER (PARTITION BY query_id
-                    ORDER BY adist_dec ASC, neighbor_id ASC) AS rk
-        FROM adc)
-  WHERE rk <= {PQ_SHORTLIST}
-),
-exact AS (
-  SELECT s.query_id, s.neighbor_id,
-         floor({sq_l2} * 1e6 + 0.5) / 1e6 AS dist
-  FROM short s
-  JOIN embeddings q ON q.vec_id = s.query_id
-  JOIN embeddings c2 ON c2.vec_id = s.neighbor_id
-),
-ranked AS (
-  SELECT query_id, neighbor_id, dist,
-         CAST(row_number() OVER (PARTITION BY query_id
-              ORDER BY dist ASC, neighbor_id ASC) AS INTEGER) AS rank
-  FROM exact
-)
-SELECT query_id, rank, neighbor_id, dist FROM ranked WHERE rank <= {TOP_K}
-"""
-
-
-register("knn_ivfpq_refined", _knn_ivfpq_refined, _knn_ivfpq_refined_sql())
-
-
-def _knn_pq_adc_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """knn_pq_adc over the PACKED index — all M codes in one BIGINT's
-    8-bit lanes, searched DIRECTLY via shift/mask extraction (pure JVM
-    integer ops). The scan shape a 100 TB deployment pays: bench's
-    footprint block measures the packed column as the smallest on-disk
-    form; this query proves searching it needs no unpack-to-array pass.
-    Bit-identical to knn_pq_adc (same rounding/decimal sum/total order)."""
-    from kafka_topic_analyzer_spark.operators import pq as PQ
-    from kafka_topic_analyzer_spark.operators.pq_codebooks_v1 import CODEBOOKS
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < N_QUERIES)
-    return PQ.knn_pq_adc_packed(emb, queries, CODEBOOKS, k=TOP_K)
-
-
-def _knn_pq_adc_packed_sql() -> str:
-    from kafka_topic_analyzer_spark.operators.pq_codebooks_v1 import K, M
-
-    # Top lane (bits 56..63) without a raw shift: DuckDB's CHECKED <<
-    # rejects c << 56 for c >= 128 (signed-64 overflow), while Spark's
-    # shiftleft wraps (Java semantics). ((c & 127) << 56) plus the sign
-    # bit as a precomputed addend reproduces the Java wrap exactly for
-    # any K <= 256 — the operators/binary.py packing trick (advisor r12).
-    pack = " + ".join(
-        f"(CAST(codes[{mi + 1}] AS BIGINT) << {8 * mi})"
-        if 8 * mi + 8 < 64
-        else (
-            f"(((CAST(codes[{mi + 1}] AS BIGINT) & 127) << {8 * mi})"
-            f" + CASE WHEN codes[{mi + 1}] >= 128"
-            f" THEN -9223372036854775808 ELSE 0 END)"
-        )
-        for mi in range(M)
-    )
-    adc = " + ".join(
-        f"qdt[{mi * K} + CAST((codes_packed >> {8 * mi}) & 255 AS INT) + 1]"
-        for mi in range(M)
-    )
-    return f"""
-WITH {_pq_codes_ctes()},
-packed AS (
-  SELECT vec_id AS neighbor_id, {pack} AS codes_packed FROM codes
-),
-qdt AS (
-  SELECT vec_id AS query_id, {_pq_qdt_sql()} AS qdt
-  FROM embeddings WHERE vec_id < {N_QUERIES}
-),
-scored AS (
-  SELECT query_id, neighbor_id, {adc} AS adist_dec
-  FROM packed CROSS JOIN qdt
-  WHERE neighbor_id <> query_id
-),
-ranked AS (
-  SELECT query_id, neighbor_id, adist_dec,
-         CAST(row_number() OVER (PARTITION BY query_id
-              ORDER BY adist_dec ASC, neighbor_id ASC) AS INTEGER) AS rank
-  FROM scored
-)
-SELECT query_id, rank, neighbor_id, CAST(adist_dec AS DOUBLE) AS adist
-FROM ranked WHERE rank <= {TOP_K}
-"""
-
-
-register("knn_pq_adc_packed", _knn_pq_adc_packed, _knn_pq_adc_packed_sql())
 
 
 

@@ -559,7 +559,7 @@ def test_pq_adc_search_plan_shape(spark):
     query_id, never corpus-wide)."""
     import __spark_entry__ as E
 
-    plan = _executed(E.queries()["knn_pq_adc"](spark, SF_SMOKE))
+    plan = _executed(E.queries()["knn_pq_adc_v3"](spark, SF_SMOKE))
     assert plan.count("FileScan parquet") <= 2
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, "query side must broadcast"
@@ -571,7 +571,7 @@ def test_ivfpq_search_no_extra_corpus_scans(spark):
     adds no further corpus reads because scoring runs on codes only."""
     import __spark_entry__ as E
 
-    plan = _executed(E.queries()["knn_ivfpq_adc"](spark, SF_SMOKE))
+    plan = _executed(E.queries()["knn_ivfpq_adc_v3"](spark, SF_SMOKE))
     assert plan.count("FileScan parquet") <= 3, "ivfpq search re-reads corpus"
     assert "SortMergeJoin" not in plan, "cell/query joins must broadcast"
 
@@ -582,7 +582,7 @@ def test_ivfpq_residual_search_plan_shape(spark):
     broadcast joins only."""
     import __spark_entry__ as E
 
-    plan = _executed(E.queries()["knn_ivfpq_residual_adc"](spark, SF_SMOKE))
+    plan = _executed(E.queries()["knn_ivfpq_residual_adc_v3"](spark, SF_SMOKE))
     assert plan.count("FileScan parquet") <= 2, "residual search re-reads corpus"
     assert "SortMergeJoin" not in plan, "qdt/cell joins must broadcast"
 
@@ -612,8 +612,8 @@ def test_ann_topk_routes_through_local_prune(spark):
     qs = E.queries()
     for name in (
         "knn_bruteforce_cosine",
-        "knn_pq_adc",
-        "knn_ivfpq_residual_adc",
+        "knn_pq_adc_v3",
+        "knn_ivfpq_residual_adc_v3",
         "ivf_adaptive_nprobe_search",
     ):
         plan = _executed(qs[name](spark, SF_SMOKE))

@@ -486,13 +486,13 @@ FUZZED_QUERIES_DIM64 = [
     "pq_code_census",
     "pq_code_census_streaming",
     "pq_codebook_drift_audit",
-    "knn_pq_adc",
-    "knn_ivfpq_adc",
-    "knn_ivfpq_residual_adc",
+    "knn_pq_adc_v3",
+    "knn_ivfpq_adc_v3",
+    "knn_ivfpq_residual_adc_v3",
     "knn_pq_refined",
     "knn_ivfpq_adaptive",
-    "knn_ivfpq_refined",
-    "knn_pq_adc_packed",
+    "knn_ivfpq_refined_v3",
+    "knn_pq_adc_packed_v3",
     "knn_sq8",
     "sq8_saturation_audit",
     "sq8_saturation_census_streaming",

@@ -144,8 +144,8 @@ SECTIONS: list[tuple[str, str | None, str]] = [
         "The decontam ACTION (r10): eval grams collapse to a broadcast (benchmarks are small by definition); the corpus side streams through ONE exploded scan into two partial-aggregating per-doc counts; the drop gate is exact-integer arithmetic in the projection (no float threshold); the manifest is a source-sized HashAggregate. At 100 TB the only shuffle is per-doc gram counts.",
     ),
     (
-        "knn_ivfpq_adc",
-        "knn_ivfpq_adc",
+        "knn_ivfpq_adc_v3",
+        "knn_ivfpq_adc_v3",
         "IVF+PQ search (r11; rank stage re-routed r12): the index build is ONE corpus FileScan feeding both Arrow UDFs (cell + codes); the probed-cell and ADC-table query sides broadcast; ADC scoring is an unrolled 8-term decimal lookup sum in the projection (no higher-order functions, no Python in the scoring path); the final top-k shows the topk_per_group pair — a (query_id, _pid)-partitioned local-prune Window + Filter(_lr <= k), then the exact window over the bounded survivors (judge r11 item 1). No raw corpus vector is read after the index pass.",
     ),
     (
@@ -159,13 +159,13 @@ SECTIONS: list[tuple[str, str | None, str]] = [
         "IVF + SQ8 (r12): one corpus FileScan feeds BOTH the cell UDF and the pure-JVM SQ8 encode transform, then an Exchange MATERIALIZES the (cell, codes) index before the join — without it CollapseProject inlines the 64-term encode into the per-pair distance (measured 8x slower; the serving analogue is scoring STORED codes). The distance is the Arrow-batched integer-micro-unit UDF (bit-identical to the interpreted HOF mirror, which stays the DuckDB oracle); probed cells and raw query vectors broadcast; near-exact scoring means no refine stage appears. The final rank is the local-prune pair.",
     ),
     (
-        "knn_pq_adc_packed",
-        "knn_pq_adc_packed",
+        "knn_pq_adc_packed_v3",
+        "knn_pq_adc_packed_v3",
         "Packed-code ADC (r12): the scan side carries ONE BIGINT per vector; every ADC term extracts its code with shiftright/AND inside the projection (whole-stage codegen integer ops) before the broadcast table lookup — the smallest on-disk index form searched directly, with no unpack-to-array operator anywhere in the plan.",
     ),
     (
-        "knn_ivfpq_residual_adc",
-        "knn_ivfpq_residual_adc",
+        "knn_ivfpq_residual_adc_v3",
+        "knn_ivfpq_residual_adc_v3",
         "Residual IVF+PQ (r11): one UDF pass emits (cell, residual codes) — the residual subtract lives inside the same Arrow batch as the assignment, so the index is still a single corpus scan; the per-(query, probed cell) ADC tables broadcast (queries x nprobe rows); scoring identical to the raw form. Recall gain over raw codebooks is in BENCH pq_recall_ladder.",
     ),
     (
