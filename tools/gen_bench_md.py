@@ -52,6 +52,8 @@ def _tail_extract(tail: str) -> dict:
         "curation_docs",
         "n_queries",
         "value",
+        "ambient_sentinel_sec",
+        "io_sentinel_sec",
     ):
         m = re.search(rf'"{key}": ([0-9.]+)', tail)
         if m:
@@ -173,8 +175,19 @@ def render_readme_block(f: dict, prov: list[str]) -> str:
             f" `ambient_sentinel_sec` = {f['ambient_sentinel_sec']:.2f} s is the"
             " machine-speed canary — a fixed data-free codegen aggregate,"
             " min-of-3; normalize cross-round per-query deltas by the"
-            " sentinel ratio before reading one as a regression.)"
+            " sentinel ratio before reading one as a regression."
             if f.get("ambient_sentinel_sec")
+            else ""
+        )
+        + (
+            f" The throughput rows are quoted AT `io_sentinel_sec` ="
+            f" {f['io_sentinel_sec']:.2f} s (the fixed ~250 MB parquet"
+            " write+scan disk canary, min-of-3): this VM's disk swings >2×"
+            " within hours, so a raw rate is only meaningful anchored to"
+            " its sentinel — cross-round comparisons divide by the"
+            " sentinel ratio (BENCH_COMPARE.md throughput table), never"
+            " read the raw point.)"
+            if f.get("io_sentinel_sec")
             else ")"
         ),
         "<!-- BENCH:END -->",
