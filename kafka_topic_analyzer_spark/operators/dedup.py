@@ -1043,8 +1043,16 @@ def tfidf_cosine_pairs(
         .localCheckpoint(eager=True)
     )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # The term dictionary GROWS WITH THE CORPUS (distinct k-shingles ~
+    # O(corpus tokens)), so it must never ride a broadcast: Catalyst's
+    # post-aggregate size estimate underestimates it and auto-broadcast
+    # OOMs the driver instead of falling back (caught by the r14 sf1
+    # oracle spot-sweep — the vanilla 1g driver session died building
+    # the broadcast; at 100 TB the dictionary is billions of rows). Pin
+    # the dictionary joins to shuffle-hash: both sides are term-keyed,
+    # so they co-partition in one exchange each.
     w = (
-        tf.join(df_, "term")
+        tf.join(df_.hint("shuffle_hash"), "term")
         .select(
             "doc_id", "term", (F.col("tf") * F.expr(f"{idf_scale} div df")).alias("w")
         )
@@ -1058,7 +1066,9 @@ def tfidf_cosine_pairs(
         F.sum(F.col("w").cast(d18) * F.col("w").cast(d18)).alias("n2")
     )
     capped = df_.where((F.col("df") >= 2) & (F.col("df") <= max_df)).select("term")
-    postings = w.join(capped, "term").select("term", "doc_id")
+    # capped is the same corpus-growing dictionary filtered by df —
+    # same no-broadcast rule as the df_ join above
+    postings = w.join(capped.hint("shuffle_hash"), "term").select("term", "doc_id")
     # Evidence gate (the prefix-filter trick): a candidate pair must share
     # >= min_shared capped shingles. Single-shingle coincidences dominate
     # the raw index join (measured at sf0.1: 1.13M raw pairs, 10k at
