@@ -498,7 +498,8 @@ def reconcile_corpus_bucketed(
     others = [c for c in rows.columns if c != "fp"]
     keep = rows.groupBy("fp").agg(
         *[F.min_by(c, F.col(order_col)).alias(c) for c in others]
-    )
+    ).localCheckpoint(eager=True)  # two consumers: write + rows_rewritten
+    rows_rewritten = keep.count()
     version = f"compact_v{uuid.uuid4().hex[:10]}"
     out = os.path.join(corpus_dir, version)
     (
@@ -526,5 +527,10 @@ def reconcile_corpus_bucketed(
         "duplicates_removed": int(n_before - n_after),
         "residual_duplicates": int(residual),
         "dirty_buckets": len(dirty),
+        # layout-independent structural signal: rows the sweep rewrote vs
+        # the corpus — at fixture scale per-file parquet overhead blurs
+        # the BYTE ratio (53 near-empty bucket files), while the row
+        # fraction is exactly the D/N cost model's numerator
+        "rows_rewritten": int(rows_rewritten),
         "n_buckets": int(n_buckets),
     }

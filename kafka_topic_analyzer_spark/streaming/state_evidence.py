@@ -521,6 +521,10 @@ def reconcile_economics(
             "dup_fps": int(n_dup),
             "n_buckets": int(n_buckets),
             "dirty_buckets": int(stats_b["dirty_buckets"]),
+            "rows_rewritten": int(stats_b.get("rows_rewritten", 0)),
+            "rows_ratio": round(
+                stats_f["n_after"] / max(stats_b.get("rows_rewritten", 0), 1), 2
+            ),
             "bytes_full_rewrite": int(bytes_full),
             "bytes_bucketed_sweep": int(bytes_bucketed),
             "bytes_ratio": round(bytes_full / max(bytes_bucketed, 1), 2),
