@@ -93,14 +93,24 @@ cells AS (
   FROM pos GROUP BY row_j, col_j
 ),
 top AS (
-  SELECT user_id, exact_cnt FROM counts ORDER BY exact_cnt DESC, user_id LIMIT {TOP_HEAVY}
+  SELECT user_id, exact_cnt FROM counts
+  ORDER BY exact_cnt DESC, user_id NULLS FIRST LIMIT {TOP_HEAVY}
+),
+-- probe positions derived FROM top directly (not an equi-join back on
+-- user_id, which would drop a NULL key), LEFT-joined to the sparse cell
+-- relation with empty cells counting 0 — mirroring the Spark side's
+-- cms_estimates fix (advisor r13): a NULL/non-member key estimates 0
+-- instead of silently vanishing. Caught by the adversarial fuzz's
+-- NULL-user events (r14).
+pos_top AS (
+  SELECT t.user_id, t.exact_cnt, CAST(r.j AS INT) AS row_j,
+         {_pos_sql('t.user_id', 'r.j', _W)} AS col_j
+  FROM top t, range({_D}) r(j)
 ),
 est AS (
-  SELECT p.user_id, p.exact_cnt, min(cl.cell_total) AS est_cnt
-  FROM pos p
-  JOIN top USING (user_id)
-  JOIN cells cl USING (row_j, col_j)
-  GROUP BY p.user_id, p.exact_cnt
+  SELECT user_id, exact_cnt, min(coalesce(cl.cell_total, 0)) AS est_cnt
+  FROM pos_top LEFT JOIN cells cl USING (row_j, col_j)
+  GROUP BY user_id, exact_cnt
 )
 SELECT CAST(user_id AS BIGINT) AS user_id, exact_cnt,
        CAST(est_cnt AS BIGINT) AS est_cnt,

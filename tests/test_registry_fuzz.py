@@ -253,6 +253,15 @@ def fuzz_dir(spark):
 
 
 FUZZED_QUERIES = [
+    # r14: the r13 sketch family + layout audit + artifact encode join
+    # the fuzz gate (previously unlisted)
+    "heavy_hitters_cms",
+    "bloom_join_pruning",
+    "bloom_fp_calibration",
+    "join_skew_forecast",
+    "cms_census_streaming",
+    "layout_pruning_audit",
+    "bpe_encode_from_artifact",
     "bpe_merge_candidates",
     "bpe_train_merges",
     "bpe_encode_corpus",
@@ -480,6 +489,12 @@ def fuzz_dir64(spark):
 
 
 FUZZED_QUERIES_DIM64 = [
+    # r14: the OPQ serving family + the tombstone-aware index upsert
+    # (both read only the dim-64 embeddings fixture)
+    "knn_opq_adc",
+    "knn_opq_refined",
+    "knn_ivf_opq_adc",
+    "ivfpq_index_upsert",
     "knn_lsh_cosine",
     "knn_ivf_cosine",
     "ivf_adaptive_nprobe_search",
