@@ -362,11 +362,15 @@ def knn_ivf(
     qb = ivf_assign(queries, centroids, nprobe=nprobe).select(
         F.col("vec_id").alias("query_id"), "cell"
     )
+    # no distinct needed (r15): the corpus side is assigned nprobe=1 (one
+    # cell per vector) and a query's probed cells are distinct, so each
+    # (query, neighbor) pair emerges from the cell join exactly once —
+    # the distinct was a full extra exchange of the candidate set, the
+    # largest relation in the query at scale.
     cands = (
         cb.join(F.broadcast(qb), "cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
-        .distinct()
     )
     score = F.when(
         (F.col("q_n") > 0) & (F.col("c_n") > 0),
@@ -575,11 +579,15 @@ def knn_ivf_fixed(
     qb = ivf_assign_fixed(queries, centroids, nprobe=nprobe).select(
         F.col("vec_id").alias("query_id"), "cell"
     )
+    # no distinct needed (r15): the corpus side is assigned nprobe=1 (one
+    # cell per vector) and a query's probed cells are distinct, so each
+    # (query, neighbor) pair emerges from the cell join exactly once —
+    # the distinct was a full extra exchange of the candidate set, the
+    # largest relation in the query at scale.
     cands = (
         cb.join(F.broadcast(qb), "cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
-        .distinct()
     )
     score = F.when(
         (F.col("q_n") > 0) & (F.col("c_n") > 0),
@@ -673,11 +681,12 @@ def knn_ivf_adaptive(
     nprobe_used = sel.groupBy("query_id").agg(
         F.count(F.lit(1)).cast("int").alias("nprobe_used")
     )
+    # no distinct (r15): corpus nprobe=1 + per-query distinct selected
+    # cells => unique pairs off the join (see knn_ivf_fixed note)
     cands = (
         cb.join(F.broadcast(sel.select("query_id", "cell")), "cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
-        .distinct()
     )
     score = F.when(
         (F.col("q_n") > 0) & (F.col("c_n") > 0),
@@ -833,8 +842,8 @@ def knn_ivf_filtered(
             (F.col("neighbor_id") != F.col("query_id"))
             & (F.col("_n_filter") == F.col("_q_filter"))
         )
+        # no distinct (r15): corpus nprobe=1 => unique pairs off the join
         .select("query_id", "neighbor_id")
-        .distinct()
     )
     score = F.when(
         (F.col("q_n") > 0) & (F.col("c_n") > 0),

@@ -711,6 +711,10 @@ def _lsh_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             sh.select(F.col("doc_id").alias("doc_j"), F.col("sh").alias("sh_j")),
             "doc_j",
         )
+        # exact size feasibility bound (operators/dedup.py): spares the
+        # O(|sh_i| x |sh_j|) intersect on pairs whose sizes already rule
+        # out 0.7 — 46% of sweep candidates at sf0.1, never a passing pair
+        .where(D.jaccard_size_prefilter(F.size("sh_i"), F.size("sh_j"), 0.7))
         .select(
             "doc_i", "doc_j", F.round(inter.cast("double") / union, 6).alias("jaccard")
         )

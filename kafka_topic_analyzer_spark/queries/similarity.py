@@ -3000,22 +3000,30 @@ def _ivfpq_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     tomb = base.where(F.col("vec_id") % _DEL_MOD == 2).select(
         "vec_id", F.lit(None).cast("array<double>").alias("embedding")
     )
-    index_dir = tempfile.mkdtemp(prefix="ivfpq_upsert_q_")
-    for i, b in enumerate((base, upd, tomb)):
-        IU.merge_index_batch(b, index_dir, i, CENTROIDS, CODEBOOKS)
+    import shutil
 
-    final_q = base.where(
-        (F.col("vec_id") < N_QUERIES) & (F.col("vec_id") % _DEL_MOD != 2)
-    ).select(
-        "vec_id",
-        F.when(F.col("vec_id") % _UPD_MOD == 1, _upsert_update_expr())
-        .otherwise(F.col("embedding"))
-        .alias("embedding"),
-    )
-    index = IU.read_postings(spark, index_dir)
-    return IU.knn_adc_packed_index(
-        index, final_q, CODEBOOKS, CENTROIDS, k=TOP_K, nprobe=IVF_NPROBE
-    )
+    index_dir = tempfile.mkdtemp(prefix="ivfpq_upsert_q_")
+    try:
+        for i, b in enumerate((base, upd, tomb)):
+            IU.merge_index_batch(b, index_dir, i, CENTROIDS, CODEBOOKS)
+
+        final_q = base.where(
+            (F.col("vec_id") < N_QUERIES) & (F.col("vec_id") % _DEL_MOD != 2)
+        ).select(
+            "vec_id",
+            F.when(F.col("vec_id") % _UPD_MOD == 1, _upsert_update_expr())
+            .otherwise(F.col("embedding"))
+            .alias("embedding"),
+        )
+        index = IU.read_postings(spark, index_dir)
+        # materialize the search BEFORE deleting the index files it reads
+        # (advisor r15: the mkdtemp leaked a full index copy per
+        # invocation — selfcheck/fuzz runs accumulated /tmp garbage)
+        return IU.knn_adc_packed_index(
+            index, final_q, CODEBOOKS, CENTROIDS, k=TOP_K, nprobe=IVF_NPROBE
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
 
 
 def _ivfpq_index_upsert_sql() -> str:

@@ -250,6 +250,11 @@ def _bloom_fp_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pos"),
         )
         .distinct()
+        # materialized once (r15): the bit table feeds FOUR consumers (one
+        # broadcast probe side per hash + the bits census) and each built
+        # its own copy of the dim scan + md5 projection + distinct —
+        # localCheckpoint makes it one compute, four cheap broadcasts
+        .localCheckpoint(eager=True)
     )
     orders = load_table(spark, sf_dir, "orders").select("o_custkey")
     probe = (

@@ -1517,8 +1517,13 @@ def _bpe_encode_heldout(
     d = load_table(spark, sf_dir, "documents")
     train = d.where(F.col("doc_id") % 2 == 0)
     # ONE train census feeds both the trainer and the seen-word flag
-    # (review r7: deriving it twice re-ran the corpus-sized explode)
-    train_census = _bpe_bigram_vocab(train)
+    # (review r7: deriving it twice re-ran the corpus-sized explode).
+    # MATERIALIZED here (r15): bpe_train's internal persist is released
+    # in its finally block, so by the time the seen-flag consumer ran,
+    # the census explode+groupBy re-executed anyway — the checkpoint is
+    # vocabulary-sized (distinct bigrams, post-aggregate), cheap to pin,
+    # and saves the second train-half tokenize (2.36s -> 2.07s at sf0.1).
+    train_census = _bpe_bigram_vocab(train).localCheckpoint(eager=True)
     merges, _ = bpe_train(spark, train_census, BPE_DEEP_N_MERGES)
 
     grams = _bigram_stream(d, "source")
