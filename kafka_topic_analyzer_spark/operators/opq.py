@@ -206,19 +206,23 @@ def knn_ivf_opq_adc(
         ).alias("cell"),
         parts_udf(rot_udf(as_double(F.col("embedding"))))["codes"].alias("codes"),
     )
-    qb = ivf_assign_fixed(queries, centroids, nprobe=nprobe).select(
-        F.col("vec_id").alias("query_id"), "cell"
-    )
-    q = queries.select(
-        F.col("vec_id").alias("query_id"),
-        pq_adc_table_udf(codebooks)(
-            rot_udf(as_double(F.col("embedding")))
-        ).alias("qdt"),
-    )
+    # one fused broadcast query relation: probed cell + rotated-space ADC
+    # table together (pq.knn_ivfpq_adc r15 note — one join on the scored
+    # stream instead of two)
+    qb = ivf_assign_fixed(
+        queries.select(
+            "vec_id",
+            "embedding",
+            pq_adc_table_udf(codebooks)(
+                rot_udf(as_double(F.col("embedding")))
+            ).alias("qdt"),
+        ),
+        centroids,
+        nprobe=nprobe,
+    ).select(F.col("vec_id").alias("query_id"), "cell", "qdt")
     scored = (
         idx.join(F.broadcast(qb), "cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .join(F.broadcast(q), "query_id")
         .select(
             "query_id",
             "neighbor_id",

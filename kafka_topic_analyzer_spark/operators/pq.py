@@ -392,17 +392,23 @@ def knn_ivfpq_adc(
     idx = ivfpq_index(corpus, centroids, codebooks).select(
         F.col("vec_id").alias("neighbor_id"), "cell", "codes"
     )
-    qb = ivf_assign_fixed(queries, centroids, nprobe=nprobe).select(
-        F.col("vec_id").alias("query_id"), "cell"
-    )
-    q = queries.select(
-        F.col("vec_id").alias("query_id"),
-        pq_adc_table_udf(codebooks)(as_double(F.col("embedding"))).alias("qdt"),
-    )
+    # ONE broadcast query relation carrying probed cell + ADC table (r15):
+    # previously (query_id, cell) and (query_id, qdt) broadcast and joined
+    # separately — two broadcast builds and two join nodes on the scored
+    # stream. The qdt rides the nprobe-exploded probe rows instead
+    # (n_queries * nprobe rows, broadcast-sized by contract).
+    qb = ivf_assign_fixed(
+        queries.select(
+            "vec_id",
+            "embedding",
+            pq_adc_table_udf(codebooks)(as_double(F.col("embedding"))).alias("qdt"),
+        ),
+        centroids,
+        nprobe=nprobe,
+    ).select(F.col("vec_id").alias("query_id"), "cell", "qdt")
     scored = (
         idx.join(F.broadcast(qb), "cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .join(F.broadcast(q), "query_id")
         .select(
             "query_id",
             "neighbor_id",
@@ -746,10 +752,14 @@ def knn_ivfpq_adaptive(
     )
     # No distinct: corpus cells come from the nprobe=1 index, so each
     # (query, neighbor) pair matches at most once (knn_ivfpq_adc note).
+    # The qdt attaches to the (tiny) selected-cells relation BEFORE the
+    # broadcast (r15), so the scored stream pays one join, not two.
     scored = (
-        idx.join(F.broadcast(sel.select("query_id", "cell")), "cell")
+        idx.join(
+            F.broadcast(sel.select("query_id", "cell").join(q, "query_id")),
+            "cell",
+        )
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .join(F.broadcast(q), "query_id")
         .select(
             "query_id",
             "neighbor_id",
