@@ -412,9 +412,13 @@ def jaccard_size_prefilter(
     both-empty survives the bound but fails the NULL-jaccard cut; one-
     empty fails the bound just as it failed the jaccard."""
     t_scaled = int(round(threshold * 10_000_000)) - 5
-    return F.least(size_i, size_j) * F.lit(10_000_000) >= F.lit(t_scaled) * F.greatest(
-        size_i, size_j
-    )
+    # compute in BIGINT: F.size() yields int32, and int32 * 1e7 overflows
+    # at >= 215 shingles per doc (ANSI mode throws, legacy mode silently
+    # wraps and could then DROP a passing pair — found by the exhaustive
+    # lattice test)
+    lo = F.least(size_i, size_j).cast("long")
+    hi = F.greatest(size_i, size_j).cast("long")
+    return lo * F.lit(10_000_000).cast("long") >= F.lit(t_scaled).cast("long") * hi
 
 
 def minhash_near_dups(

@@ -301,7 +301,13 @@ def opq_train_sample(
 
 def _agg_moments(df: DataFrame, col: str = "embedding") -> tuple[int, np.ndarray]:
     """(n, per-dim sum) via one map-side-combinable aggregate — the mean
-    pass of the distributed covariance."""
+    pass of the distributed covariance.
+
+    Fails loudly on dirty input (advisor r14): NULL embeddings or ragged
+    arrays make the per-dim counts unequal — posexplode silently skips
+    NULL rows and short arrays contribute to fewer dims — which would
+    skew the mean/covariance where the sample trainer would crash.
+    The pins-identical contract requires equal per-dim counts."""
     rows = (
         df.select(F.posexplode(col).alias("d", "x"))
         .groupBy("d")
@@ -310,10 +316,27 @@ def _agg_moments(df: DataFrame, col: str = "embedding") -> tuple[int, np.ndarray
     )
     dim = len(rows)
     s = np.zeros(dim)
-    n = 0
+    counts = {int(r["d"]): int(r["n"]) for r in rows}
     for r in rows:
         s[r["d"]] = r["s"]
-        n = max(n, r["n"])
+    distinct_counts = set(counts.values())
+    if len(distinct_counts) > 1:
+        raise ValueError(
+            "opq._agg_moments: per-dim counts differ "
+            f"(min {min(distinct_counts)}, max {max(distinct_counts)}) — "
+            "input has NULL or ragged embeddings; clean them before training"
+        )
+    n = max(distinct_counts, default=0)
+    # NULL embeddings contribute to NO dim, so per-dim counts stay equal
+    # while silently shrinking the sample — compare against the row count
+    # (one cheap job; this is an offline trainer path)
+    n_rows = df.count()
+    if n != n_rows:
+        raise ValueError(
+            f"opq._agg_moments: {n_rows - n} of {n_rows} rows have NULL "
+            "embeddings; clean them before training (the sample trainer "
+            "would fail loudly on the same input)"
+        )
     return int(n), s
 
 

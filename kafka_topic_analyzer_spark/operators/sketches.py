@@ -208,12 +208,25 @@ def selfjoin_skew_forecast(df: DataFrame, key: str, top_n: int = 15) -> DataFram
     salting decision input (a key near 10000 bp means ONE reducer would
     build nearly the whole output)."""
     cnts = df.groupBy(key).agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
-    contrib = cnts.withColumn(
-        "pair_contribution", (F.col("n_rows") * F.col("n_rows")).cast("long")
+    # ACCUMULATE in DECIMAL(38,0) (advisor r14): squaring and summing in
+    # BIGINT silently wraps under Spark's non-ANSI arithmetic once a key
+    # exceeds ~3e9 rows or the per-key contributions sum past 2^63 —
+    # exactly the extreme-skew regime this forecast exists for. DuckDB's
+    # sum(BIGINT) natively widens to HUGEINT, so the decimal accumulation
+    # is also what keeps both engines agreeing. The EMITTED
+    # pair_contribution column stays BIGINT for schema/hash stability;
+    # its own ~3e9-rows-per-key ceiling (9.2e18) is the one remaining
+    # bound and is documented here — past it the Spark column goes NULL
+    # on the cast while share_bp (computed fully in decimal) stays exact.
+    pc_dec = F.col("n_rows").cast("decimal(19,0)") * F.col("n_rows").cast(
+        "decimal(19,0)"
+    )
+    contrib = cnts.withColumn("_pc_dec", pc_dec.cast("decimal(38,0)")).withColumn(
+        "pair_contribution", F.col("_pc_dec").cast("long")
     )
     total = contrib.agg(
-        F.sum("pair_contribution").cast("long").alias("total_pairs")
-    )
+        F.sum("_pc_dec").cast("decimal(38,0)").alias("_total_dec")
+    ).select("_total_dec", F.col("_total_dec").cast("long").alias("total_pairs"))
     return (
         contrib.crossJoin(F.broadcast(total))
         .withColumn(
@@ -224,11 +237,9 @@ def selfjoin_skew_forecast(df: DataFrame, key: str, top_n: int = 15) -> DataFram
             # decimals matches DuckDB's HUGEINT // bit-for-bit (both are
             # exact floor division on exact integers).
             "share_bp",
-            F.expr(
-                "CAST((CAST(pair_contribution AS DECIMAL(38,0)) * 10000)"
-                " div total_pairs AS BIGINT)"
-            ),
+            F.expr("CAST((_pc_dec * 10000) div _total_dec AS BIGINT)"),
         )
+        .drop("_pc_dec", "_total_dec")
         .orderBy(F.desc("pair_contribution"), key)
         .limit(top_n)
     )

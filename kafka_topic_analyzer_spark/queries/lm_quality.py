@@ -806,10 +806,17 @@ def _source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle joins on ``tok``.
     """
     d = load_table(spark, sf_dir, "documents")
+    # (source, tok) census MATERIALIZED (r15): it feeds THREE consumers
+    # (corpus census, per-source totals, and the terms join's probe side)
+    # and Catalyst planned the tokenize+explode+aggregate subtree into
+    # each — three corpus passes where one suffices (1.71s -> 1.12s at
+    # sf0.1). Post-aggregate it is (sources x vocab)-sized, not
+    # corpus-sized, so pinning it is cheap at any scale.
     st = (
         d.select("source", F.explode(_spark_ltoks()).alias("tok"))
         .groupBy("source", "tok")
         .agg(F.count(F.lit(1)).cast("long").alias("c_st"))
+        .localCheckpoint(eager=True)
     )
     corpus = st.groupBy("tok").agg(F.sum("c_st").cast("long").alias("c_t"))
     n_s = st.groupBy("source").agg(F.sum("c_st").cast("long").alias("n_s"))

@@ -662,7 +662,12 @@ def _label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for i in range(EMB_DIM)
             ]
         ).alias("c"),
-    )
+    # materialized (r15): the pairwise stage self-joins cent, and without
+    # the checkpoint BOTH join sides re-planned the 64-decimal-sum corpus
+    # aggregate (two full scans + two codegen compiles of the widest
+    # aggregate in the catalog; 1.75s -> 1.50s at sf0.1). nlabels rows —
+    # free to pin at any corpus size.
+    ).localCheckpoint(eager=True)
     a = cent.select(
         F.col("label").alias("label_i"),
         F.col("n_vecs").alias("n_i"),

@@ -280,21 +280,33 @@ def _streaming_upsert_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     kdf = kafka_frame_from_events_df(events_stream(spark, sf_dir)).where(
         F.col("key").isNotNull()
     )
+    import shutil
+
     state_dir = tempfile.mkdtemp(prefix="upsert_bucketed_q_")
-    stream_upsert_compacted_state_bucketed(spark, kdf, state_dir, n_buckets=64)
-    state = read_state_bucketed(spark, state_dir)
-    if state is None:
-        # Empty manifest (no keyed non-tombstone messages): the oracle
-        # returns zero rows — mirror that instead of raising (advisor r12).
-        return spark.createDataFrame(
-            [], "key string, last_partition int, last_offset bigint, value string"
+    try:
+        stream_upsert_compacted_state_bucketed(spark, kdf, state_dir, n_buckets=64)
+        state = read_state_bucketed(spark, state_dir)
+        if state is None:
+            # Empty manifest (no keyed non-tombstone messages): the oracle
+            # returns zero rows — mirror that instead of raising (advisor r12).
+            return spark.createDataFrame(
+                [],
+                "key string, last_partition int, last_offset bigint, value string",
+            )
+        # materialize before deleting the state files the plan reads
+        # (advisor-r15 tempdir-leak hygiene)
+        return (
+            state.select(
+                "key",
+                F.col("partition").cast("int").alias("last_partition"),
+                F.col("offset").cast("long").alias("last_offset"),
+                "value",
+            )
+            .orderBy("key")
+            .localCheckpoint(eager=True)
         )
-    return state.select(
-        "key",
-        F.col("partition").cast("int").alias("last_partition"),
-        F.col("offset").cast("long").alias("last_offset"),
-        "value",
-    ).orderBy("key")
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
 
 
 register(

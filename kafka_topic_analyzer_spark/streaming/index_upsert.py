@@ -47,6 +47,18 @@ Replay safety: the merge is a deterministic function of (current state,
 batch), so a foreachBatch epoch replayed after a crash converges to the
 identical state (pinned in tests/test_index_upsert.py alongside the
 crash-invisibility and vacuum tests inherited from tests/test_sinks.py).
+
+READER CONTRACT (advisor r14): vacuum deletes superseded epoch dirs the
+instant the new manifest flips, so "readers resolve every path through
+the manifest" holds only for readers that RE-RESOLVE per read — a
+lazily-held DataFrame from :func:`read_postings`/:func:`read_directory`
+whose action runs after a subsequent merge can hit FileNotFoundException
+on the vacuumed paths. The supported deployment shapes are (a) a single
+writer whose readers call read_* per query (what every in-repo consumer
+does — the registered search materializes before the next epoch), or
+(b) long-lived concurrent readers with a retention window on vacuum
+(keep the last N superseded manifests' dirs) — not implemented here;
+see SCALING.md's snapshot discussion before running shape (b).
 """
 
 from __future__ import annotations

@@ -188,13 +188,24 @@ def streaming_ivfpq_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
+    import shutil
+
     try:
         q.awaitTermination()
     finally:
         if q.isActive:
             q.stop()
-    return (
-        spark.read.parquet(out_dir)
-        .select("vec_id", F.col("cell").cast("int").alias("cell"), "codes_packed")
-        .orderBy("vec_id")
-    )
+    try:
+        # materialize before deleting the files the plan reads — the
+        # mkdtemp otherwise leaked one streamed index per invocation
+        # (same advisor-r15 hygiene as the ivfpq_index_upsert query)
+        return (
+            spark.read.parquet(out_dir)
+            .select(
+                "vec_id", F.col("cell").cast("int").alias("cell"), "codes_packed"
+            )
+            .orderBy("vec_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
