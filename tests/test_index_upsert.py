@@ -260,6 +260,24 @@ def test_streaming_upsert_via_foreachbatch(spark, tmp_path):
     assert up == rb
 
 
+def test_empty_batch_is_a_noop(spark, tmp_path):
+    """An empty epoch (all rows filtered upstream) must not flip the
+    manifest or leave any epoch dir behind — the early return now sits
+    after the concurrent census/encode jobs, so this path is exercised
+    explicitly."""
+    base, _ = _mixed_epochs(spark)
+    index_dir = str(tmp_path / "idx")
+    os.makedirs(index_dir)
+    IU.merge_index_batch(base, index_dir, 0, CENTROIDS, CODEBOOKS)
+    m0 = IU._read_manifest(index_dir)
+    dirs0 = sorted(os.listdir(index_dir))
+
+    empty = base.where(F.lit(False))
+    IU.merge_index_batch(empty, index_dir, 1, CENTROIDS, CODEBOOKS)
+    assert IU._read_manifest(index_dir) == m0
+    assert sorted(os.listdir(index_dir)) == dirs0
+
+
 def test_mismatched_bucket_count_is_refused(spark, tmp_path):
     base, _ = _mixed_epochs(spark)
     index_dir = str(tmp_path / "idx")
