@@ -203,6 +203,17 @@ def main() -> None:
             dt, n_rows = run_once(spec)
             times.append(dt)
             gc.collect()
+        # Adaptive extra reps (r16, judge item 5, additions-only): when the
+        # 3-rep spread exceeds 50% a shared-host stall contaminated the
+        # sample (r15 flagged 3 code-identical queries on exactly this
+        # pattern) — take up to 2 more reps so the MIN estimates the same
+        # quantity from a less-contaminated sample. The recorded spread
+        # stays the honest max/min-1 over ALL reps, so a stall window is
+        # still visible and tools/bench_compare.py still refuses to flag it.
+        while max(times) / min(times) - 1.0 > 0.5 and len(times) < 5:
+            dt, n_rows = run_once(spec)
+            times.append(dt)
+            gc.collect()
         best = min(times)
         per_query[name] = round(best, 4)
         # spread as max-over-min ratio minus 1: 0.0 = perfectly stable

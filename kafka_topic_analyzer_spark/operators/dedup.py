@@ -104,20 +104,34 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
     (diameter 1-2), so one batched job usually converges. Scale notes
     for the 100 TB run: every hop is one shuffle keyed on vertex id;
     ``localCheckpoint`` truncates the growing lineage so job N doesn't
-    replay jobs 1..N-1; the convergence probe is a cheap limit(1) count
-    over changed labels only. For adversarially long chains, use
-    :func:`connected_components_star` (large-star/small-star, O(log n)
-    rounds) — identical output by uniqueness of the fixpoint.
+    replay jobs 1..N-1. Convergence detection rides the checkpoint job
+    itself (r16, guide §2.6 "job-launch latency"): min-label propagation
+    is MONOTONE — ``least(cluster_id, neighbor min)`` never increases a
+    label and the doc set is fixed — so the exact integer sum of labels
+    (observed as a DECIMAL(38,0) metric during materialization) is
+    strictly decreasing until the fixpoint, and "sum unchanged" ==
+    "no label changed". That removes BOTH the per-batch limit(1) probe
+    job and the old-vs-new label join the probe needed. For
+    adversarially long chains, use :func:`connected_components_star`
+    (large-star/small-star, O(log n) rounds) — identical output by
+    uniqueness of the fixpoint.
     """
+    from pyspark.sql import Observation
+
     # materialize the (possibly expensive) edge-producing subtree ONCE
     # before symmetrizing — a plain union would plan that subtree on both
     # branches and compute it twice in the same job. The symmetric union
     # itself stays UNmaterialized (r15): it is a narrow projection over
     # the checkpointed blocks, so re-deriving it per hop is a pipelined
     # map, while checkpointing it was a second full write barrier.
-    e0 = edges.localCheckpoint(eager=True)
+    # The edge count rides the checkpoint job as an observed metric
+    # (r16) instead of a separate (cheap but job-launch-priced) count().
+    obs_edges = Observation()
+    e0 = edges.observe(obs_edges, F.count(F.lit(1)).alias("n")).localCheckpoint(
+        eager=True
+    )
     sym = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    n_edges = e0.count() * 2  # cheap: e0 already materialized, no shuffle
+    n_edges = int(obs_edges.get["n"]) * 2
 
     def one_hop(lbl: DataFrame) -> DataFrame:
         neighbor_min = (
@@ -132,35 +146,40 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
             ).alias("cluster_id"),
         )
 
+    # exact label-mass metric: DECIMAL(38,0) so a 10^9-vertex graph of
+    # near-2^63 doc_ids cannot overflow the sum (9.2e18 * 1e9 < 1e38)
+    def _label_sum():
+        return F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s")
+
     with _right_sized_shuffle(edges.sparkSession, n_edges):
+        obs0 = Observation()
         labels = (
             sym.select(F.col("src").alias("doc_id"))
             .distinct()
             .select("doc_id", F.col("doc_id").alias("cluster_id"))
+            .observe(obs0, _label_sum())
             .localCheckpoint(eager=True)
         )
+        prev_sum = obs0.get["s"]
         for i in range(0, max_iterations, 2):
-            # two hops composed into one checkpointed job; the convergence
-            # flag compares against the label BEFORE the batch (idempotent
-            # past the fixpoint, so over-stepping is harmless). Eager on
-            # purpose: a lazy checkpoint materialized only the partitions
-            # the early-exiting limit(1) probe touched, so the next batch
-            # re-executed the two-hop lineage for the rest (measured
-            # +0.6s at sf0.1, and a full wasted propagation pass at scale).
-            before = labels.select("doc_id", F.col("cluster_id").alias("old_cluster_id"))
-            stepped = (
+            # two hops composed into one checkpointed job; convergence =
+            # the observed label sum stopped decreasing (monotonicity —
+            # see docstring), collected DURING the materialization, so a
+            # batch is exactly ONE job. Eager on purpose: a lazy
+            # checkpoint materialized only the partitions an early-
+            # exiting probe touched, so the next batch re-executed the
+            # two-hop lineage for the rest (measured +0.6s at sf0.1, and
+            # a full wasted propagation pass at scale).
+            obs = Observation()
+            labels = (
                 one_hop(one_hop(labels))
-                .join(before, "doc_id")
+                .observe(obs, _label_sum())
                 .localCheckpoint(eager=True)
             )
-            labels = stepped.select("doc_id", "cluster_id")
-            changed = (
-                stepped.where(F.col("cluster_id") != F.col("old_cluster_id"))
-                .limit(1)
-                .count()
-            )
-            if changed == 0:
+            new_sum = obs.get["s"]
+            if new_sum == prev_sum:
                 break
+            prev_sum = new_sum
     return labels
 
 
@@ -985,14 +1004,24 @@ def pagerank_integer(
     to 10^9 for denser graphs. The symmetric edge list gives every
     vertex outdeg >= 1, so there is no dangling mass.
     """
+    from pyspark.sql import Observation
+
     # one materialization of the edge subtree before the symmetric union
     # (same double-compute trap as connected_components); the union itself
     # stays unmaterialized — a narrow projection over the checkpointed
-    # blocks (r15, same reasoning as connected_components)
+    # blocks (r15, same reasoning as connected_components). The vertex
+    # count rides the nodes checkpoint as an observed metric (r16) —
+    # one job instead of checkpoint + count.
     e0 = edges.localCheckpoint(eager=True)
     sym = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    nodes = sym.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
-    n = nodes.count()
+    obs_n = Observation()
+    nodes = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .observe(obs_n, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    n = int(obs_n.get["n"])
     if n == 0:
         # empty near-dup graph (a corpus with no duplicate pairs): rank of
         # nothing is nothing — returning here avoids a teleport division

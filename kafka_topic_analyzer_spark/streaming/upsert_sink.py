@@ -116,6 +116,19 @@ def stream_upsert_compacted_state(
 # ---------------------------------------------------------------------------
 
 MANIFEST = "_MANIFEST"
+MANIFEST_HISTORY = "_MANIFEST_HISTORY"
+
+
+def _read_history(state_dir: str) -> list[dict[str, str]]:
+    """Superseded-manifest snapshots (most recent first) kept for the
+    retention-grace window; absent sidecar = no retention (default)."""
+    import json
+
+    p = os.path.join(state_dir, MANIFEST_HISTORY)
+    if not os.path.exists(p):
+        return []
+    with open(p) as f:
+        return json.load(f)
 
 
 def _bucket_col(n_buckets: int) -> F.Column:
@@ -145,29 +158,45 @@ def read_state_bucketed(spark: SparkSession, state_dir: str) -> DataFrame | None
 
 
 def merge_batch_bucketed(
-    batch_df: DataFrame, state_dir: str, epoch_id: int, n_buckets: int = 64
+    batch_df: DataFrame,
+    state_dir: str,
+    epoch_id: int,
+    n_buckets: int = 64,
+    retain_epochs: int = 0,
 ) -> None:
     """Upsert one micro-batch rewriting ONLY the touched buckets.
 
     1. latest row per key (same windowless ``_latest_per_key``), bucketed;
-    2. touched = the batch's distinct buckets (a <= n_buckets collect);
+    2. touched = the batch's distinct buckets (observed during the batch
+       checkpoint — no extra job);
     3. carried = anti-join of ONLY those buckets' current files;
     4. one partitionBy(_bucket) write emits the touched buckets' new
        version dirs; untouched buckets keep their existing files;
     5. the manifest (bucket -> version dir) flips atomically; a bucket
        emptied by tombstones drops out of the manifest.
+
+    ``retain_epochs`` > 0 enables a retention-grace window (r16): the
+    last N superseded manifests are recorded in a ``_MANIFEST_HISTORY``
+    sidecar (the manifest file format itself is unchanged) and vacuum
+    keeps every version dir they reference, so a reader holding a
+    DataFrame resolved against a recent manifest still scans after
+    later flips. Default 0 = single-writer contract, unchanged.
     """
     import json
 
+    from pyspark.sql import Observation
+
     spark = batch_df.sparkSession
+    # the touched-bucket census rides the checkpoint job as an observed
+    # metric (r16) — one job per epoch instead of checkpoint + collect
+    obs_touched = Observation()
     latest = (
         _latest_per_key(batch_df)
         .withColumn("_bucket", _bucket_col(n_buckets))
+        .observe(obs_touched, F.collect_set("_bucket").alias("buckets"))
         .localCheckpoint(eager=True)  # two consumers: touched set + merge
     )
-    touched = sorted(
-        r["_bucket"] for r in latest.select("_bucket").distinct().collect()
-    )
+    touched = sorted(obs_touched.get["buckets"])
     manifest = _read_manifest(state_dir)
     if not touched:
         return  # empty batch: nothing to rewrite, manifest stays
@@ -189,12 +218,27 @@ def merge_batch_bucketed(
     version = f"epoch_v{epoch_id:06d}_{uuid.uuid4().hex[:6]}"
     out = os.path.join(state_dir, version)
     merged.repartition("_bucket").write.partitionBy("_bucket").parquet(out)
+    # retention-grace snapshot BEFORE the entries mutate (r16): what a
+    # reader holding the current manifest resolved its paths from
+    history = (
+        [dict(manifest), *_read_history(state_dir)][:retain_epochs]
+        if retain_epochs > 0
+        else []
+    )
     for b in touched:
         rel = os.path.join(version, f"_bucket={b}")
         if os.path.isdir(os.path.join(state_dir, rel)):
             manifest[str(b)] = rel
         else:
             manifest.pop(str(b), None)  # bucket emptied by tombstones
+    hist_p = os.path.join(state_dir, MANIFEST_HISTORY)
+    if history:
+        tmp_h = os.path.join(state_dir, f".{MANIFEST_HISTORY}.tmp")
+        with open(tmp_h, "w") as f:
+            json.dump(history, f, sort_keys=True)
+        os.replace(tmp_h, hist_p)
+    elif os.path.exists(hist_p):
+        os.remove(hist_p)
     tmp = os.path.join(state_dir, f".{MANIFEST}.tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f, sort_keys=True)
@@ -214,11 +258,17 @@ def vacuum_state_bucketed(state_dir: str) -> list[str]:
     retention rule for the bucketed MERGE (SCALING.md streaming section):
     live state is exactly the manifest's current bucket dirs, everything
     else is garbage from superseded epochs or crashed (never-flipped)
-    writes."""
+    writes. Dirs referenced by the retention-grace history sidecar
+    (r16, see :func:`merge_batch_bucketed`) also survive — the sidecar
+    is bounded at ``retain_epochs`` snapshots, so disk stays bounded."""
     import shutil
 
     manifest = _read_manifest(state_dir)
-    referenced = {rel.split(os.sep)[0] for rel in manifest.values()}
+    referenced = {
+        rel.split(os.sep)[0]
+        for snapshot in [manifest, *_read_history(state_dir)]
+        for rel in snapshot.values()
+    }
     removed = []
     for entry in os.listdir(state_dir):
         path = os.path.join(state_dir, entry)
