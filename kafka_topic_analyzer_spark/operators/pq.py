@@ -723,8 +723,16 @@ def knn_ivfpq_adaptive(
 
     m_sub, k_codes = len(codebooks), len(codebooks[0])
     nlist = len(centroids)
-    idx = ivfpq_index(corpus, centroids, codebooks).select(
-        F.col("vec_id").alias("neighbor_id"), "cell", "codes"
+    # Pin the index build ONCE (r16): idx feeds census, total and the
+    # scored candidate join, and both build UDFs are asNondeterministic,
+    # so without the pin each consumer re-runs the full assign+encode
+    # corpus pass (3 scans + 3 UDF passes). The pinned row set
+    # (vec_id, cell, codes) IS the index a deployment persists — encoding
+    # it once and scanning the narrow result is the serving shape.
+    idx = (
+        ivfpq_index(corpus, centroids, codebooks)
+        .select(F.col("vec_id").alias("neighbor_id"), "cell", "codes")
+        .localCheckpoint(eager=True)
     )
     census = idx.groupBy("cell").agg(
         F.count(F.lit(1)).cast("long").alias("n_post")

@@ -658,8 +658,19 @@ def knn_ivf_adaptive(
     from kafka_topic_analyzer_spark.functions.vectors import norm, pair_dot_udf
 
     nlist = len(centroids)
-    cb = ivf_assign_fixed(corpus, centroids, nprobe=1).select(
-        F.col("vec_id").alias("neighbor_id"), "cell"
+    # Pin the corpus assignment ONCE (r16): cb feeds three consumers —
+    # census, total and the candidate join — and the assignment UDF is
+    # asNondeterministic, so without the pin Catalyst plans a separate
+    # full-corpus assignment pass under each (3 scans + 3 UDF passes over
+    # every embedding). The pinned relation is 2 ints/vector — the same
+    # (id, cell) row set a deployment persists as the IVF index — vs
+    # re-reading and re-scoring raw vectors against nlist centroids.
+    # localCheckpoint is local-mode-appropriate here (same caveat as the
+    # other pins: non-reliable blocks in cluster mode).
+    cb = (
+        ivf_assign_fixed(corpus, centroids, nprobe=1)
+        .select(F.col("vec_id").alias("neighbor_id"), "cell")
+        .localCheckpoint(eager=True)
     )
     census = cb.groupBy("cell").agg(F.count(F.lit(1)).cast("long").alias("n_post"))
     total = census.agg(F.sum("n_post").cast("long").alias("n_total"))

@@ -153,3 +153,32 @@ def test_bucketed_default_retention_unchanged(spark, tmp_path):
     epochs = {e.split("_")[1] for e in os.listdir(state) if e.startswith("epoch_v")}
     assert epochs == {"v000001"}
     assert not os.path.exists(os.path.join(state, MANIFEST_HISTORY))
+
+
+def test_adaptive_search_pins_corpus_pass_once(spark):
+    """The adaptive IVF searches feed the corpus assignment/index into
+    THREE consumers (census, total mass, candidate join); the assign and
+    encode UDFs are asNondeterministic, so without the r16 pin each
+    consumer plans its own full-corpus UDF pass. The pin must survive:
+    the executed plan scans the pinned relation (ExistingRDD) and the
+    only remaining Python evaluations are the tiny query-side ones — a
+    regression to per-consumer corpus evaluation pushes the
+    ArrowEvalPython census back up to >= 5."""
+    from kafka_topic_analyzer_spark.operators.pq import knn_ivfpq_adaptive
+    from kafka_topic_analyzer_spark.operators.similarity import knn_ivf_adaptive
+
+    emb = _emb_base(spark)
+    q = emb.where(F.col("vec_id") < 5)
+
+    for df in (
+        knn_ivf_adaptive(emb, q, CENTROIDS, k=3),
+        knn_ivfpq_adaptive(emb, q, CENTROIDS, CODEBOOKS, k=3),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ExistingRDD" in plan, "corpus assignment/index pin is gone"
+        assert plan.count("ArrowEvalPython") <= 3, (
+            "corpus-side UDF pass is being re-planned per consumer:\n" + plan
+        )
+        rows = df.collect()
+        assert len(rows) == 15  # 5 queries x k=3
+        assert all(r["nprobe_used"] >= 1 for r in rows)
