@@ -416,6 +416,86 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_permutation_match_masks(
+    signatures: DataFrame, n_perm: int = N_PERMUTATIONS
+) -> DataFrame:
+    """Per-pair bitmask of AGREEING MinHash permutations (doc_i < doc_j).
+
+    One (permutation, value)-keyed self-join over the signature table —
+    exactly the finest (bands = n_perm, rows = 1) LSH banding — then a
+    per-pair ``bit_or(1 << p)`` aggregate. Bit ``p`` set means
+    ``sig_p(doc_i) == sig_p(doc_j)``; only pairs agreeing on at least one
+    permutation surface (all others never meet in the join, which is the
+    LSH point).
+
+    Why it exists (r16, guide §2.4 "remove shuffles outright"): the
+    candidate sets of ALIGNED bandings are **nested** — a collision on an
+    r-row band is equality on all r of its permutations, which implies
+    collisions on every aligned sub-band — so the candidate set of ANY
+    banding whose bands are unions of mask bits is a pure bit test on
+    this mask (:func:`lsh_mask_band_hit`). A banding sweep therefore
+    needs ONE self-join + ONE pair aggregate instead of one
+    join-plus-distinct per banding, and the exploded join input carries
+    n_perm rows/doc once instead of sum(bands) rows/doc across legs.
+
+    Equivalence to the string-keyed :func:`lsh_candidate_pairs` legs:
+    band keys there are ':'-joined decimal strings of the signature
+    slice, which is injective on the non-negative sigs, so string
+    equality == per-permutation value equality; the NULL-signature
+    filter is all-or-nothing per doc (sigs are min-aggregates over the
+    same hash rows) and matches ``sig_0 IS NOT NULL`` here.
+    """
+    ex = (
+        signatures.where(F.col("sig_0").isNotNull())
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(p).alias("p"), F.col(f"sig_{p}").alias("v"))
+                        for p in range(n_perm)
+                    ]
+                )
+            ).alias("pv"),
+        )
+        .select("doc_id", F.col("pv.p").alias("p"), F.col("pv.v").alias("v"))
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    matches = a.join(
+        b,
+        (F.col("a.p") == F.col("b.p"))
+        & (F.col("a.v") == F.col("b.v"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_i"),
+        F.col("b.doc_id").alias("doc_j"),
+        F.col("a.p").alias("p"),
+    )
+    # each (pair, p) appears exactly once (the join key pins p), so sum
+    # would do; bit_or states the intent and is duplicate-safe
+    return matches.groupBy("doc_i", "doc_j").agg(
+        F.bit_or(F.expr("shiftleft(1L, p)")).alias("mask")
+    )
+
+
+def lsh_mask_band_hit(
+    mask: F.Column, bands: int, n_perm: int = N_PERMUTATIONS
+) -> F.Column:
+    """True iff the permutation-match ``mask`` contains at least one full
+    aligned band of ``n_perm // bands`` consecutive agreeing permutations
+    — i.e. the pair IS an LSH candidate at this banding (see
+    :func:`lsh_permutation_match_masks` for the exactness argument)."""
+    if n_perm % bands:
+        raise ValueError("n_perm must divide evenly into bands")
+    r = n_perm // bands
+    full = (1 << r) - 1
+    hit = None
+    for j in range(bands):
+        t = F.shiftright(mask, j * r).bitwiseAND(F.lit(full)) == F.lit(full)
+        hit = t if hit is None else hit | t
+    return hit
+
+
 def jaccard_size_prefilter(
     size_i: F.Column, size_j: F.Column, threshold: float
 ) -> F.Column:

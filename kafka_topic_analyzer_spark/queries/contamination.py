@@ -33,16 +33,23 @@ def _benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         grams(d.where(F.col("doc_id") < EVAL_MAX_DOC_ID)).select("gram").distinct()
     )
     corpus_grams = grams(d.where(F.col("doc_id") >= EVAL_MAX_DOC_ID))
-    totals = corpus_grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    hits = (
-        corpus_grams.join(F.broadcast(eval_grams), "gram")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    # ONE pass over the exploded corpus grams (r16, guide §2.4): a
+    # broadcast LEFT join against the (distinct, hence at-most-one-match)
+    # eval grams tags each gram with a hit flag, and one doc-keyed
+    # aggregate yields totals AND hit counts together — the old
+    # totals/hits pair planned the corpus scan+explode under each
+    # consumer and then re-joined the two aggregates on doc_id.
+    flagged = corpus_grams.join(
+        F.broadcast(eval_grams.withColumn("_hit", F.lit(1))), "gram", "left"
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count("_hit").alias("n_shared_grams"),  # count skips the NULL misses
     )
     # the decontam decision needs the RATE (drop docs above a collision
     # fraction), so report shared/total per contaminated doc
     return (
-        hits.join(totals, "doc_id")
+        per_doc.where(F.col("n_shared_grams") > 0)
         .select(
             "doc_id",
             "n_shared_grams",
@@ -120,13 +127,20 @@ def _decontamination_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = d.where(F.col("doc_id") >= EVAL_MAX_DOC_ID)
     corpus_grams = grams(corpus)
-    totals = corpus_grams.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_grams")
-    )
-    hits = (
-        corpus_grams.join(F.broadcast(eval_grams), "gram")
+    # one corpus-gram pass for totals AND hits (r16, guide §2.4) — same
+    # fused broadcast-left-join shape as _benchmark_contamination; a doc
+    # with grams but no collisions now carries n_shared = 0 instead of a
+    # NULL from the old left join, which the coalesce below already
+    # normalized, so the drop rule is value-identical
+    stats = (
+        corpus_grams.join(
+            F.broadcast(eval_grams.withColumn("_hit", F.lit(1))), "gram", "left"
+        )
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.count("_hit").cast("long").alias("n_shared"),
+        )
     )
     # the >= comparison is vacuously true at n_grams=0; gate it so the
     # unmeasurable docs are RETAINED, not dropped
@@ -141,8 +155,7 @@ def _decontamination_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.select(
             "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
         )
-        .join(totals, "doc_id", "left")
-        .join(hits, "doc_id", "left")
+        .join(stats, "doc_id", "left")
         .select(
             "source",
             "n_tokens",

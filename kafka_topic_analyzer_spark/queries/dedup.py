@@ -669,14 +669,18 @@ def _lsh_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     (more bands = smaller rows-per-band = higher recall at steeper
     candidate cost; the collision probability is 1-(1-j^r)^b).
 
-    Cost shape: signatures compute ONCE and materialize
-    (``localCheckpoint``); each banding leg is a bare-id
-    (band_idx, band_key) bucket self-join over the materialized
-    signature table; the union of candidates materializes once and the
-    exact-Jaccard verification runs over the DISTINCT pair set only —
-    a pair surfaced by three bandings verifies once. Final counts are
-    per-banding conditional aggregates over the flagged candidate
-    frame.
+    Cost shape (r16, guide §2.4): signatures compute ONCE and
+    materialize (``localCheckpoint``); ONE (permutation, value) self-join
+    + per-pair aggregate yields each surfaced pair's 16-bit
+    agreeing-permutation mask (``lsh_permutation_match_masks``), and
+    every banding's candidacy is a pure bit test on that mask — aligned
+    bandings are NESTED, so the four former per-leg self-joins +
+    distincts (shuffling 2+4+8+16 band rows/doc) collapse into the one
+    finest-grain join (16 rows/doc) whose pair set is exactly the union
+    the verification pass needs (already distinct, no extra exchange).
+    Exact-Jaccard verification runs over that pair set only — a pair
+    surfaced by three bandings verifies once. Final counts are
+    per-banding conditional aggregates over the flagged mask frame.
 
     Reading the output: the FINEST banding's ``n_true_pairs`` is the
     effective truth-set size (a jaccard ≥ 0.7 pair escapes all 16
@@ -685,25 +689,40 @@ def _lsh_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     at sf0.1: 242/256 at (2,8), 255/256 at (4,4), 256/256 at (8,2)
     for 4.4x the candidates, and (16,1) pays 157k candidates at 0.16%
     precision for the same recall. That knee is the banding answer."""
-    from functools import reduce
-
     from kafka_topic_analyzer_spark.functions.text import word_shingles
 
     docs = load_table(spark, sf_dir, "documents")
     sigs = D.minhash_signatures(docs).localCheckpoint(eager=True)
-    legs = [
-        D.lsh_candidate_pairs(sigs, bands=b).withColumn("bands", F.lit(b))
-        for b in LSH_SWEEP_BANDINGS
-    ]
-    cands = reduce(lambda a, b: a.unionByName(b), legs).localCheckpoint(eager=True)
-    uniq = cands.select("doc_i", "doc_j").distinct()
+    # one pair per ANY-permutation collision with its 16-bit match mask;
+    # materialized because both the verify pass and the final aggregate
+    # consume it (same role the unioned `cands` checkpoint used to play,
+    # at ~the finest leg's row count instead of all four legs'). The
+    # explicit pair-keyed repartition matters: AQE coalesces the tiny
+    # mask aggregate to ONE partition, and the verify pass's
+    # shingle-broadcast joins run IN the tasks holding the pair stream —
+    # checkpointing 1 partition would serialize every array_intersect
+    # onto one core (measured +0.7s at sf0.1; the old 4-leg shape was
+    # accidentally parallel through its distinct's re-exchange). An
+    # explicit width survives AQE, and the session shuffle width keeps
+    # it scale-adaptive rather than core-count-tuned.
+    _w = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    masks = (
+        D.lsh_permutation_match_masks(sigs)
+        .repartition(_w, "doc_i", "doc_j")
+        .localCheckpoint(eager=True)
+    )
+
+    def _hit(b: int) -> F.Column:
+        return D.lsh_mask_band_hit(F.col("mask"), b)
+
     sh = docs.select(
         "doc_id", F.array_distinct(word_shingles(F.col("text"), 3)).alias("sh")
     )
     inter = F.size(F.array_intersect(F.col("sh_i"), F.col("sh_j")))
     union = F.size(F.col("sh_i")) + F.size(F.col("sh_j")) - inter
     ver07 = (
-        uniq.join(
+        masks.select("doc_i", "doc_j")
+        .join(
             sh.select(F.col("doc_id").alias("doc_i"), F.col("sh").alias("sh_i")),
             "doc_i",
         )
@@ -722,17 +741,17 @@ def _lsh_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_true", F.lit(1))
         .drop("jaccard")
     )
-    flagged = cands.join(ver07, ["doc_i", "doc_j"], "left")
+    flagged = masks.join(ver07, ["doc_i", "doc_j"], "left")
     one = flagged.agg(
         *[
-            F.coalesce(F.sum(F.when(F.col("bands") == b, 1)), F.lit(0))
+            F.coalesce(F.sum(F.when(_hit(b), 1)), F.lit(0))
             .cast("long")
             .alias(f"_c{b}")
             for b in LSH_SWEEP_BANDINGS
         ],
         *[
             F.coalesce(
-                F.sum(F.when((F.col("bands") == b) & (F.col("is_true") == 1), 1)),
+                F.sum(F.when(_hit(b) & (F.col("is_true") == 1), 1)),
                 F.lit(0),
             )
             .cast("long")

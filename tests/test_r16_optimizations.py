@@ -182,3 +182,60 @@ def test_adaptive_search_pins_corpus_pass_once(spark):
         rows = df.collect()
         assert len(rows) == 15  # 5 queries x k=3
         assert all(r["nprobe_used"] >= 1 for r in rows)
+
+
+def test_lsh_match_masks_reproduce_every_banding(spark):
+    """The banding-sweep rewrite derives each banding's candidate set
+    from the finest leg's permutation-match mask (nested aligned bands).
+    Pin the equivalence: for every sweep banding, the mask-derived pair
+    set must equal lsh_candidate_pairs' string-keyed self-join output —
+    including a signature-less (NULL-sig) doc, which both paths must
+    drop, and including docs agreeing on SOME but not all permutations
+    of a band (partial agreement must NOT produce a coarse candidate)."""
+    from kafka_topic_analyzer_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_mask_band_hit,
+        lsh_permutation_match_masks,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),  # exact dup
+            (3, "the quick brown fox jumps over the lazy cat tonight"),  # near dup
+            (4, "completely unrelated text about spark shuffle internals"),
+            (5, "ab"),  # < 3 tokens -> NULL signature, must vanish
+            (6, "another unrelated document mentioning quick brown foxes"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(docs, 3).localCheckpoint(eager=True)
+    masks = lsh_permutation_match_masks(sigs).collect()
+    for bands in (2, 4, 8, 16):
+        want = {
+            (r["doc_i"], r["doc_j"])
+            for r in lsh_candidate_pairs(sigs, bands=bands).collect()
+        }
+        got = set()
+        for r in masks:
+            hit = any(
+                (r["mask"] >> (j * (16 // bands))) & ((1 << (16 // bands)) - 1)
+                == (1 << (16 // bands)) - 1
+                for j in range(bands)
+            )
+            if hit:
+                got.add((r["doc_i"], r["doc_j"]))
+        assert got == want, f"bands={bands}: {got} != {want}"
+    # the column expression agrees with the python reference above
+    mdf = lsh_permutation_match_masks(sigs)
+    for bands in (2, 4, 8, 16):
+        via_col = {
+            (r["doc_i"], r["doc_j"])
+            for r in mdf.where(lsh_mask_band_hit(F.col("mask"), bands)).collect()
+        }
+        want = {
+            (r["doc_i"], r["doc_j"])
+            for r in lsh_candidate_pairs(sigs, bands=bands).collect()
+        }
+        assert via_col == want
