@@ -947,6 +947,8 @@ def embedding_near_dups_lsh(
     bits: int = 4,
     tables: int = 8,
     round_digits: int = 6,
+    materialize_threshold: int = 100_000,
+    n_vecs: int | None = None,
 ) -> DataFrame:
     """Scale-path embedding near-dups: LSH-bucket candidates, exact verify.
 
@@ -955,6 +957,22 @@ def embedding_near_dups_lsh(
     — the cosine fold runs only on candidates. High-cosine pairs collide
     with prob (1 - theta/pi)^bits per table; at threshold 0.9
     (theta <= 26°) and 4 bits that is ~0.52 per table, ~0.997 over 8.
+
+    Self-join cost note (r16 — the :func:`simhash_near_dup_pairs` policy,
+    same rationale): the bucket UDF is ``asNondeterministic`` (see
+    lsh_buckets), so Catalyst plans the full-corpus projection pass under
+    BOTH sides of the bucket self-join — two numpy-matmul passes plus two
+    corpus scans. Below ``materialize_threshold`` vectors the recompute
+    stays (the blocking checkpoint serialization costs more than the
+    second tiny pass: interleaved A/B at sf0.1 read a noise-level
+    0.88-0.95 min-ratio with the pin always on); above it, the narrow
+    (vec_id, table_id, bucket) relation — exactly the LSH index table a
+    real deployment persists — is pinned once via ``localCheckpoint``
+    and both join sides scan the pin. Pass ``n_vecs`` — the corpus size
+    or any upper bound tight enough to decide against
+    ``materialize_threshold`` — to skip the count probe when the caller
+    knows it (or calls with a derived frame whose recount would
+    re-execute upstream work).
     """
     from kafka_topic_analyzer_spark.operators.similarity import lsh_buckets
 
@@ -965,6 +983,9 @@ def embedding_near_dups_lsh(
     bucketed = lsh_buckets(emb, dim, bits, tables).select(
         "vec_id", "table_id", "bucket"
     )
+    n = n_vecs if n_vecs is not None else emb.count()
+    if n > materialize_threshold:
+        bucketed = bucketed.localCheckpoint(eager=True)
     cands = (
         bucketed.alias("a")
         .join(bucketed.alias("b"), ["table_id", "bucket"])

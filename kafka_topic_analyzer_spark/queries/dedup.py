@@ -1235,7 +1235,13 @@ def _semantic_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id") < SEMANTIC_CLUSTER_BOUND
     )
     pairs = D.embedding_near_dups_lsh(
-        emb, threshold=EMB_NEAR_DUP_THRESHOLD, tables=16
+        emb,
+        threshold=EMB_NEAR_DUP_THRESHOLD,
+        tables=16,
+        # the slice is bounded at vec_id < SEMANTIC_CLUSTER_BOUND, so the
+        # bound itself decides the materialize policy — no count probe on
+        # the derived frame
+        n_vecs=SEMANTIC_CLUSTER_BOUND,
     )
     edges = pairs.select(F.col("vec_i").alias("src"), F.col("vec_j").alias("dst"))
     labels = D.connected_components(edges)

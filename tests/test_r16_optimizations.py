@@ -239,3 +239,25 @@ def test_lsh_match_masks_reproduce_every_banding(spark):
             for r in lsh_candidate_pairs(sigs, bands=bands).collect()
         }
         assert via_col == want
+
+
+def test_embedding_lsh_pin_policy_same_pairs(spark):
+    """Above materialize_threshold the LSH bucket relation is pinned and
+    both self-join sides scan the pin (one corpus UDF pass); below it the
+    recompute shape stays. Same pairs either way, and the pinned plan
+    must actually scan the checkpoint (ExistingRDD) instead of
+    re-planning the bucket UDF per side."""
+    from kafka_topic_analyzer_spark.operators.dedup import embedding_near_dups_lsh
+
+    emb = _emb_base(spark).where(F.col("vec_id") < 200)
+    recompute = embedding_near_dups_lsh(
+        emb, threshold=0.4, tables=4, n_vecs=200
+    )
+    pinned = embedding_near_dups_lsh(
+        emb, threshold=0.4, tables=4, materialize_threshold=10, n_vecs=200
+    )
+    plan = pinned._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan, "bucket pin is gone above the threshold"
+    got_a = sorted(map(tuple, recompute.collect()))
+    got_b = sorted(map(tuple, pinned.collect()))
+    assert got_a == got_b and len(got_a) > 0
